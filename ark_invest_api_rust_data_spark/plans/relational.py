@@ -1,0 +1,698 @@
+"""Relational query surface (SURVEY.md §2 Part B, B1–B22).
+
+Each probe is idiomatic DataFrame API — joins declared with broadcast
+hints for dimension tables, aggregations left to Catalyst's
+partial/final hash aggregation, windows via pyspark Window — paired
+with an ANSI-SQL DuckDB oracle.
+
+Float determinism policy: every SUM/AVG over money/quantity columns is
+computed in exact DECIMAL arithmetic (inputs are exactly 2dp, verified)
+and cast to double at the end, on BOTH sides. Decimal +/* are exact, so
+Spark and DuckDB produce bit-identical doubles regardless of
+row/partition order. AVG is computed as exact-decimal-sum cast to
+double divided by count (same operands → same IEEE division result).
+Irrational math (sqrt) is IEEE-correctly-rounded, hence deterministic;
+we avoid log/exp in hashed outputs.
+
+At 100 TB: the star joins broadcast dims (region/nation/supplier always;
+part/customer under AQE size estimates), fact-fact joins shuffle on the
+join key with AQE skew handling; aggregations are partial+final (map-side
+combine) automatically. No driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from .base import Probe
+
+
+def _dec(c: str, p: int = 12, s: int = 2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def _dsum(expr, alias: str):
+    return F.sum(expr).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- B1
+def b01_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join, broadcast dim (SURVEY B1)."""
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+B01_SQL = """
+SELECT n_name, count(*) AS c
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------- B2
+def b02_star_join(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way star join (SURVEY B2): revenue by nation
+    for one region and one year. lineitem⋈orders shuffles on orderkey;
+    all dims broadcast."""
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 4, 2))
+    return (
+        lineitem.join(
+            orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue"))
+    )
+
+
+B02_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey AND year(o_orderdate) = 1997
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------- B3
+def b03_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join + count of non-null keys (SURVEY B3)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+B03_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------- B4 semi
+def b04_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (SURVEY B4): customers that do have orders."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+B04_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def b04_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (SURVEY B4): customers with no orders."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey")
+
+
+B04_ANTI_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------- B5
+def b05_theta_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-join with extra non-equi (theta) condition (SURVEY B5)."""
+    part = load_table(spark, sf, "part")
+    lineitem = load_table(spark, sf, "lineitem")
+    return (
+        lineitem.join(
+            F.broadcast(part),
+            (F.col("l_partkey") == F.col("p_partkey")) & (F.col("l_quantity") > F.col("p_size")),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+B05_SQL = """
+SELECT p_brand, count(*) AS c
+FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------- B6
+def b06_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (SURVEY B6): for each purchase event, the most recent
+    click at-or-before it by the same user. Implemented with the
+    union + last_value window composition (operators/asof.py) — one
+    shuffle on user_id, no O(n²). DuckDB ASOF JOIN is the oracle."""
+    events = load_table(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", values=["click_value"]
+    )
+    return joined.select("event_id", "user_id", "click_value")
+
+
+B06_SQL = """
+SELECT p.event_id, p.user_id, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------- B7
+def b07_agg_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (SURVEY B7): partial+final hash agg."""
+    lineitem = load_table(spark, sf, "lineitem")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 4, 2)
+    )
+    charge = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 4, 2))
+        * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax", 4, 2))
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity", 6, 2), "sum_qty"),
+            _dsum(_dec("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (
+                F.sum(_dec("l_quantity", 6, 2)).cast("double") / F.count("*")
+            ).alias("avg_qty"),
+            (
+                F.sum(_dec("l_discount", 4, 2)).cast("double") / F.count("*")
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+B07_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+      AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- B8
+def b08_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (SURVEY B8)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+B08_SQL = """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------- B9
+def b09_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Approx distinct (SURVEY B9). HLL estimates differ across engines,
+    so the hashed output is the *tolerance verdict* (≤5% error vs exact)
+    — true in both engines; the estimate itself is engine-local."""
+    orders = load_table(spark, sf, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    ).select(
+        "n_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact")) / F.col("n_exact") <= F.lit(0.05)
+        ).alias("approx_ok"),
+    )
+
+
+B09_SQL = """
+SELECT count(DISTINCT o_custkey) AS n_exact,
+       abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+         / count(DISTINCT o_custkey) <= 0.05 AS approx_ok
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------- B10
+def b10_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY B10)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("c"))
+
+
+B10_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS c
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def b10_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY B10)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("c"))
+
+
+B10_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS c
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------- B11
+def b11_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window (SURVEY B11): top-3 orders per customer, total
+    tie-break on (o_totalprice desc, o_orderkey) for determinism."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+B11_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------- B12
+def b12_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window with frame (SURVEY B12): running revenue per
+    customer; exact decimal running sum → order-insensitive doubles."""
+    orders = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.lag("o_totalprice", 1).over(
+            Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        ).alias("prev_price"),
+    )
+
+
+B12_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_spend,
+  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------- B13
+def b13_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k (SURVEY B13): Spark plans TakeOrderedAndProject —
+    per-partition heap + driver merge, no full sort at scale."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("o_date"),
+        )
+    )
+
+
+B13_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- B14
+def b14_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Set ops (SURVEY B14): INTERSECT."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    return orders.select(F.col("o_custkey").alias("k")).intersect(
+        customer.select(F.col("c_custkey").alias("k"))
+    )
+
+
+B14_SQL = """
+SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey AS k FROM customer
+"""
+
+
+def b14_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Set ops (SURVEY B14): EXCEPT (distinct semantics both engines)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return customer.select(F.col("c_custkey").alias("k")).exceptAll(
+        orders.select(F.col("o_custkey").alias("k")).distinct()
+    )
+
+
+B14_EXCEPT_SQL = """
+SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders
+"""
+
+
+# ---------------------------------------------------------------- B15
+def b15_string_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string functions (SURVEY B15): the C6/C7-style cleanup
+    chain vocabulary — upper/substring/trim/regexp/split/concat/length."""
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("uname"),
+        F.length(F.col("p_name")).alias("nlen"),
+        F.substring(F.col("p_name"), 1, 5).alias("prefix5"),
+        F.trim(F.regexp_replace(F.col("p_name"), "part", "")).alias("noword"),
+        F.regexp_extract(F.col("p_name"), "([0-9]+)", 1).alias("num"),
+        F.size(F.split(F.col("p_name"), " ")).alias("ntok"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+B15_SQL = """
+SELECT p_partkey,
+  upper(p_name) AS uname,
+  length(p_name) AS nlen,
+  substring(p_name, 1, 5) AS prefix5,
+  trim(regexp_replace(p_name, 'part', '', 'g')) AS noword,
+  coalesce(regexp_extract(p_name, '([0-9]+)', 1), '') AS num,
+  len(string_split(p_name, ' ')) AS ntok,
+  concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+# ---------------------------------------------------------------- B16
+def b16_date_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time functions (SURVEY B16)."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.to_date(F.date_trunc("quarter", F.col("o_orderdate"))).alias("q_start"),
+            F.datediff(
+                F.to_date(F.col("o_orderdate")), F.lit("1995-01-01").cast("date")
+            ).alias("days_since"),
+        )
+        .groupBy("y", "m", "q_start")
+        .agg(F.count("*").alias("c"), F.max("days_since").alias("max_days"))
+    )
+
+
+B16_SQL = """
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+       count(*) AS c,
+       max(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS max_days
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------- B17
+def b17_math_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Math functions (SURVEY B17): round/floor/ceil/abs/pow/sqrt.
+    sqrt is IEEE correctly-rounded → cross-engine deterministic;
+    pow with small integer exponent on int input is exact."""
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice"), 1).alias("price_r1"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("p_retailprice")).cast("long").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("size_sq"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+    )
+
+
+B17_SQL = """
+SELECT p_partkey,
+  round(p_retailprice, 1) AS price_r1,
+  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+  abs(p_size - 25) AS size_dev,
+  pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt
+FROM part
+"""
+
+
+# ---------------------------------------------------------------- B18
+def b18_array_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Array + higher-order functions (SURVEY B18) over embeddings.
+    L2 norm² on a μ-quantized integer grid: floor(x·1e6) is exact and
+    identical in every engine (float→double is exact, IEEE multiply is
+    correctly rounded, floor is exact), so the fold is pure int64 math
+    — no float-reduction-order or decimal-cast divergence possible."""
+    emb = load_table(spark, sf, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    norm2q = F.aggregate(
+        F.transform(q, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(F.col("embedding")).alias("dim"),
+        F.element_at(F.col("embedding"), 1).cast("double").alias("first_val"),
+        norm2q.alias("norm2_q"),
+    )
+
+
+B18_SQL = """
+SELECT vec_id, label,
+  len(embedding) AS dim,
+  CAST(embedding[1] AS DOUBLE) AS first_val,
+  CAST(list_sum(list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+             * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))
+       AS BIGINT) AS norm2_q
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------- B19
+def b19_json_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction (SURVEY B19) over events.props."""
+    events = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .withColumn("k_bucket", (F.col("k") % 10))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+B19_SQL = """
+SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket, count(*) AS c
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- B20
+def b20_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional / null functions (SURVEY B20)."""
+    customer = load_table(spark, sf, "customer")
+    return (
+        customer.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .alias("bal_band"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "seg"
+            ),
+        )
+        .groupBy("bal_band", "seg")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+B20_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_band,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+       count(*) AS c
+FROM customer GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- B21 (batch twin)
+def b21_window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 10-minute event-time window (SURVEY B21), batch twin of
+    the streaming query (streaming/windows.py runs the same plan with
+    readStream+watermark; tests assert batch == streaming replay)."""
+    events = load_table(spark, sf, "events")
+    win = F.window(F.col("ts"), "10 minutes")
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("c"), _dsum(_dec("value", 10, 2), "sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "c",
+            "sum_value",
+        )
+    )
+
+
+B21_SQL = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+       count(*) AS c,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- B22 (batch twin)
+def b22_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows, batch formulation (SURVEY B22): gaps-and-islands
+    with a 30-minute inactivity gap; one shuffle on user_id."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        events.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+B22_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sessions AS (
+  SELECT user_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked),
+per_sess AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+
+PROBES = [
+    Probe("b01_join_broadcast", "B1", b01_join_broadcast, B01_SQL),
+    Probe("b02_star_join", "B2", b02_star_join, B02_SQL),
+    Probe("b03_outer_join", "B3", b03_outer_join, B03_SQL),
+    Probe("b04_semi_join", "B4", b04_semi_join, B04_SEMI_SQL),
+    Probe("b04_anti_join", "B4", b04_anti_join, B04_ANTI_SQL),
+    Probe("b05_theta_join", "B5", b05_theta_join, B05_SQL),
+    Probe("b06_asof_join", "B6", b06_asof_join, B06_SQL),
+    Probe("b07_agg_q1", "B7", b07_agg_q1, B07_SQL),
+    Probe("b08_distinct_agg", "B8", b08_distinct_agg, B08_SQL),
+    Probe("b09_approx_distinct", "B9", b09_approx_distinct, B09_SQL),
+    Probe("b10_rollup", "B10", b10_rollup, B10_SQL),
+    Probe("b10_cube", "B10", b10_cube, B10_CUBE_SQL),
+    Probe("b11_window_rank", "B11", b11_window_rank, B11_SQL),
+    Probe("b12_window_running", "B12", b12_window_running, B12_SQL),
+    Probe("b13_topk", "B13", b13_topk, B13_SQL),
+    Probe("b14_intersect", "B14", b14_intersect, B14_SQL),
+    Probe("b14_except", "B14", b14_except, B14_EXCEPT_SQL),
+    Probe("b15_string_fns", "B15", b15_string_fns, B15_SQL),
+    Probe("b16_date_fns", "B16", b16_date_fns, B16_SQL),
+    Probe("b17_math_fns", "B17", b17_math_fns, B17_SQL),
+    Probe("b18_array_fns", "B18", b18_array_fns, B18_SQL),
+    Probe("b19_json_fns", "B19", b19_json_fns, B19_SQL),
+    Probe("b20_conditional", "B20", b20_conditional, B20_SQL),
+    Probe("b21_window_tumbling", "B21", b21_window_tumbling, B21_SQL),
+    Probe("b22_sessionize", "B22", b22_sessionize, B22_SQL),
+]

@@ -1,0 +1,79 @@
+"""SparkSession factory and runtime tuning.
+
+The reference (/root/reference) runs single-process Polars with eager
+``collect()`` between stages (src/util/df.rs:26-37); on Spark the whole
+pipeline stays one lazy DAG and Catalyst/AQE pick physical strategies.
+Everything here is plain public Spark configuration.
+
+Two entry points:
+
+* :func:`get_spark` — build a session for tests / CLI use (local master).
+* :func:`tune` — apply the runtime-settable subset of our config to a
+  session we did NOT create (the verify driver hands us its own session).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that must be in place before certain reads/plans; all of these are
+# runtime-settable SQL confs (verified: spark.conf.set works post-start).
+RUNTIME_CONF: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS) which the vectorized
+    # parquet reader rejects; read the raw int64 and convert ourselves
+    # (catalog.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics for to_date/from_unixtime etc.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning, skew-join handling, partition coalescing —
+    # the core of the 100 TB posture (plans stay declarative, Spark adapts).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dims (region/nation/supplier at any SF; part/customer at test SF) should
+    # broadcast; 64 MB keeps star-join dims map-side at warehouse scale too.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for any pandas_udf / toPandas path (LLM ops), batched transfer.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Consistent date parser semantics (SURVEY §2 C1): CORRECTED policy.
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not recognized/settable on this build — leave the
+            # session's value in place rather than failing the query.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "ark-invest-api-rust-data-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Session for local runs/tests. On a real cluster, submit with your
+    own master/conf; everything scale-critical is also in RUNTIME_CONF."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune(spark)
