@@ -1,0 +1,136 @@
+"""End-to-end refresh pipeline — the reference's ``Ark`` struct +
+scheduler re-expressed (SURVEY.md §3, O1–O7).
+
+Where the reference runs read→collect→format→collect→concat→collect→
+write per ticker (/root/reference/src/util.rs:43-108), here each ticker
+is ONE lazy Spark DAG: cache scan → (tiny watermark agg) → driver HTTP
+fetch → normalize both branches → union → dedupe → write. The triple
+re-format collapses to a single normalize per branch (idempotent by
+construction; property-tested).
+
+Orchestration (scheduler, jitter, per-ticker fan-out) is plain driver
+Python — the fetch is I/O-bound HTTP, so a thread pool over tickers
+sharing one SparkSession mirrors the reference's spawn_blocking fan-out
+(/root/reference/src/main.rs:62-98).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.adapters import DataSource
+from .operators.merge import canonical_sort, concat_dedupe, incremental_merge, watermark
+from .operators.normalize import normalize
+from .sources.data_reader import (
+    Fetcher,
+    csv_to_df,
+    explode_holdings,
+    http_fetch,
+    json_to_df,
+)
+from .sources.parquet_store import read_ticker, write_ticker
+from .tickers import SCHEDULED_EXCLUDED, Source, Ticker
+
+DEFAULT_ROOT = "data/parquet"
+
+
+def fetch_update(
+    spark: SparkSession,
+    ticker: Ticker,
+    source: Source,
+    last_day,
+    fetcher: Fetcher = http_fetch,
+) -> DataFrame:
+    """S3/S4/S6 — build the provider URL (watermark pushed as a query
+    param), fetch on the driver, hand the body to Spark."""
+    if source is Source.ARK:
+        return csv_to_df(spark, fetcher(ticker.get_url()))
+    url = ticker.get_api_url(last_day, source)
+    df = json_to_df(spark, fetcher(url))
+    if source in (Source.ARKFUNDSIO_INCREMENTAL, Source.ARKFUNDSIO_FULL):
+        df = explode_holdings(df)
+    return df
+
+
+def refresh_ticker(
+    spark: SparkSession,
+    ticker: Ticker,
+    source: Source = Source.API_INCREMENTAL,
+    root: str = DEFAULT_ROOT,
+    fetcher: Fetcher = http_fetch,
+) -> DataFrame:
+    """One ticker's full refresh (ark_plan minus the jitter): returns
+    the merged canonical frame after writing the cache."""
+    cache = read_ticker(spark, root, ticker.name)
+
+    if source is Source.READ:
+        if cache is None:
+            raise FileNotFoundError(f"no cache for {ticker.name} under {root}")
+        return cache
+
+    last_day = None
+    if source in (Source.API_INCREMENTAL, Source.ARKFUNDSIO_INCREMENTAL) and cache is not None:
+        last_day = watermark(normalize(cache))
+
+    update = fetch_update(spark, ticker, source, last_day, fetcher)
+    merged = incremental_merge(cache, update)
+    # write_parquet re-formats before writing (util.rs:90) — idempotent
+    merged = normalize(merged)
+    write_ticker(merged, root, ticker.name)
+    return merged
+
+
+def csv_backfill(
+    spark: SparkSession,
+    ticker: Ticker,
+    csv_root: str = "data/csv",
+    root: str = DEFAULT_ROOT,
+) -> DataFrame | None:
+    """Entry point 3 (merge_old_csv_to_parquet, util.rs:555-572): glob
+    per-ticker CSVs → native distributed CSV scan → merge with cache →
+    sort → write. The only path that sorts before writing."""
+    path = f"{csv_root}/{ticker.name}"
+    if not os.path.isdir(path):
+        return None
+    df = spark.read.option("header", True).option("inferSchema", True).csv(f"{path}/*")
+    cache = read_ticker(spark, root, ticker.name)
+    if cache is not None:
+        df = concat_dedupe([normalize(cache), normalize(df)])
+    merged = canonical_sort(normalize(df))
+    write_ticker(merged, root, ticker.name)
+    return merged
+
+
+def scheduled_run(
+    spark: SparkSession,
+    source: Source | None = None,
+    root: str = DEFAULT_ROOT,
+    fetcher: Fetcher = http_fetch,
+    jitter: tuple[int, int] | None = None,
+    max_workers: int = 8,
+) -> dict[str, Exception | None]:
+    """ark_etf: fan out over the 8 scheduled tickers with optional
+    per-ticker jitter (anti-thundering-herd, main.rs:45-47). Errors are
+    per-ticker isolated like the reference's eprintln path."""
+    if source is None:
+        source = Source(os.environ.get("ARK_SOURCE", "ApiIncremental"))
+    results: dict[str, Exception | None] = {}
+
+    def run(t: Ticker) -> None:
+        try:
+            if jitter:
+                time.sleep(random.uniform(*jitter))  # noqa: S311
+            refresh_ticker(spark, t, source, root, fetcher)
+            results[t.name] = None
+        except Exception as e:  # noqa: BLE001 — per-ticker isolation
+            results[t.name] = e
+
+    tickers = [t for t in Ticker if t not in SCHEDULED_EXCLUDED]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        list(pool.map(run, tickers))
+    return results

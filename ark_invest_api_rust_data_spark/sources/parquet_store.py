@@ -1,0 +1,68 @@
+"""Parquet cache store (SURVEY.md §2 S1/S2) — two layouts.
+
+Compat layout (reference parity): ONE ``{root}/{TICKER}.parquet`` FILE
+per ticker (/root/reference/src/util.rs:92-95,100-108) — the companion
+REST API reads that exact path, so the writer produces a single file
+via coalesce(1) into a temp dir + atomic rename.
+
+Lake layout (100 TB posture): hive-partitioned
+``{root}/holdings/ticker=X/date=D/``. Partition pruning turns
+per-ticker/per-date queries into narrow scans; incremental merges
+rewrite only affected date partitions (dynamic partition overwrite)
+instead of the whole history.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune
+
+
+def read_ticker(spark: SparkSession, root: str, ticker: str) -> DataFrame | None:
+    """S1 — lazy per-ticker cache scan; None if no cache (bootstrap)."""
+    tune(spark)
+    path = f"{root}/{ticker}.parquet"
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def write_ticker(df: DataFrame, root: str, ticker: str) -> str:
+    """S2 — overwrite the single-file cache. coalesce(1) is correct
+    here by design: per-ticker frames are ~10⁴–10⁵ rows (BASELINE.md);
+    the lake layout below is the path for anything bigger."""
+    os.makedirs(root, exist_ok=True)
+    final = f"{root}/{ticker}.parquet"
+    tmp = tempfile.mkdtemp(prefix=f".{ticker}_", dir=root)
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.replace(part, final)  # atomic on same filesystem
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def write_lake(df: DataFrame, root: str, mode: str = "overwrite") -> str:
+    """Scale sink: hive-partitioned by (ticker, date). With
+    ``partitionOverwriteMode=dynamic`` an incremental merge rewrites
+    only the date partitions present in ``df``."""
+    path = f"{root}/holdings"
+    (
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if hasattr(df, "sparkSession")
+        else None
+    )
+    df.write.mode(mode).partitionBy("ticker", "date").parquet(path)
+    return path
+
+
+def read_lake(spark: SparkSession, root: str) -> DataFrame:
+    tune(spark)
+    return spark.read.parquet(f"{root}/holdings")

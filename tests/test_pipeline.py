@@ -1,0 +1,145 @@
+"""End-to-end pipeline tests with recorded-fixture fetchers (SURVEY §5:
+no live HTTP in CI) — write/read round-trip, incremental watermark
+merge, provider adapters through the real ingestion path, sort order."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from ark_invest_api_rust_data_spark.operators.adapters import DataSource
+from ark_invest_api_rust_data_spark.operators.merge import canonical_sort, watermark
+from ark_invest_api_rust_data_spark.operators.normalize import normalize
+from ark_invest_api_rust_data_spark.pipeline import refresh_ticker
+from ark_invest_api_rust_data_spark.sources.data_reader import csv_to_df, json_to_df
+from ark_invest_api_rust_data_spark.sources.parquet_store import read_ticker, write_ticker
+from ark_invest_api_rust_data_spark.tickers import Source, Ticker
+
+ARK_CSV = "\n".join(
+    ['date,fund,company,ticker,cusip,shares,"market value ($)","weight (%)"']
+    + [f'01/0{d}/2024,ARKK,TESLA INC,TSLA UW,88160R101,"1,234","$1,234,567.89",9.87%'
+       for d in range(1, 8)]
+    + [f'01/0{d}/2024,ARKK,COINBASE GLOBAL,COIN UQ,19260Q107,567,"$89,012.50",1.23%'
+       for d in range(1, 8)]
+)
+
+API_JSON_PAGE2 = (
+    '[{"company": "TESLA", "cusip": "88160R101", "date": "2024-01-09",'
+    ' "market_value": 999999.0, "share_price": 200.0, "shares": 5000.0,'
+    ' "ticker": "TSLA", "weight": 9.99, "weight_rank": 1}]'
+)
+
+ARKFUNDSIO_JSON = (
+    '{"symbol": "ARKK", "date_from": "2024-01-01", "holdings": ['
+    '{"company": "TESLA", "cusip": "88160R101", "date": "2024-01-10",'
+    ' "market_value": 888888.0, "share_price": 180.0, "shares": 4000.0,'
+    ' "ticker": "TSLA", "weight": 8.88, "weight_rank": 1}]}'
+)
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    """read_write_parquet golden test (util.rs:584-594)."""
+    df = normalize(csv_to_df(spark, ARK_CSV))
+    write_ticker(df, str(tmp_path), "ARKK")
+    back = read_ticker(spark, str(tmp_path), "ARKK")
+    assert back is not None
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert back.schema == df.schema
+
+
+def test_refresh_bootstrap_then_incremental(spark, tmp_path):
+    """Cold bootstrap (ApiFull-style CSV) then ApiIncremental: the
+    second fetch's URL must carry the cache watermark (pushdown), and
+    the merge must dedupe the overlap."""
+    root = str(tmp_path)
+    urls = []
+
+    def fake_fetch(url: str) -> str:
+        urls.append(url)
+        return ARK_CSV
+
+    out1 = refresh_ticker(spark, Ticker.ARKK, Source.ARK, root, fake_fetch)
+    n1 = out1.count()
+    assert n1 == 14
+
+    def fake_api(url: str) -> str:
+        urls.append(url)
+        return API_JSON_PAGE2
+
+    out2 = refresh_ticker(spark, Ticker.ARKK, Source.API_INCREMENTAL, root, fake_api)
+    assert out2.count() == n1 + 1
+    assert "start=2024-01-07" in urls[-1]  # watermark pushed to source
+
+    # idempotent re-run: same update again → no growth
+    out3 = refresh_ticker(spark, Ticker.ARKK, Source.API_INCREMENTAL, root, fake_api)
+    assert out3.count() == n1 + 1
+
+
+def test_arkfundsio_explode_path(spark, tmp_path):
+    """U6: nested holdings list-of-structs is exploded/unnested
+    (util.rs:537-546)."""
+    out = refresh_ticker(
+        spark, Ticker.ARKK, Source.ARKFUNDSIO_FULL, str(tmp_path), lambda url: ARKFUNDSIO_JSON
+    )
+    r = out.first()
+    assert r["ticker"] == "TSLA" and r["market_value"] == 888888
+    assert r["date"] == datetime.date(2024, 1, 10)
+
+
+def test_europe_duplicate_header_csv(spark):
+    """D6 through the real CSV reader: duplicate header → _duplicated_0
+    artifact → 2-row preamble slice → positional rename."""
+    text = "\n".join(
+        [
+            "col,col,col",
+            "junk1,junk1,junk1",
+            "junk2,junk2,junk2",
+            "ACME HOLDINGS,IE00ACME,4.5",
+            "OTHER PLC,IE00OTHR,2.5",
+        ]
+    )
+    df = csv_to_df(spark, text)
+    assert "_duplicated_0" in df.columns
+    out = normalize(df, DataSource.ARK_EUROPE)
+    rows = {r["cusip"]: r for r in out.collect()}
+    assert set(rows) == {"IE00ACME", "IE00OTHR"}
+    assert rows["IE00ACME"]["company"] == "ACME"  # " HOLDINGS" stripped? no: first-occ HOLDINGS
+    assert rows["IE00ACME"]["date"] == datetime.date.today()
+    assert rows["IE00ACME"]["weight"] == 4.5
+
+
+def test_canonical_sort_order(spark):
+    """U3: date asc, weight desc, nulls first (Polars nulls_last=false)."""
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 2), 1.0),
+            (datetime.date(2024, 1, 1), 5.0),
+            (datetime.date(2024, 1, 1), None),
+            (None, 3.0),
+            (datetime.date(2024, 1, 1), 9.0),
+        ],
+        "date date, weight double",
+    )
+    got = [tuple(r) for r in canonical_sort(df).collect()]
+    assert got == [
+        (None, 3.0),
+        (datetime.date(2024, 1, 1), None),
+        (datetime.date(2024, 1, 1), 9.0),
+        (datetime.date(2024, 1, 1), 5.0),
+        (datetime.date(2024, 1, 2), 1.0),
+    ]
+
+
+def test_watermark(spark):
+    df = normalize(csv_to_df(spark, ARK_CSV))
+    assert watermark(df) == datetime.date(2024, 1, 7)
+
+
+def test_json_api_shape(spark):
+    """B2 fixture shape: flat JSON records parse + normalize."""
+    df = json_to_df(spark, API_JSON_PAGE2)
+    out = normalize(df)
+    r = out.first()
+    assert r["share_price"] == 200.0 and r["shares"] == 5000
+    assert out.columns[:4] == ["date", "ticker", "cusip", "company"]
