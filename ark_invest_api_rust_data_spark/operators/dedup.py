@@ -1,0 +1,251 @@
+"""Deduplication operator family for training-data pipelines (SURVEY.md
+§2 B28/B29 + driver north star): exact keep-first, MinHash+LSH near-dup,
+SimHash, n-gram Jaccard.
+
+Scale design:
+* exact_dedup — one shuffle on the key, window row_number (keep-first is
+  deterministic, unlike dropDuplicates' keep-any).
+* MinHash signatures — per-row expression work only (no shuffle).
+* LSH banding — the candidate join shuffles on (band, band_key): ~K/r
+  rows per doc, each a short string; skew-safe because identical bands
+  only cluster true near-dups. The exact-Jaccard verify runs only on
+  candidates — never O(n²).
+* SimHash — explode(distinct tokens) + one groupBy(doc): linear in
+  corpus token count with map-side partial aggregation.
+
+Determinism contract for the DuckDB oracles: min-hashes compare md5 hex
+strings lexicographically (fixed-length lowercase hex ⇒ lexicographic ≡
+numeric order), SimHash is pure int64 math, Jaccard is int/int double
+division.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small single-file inputs scan as ONE split, serializing the
+    expression-heavy stages onto one core; round-robin to cluster
+    parallelism first. (At real scale the scan already has thousands
+    of splits and this is a no-op cost: one extra narrow shuffle of
+    the doc table.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_cols: list[Column]) -> DataFrame:
+    """B28 — subset-key dedupe keeping the FIRST row per key under
+    ``order_cols`` (the hardened version of the reference's
+    unique_stable, /root/reference/src/util.rs:139-145)."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (the Jaccard/MinHash unit)."""
+    toks = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays, as int/int
+    double division (engine-deterministic)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+# ------------------------------------------------------------------ minhash
+
+# Universal-hash family over Z_2^31: h_i(x) = (A_i·x + B_i) mod 2^31.
+# One 31-fold base hash per shingle, then num_hashes cheap affine
+# permutations — ~16× less hashing than per-seed md5, and pure int64
+# math (2^31 modulus keeps A_i·x < 2^62, no overflow). Constants are
+# deterministic (Knuth multiplicative seeds), shared with the SQL
+# oracle via minhash_constants().
+MINHASH_MOD = 2**31
+
+
+def minhash_constants(num_hashes: int = 16) -> list[tuple[int, int]]:
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % MINHASH_MOD | 1  # odd → bijective
+        b = (40503 * (i * i + 7)) % MINHASH_MOD
+        out.append((a, b))
+    return out
+
+
+def shingle_base_hash(s: Column) -> Column:
+    """31-fold character hash mod 2^31 (cross-engine exact; the SQL
+    twin uses the congruent polynomial-sum form)."""
+    chars = F.filter(F.split(s, ""), lambda ch: ch != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(MINHASH_MOD),
+    )
+
+
+def _affine(a: int, b: int):
+    # single-arg closure (a default-arg lambda would read as a 3-ary
+    # HOF lambda to PySpark's arity introspection)
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)
+
+
+def minhash_signature(base_hash_arr: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array of int64 minima over the affine family)
+    from a PRE-COMPUTED base-hash array. Keep the base hashes in their
+    own column (see minhash_lsh_pairs): referencing them 16× here would
+    otherwise inline the expensive char-fold 16 times per row."""
+    return F.array(
+        *[
+            F.array_min(F.transform(base_hash_arr, _affine(a, b)))
+            for a, b in minhash_constants(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """B29 — MinHash+LSH near-duplicate pairs with exact-Jaccard
+    verification, returned as (doc_a, doc_b, jc), doc_a < doc_b.
+
+    Banding: num_hashes/rows_per_band bands; candidate iff any band
+    matches. With (16 hashes, r=2): P(candidate | s=0.9) ≈ 1-2e-6 —
+    recall 1.0 for the planted near-dup range, verified in tests.
+    The final exact-Jaccard filter removes false positives, so the
+    output equals the O(n²) oracle whenever recall holds."""
+    num_bands = num_hashes // rows_per_band
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+        # separate projection: _base is referenced 16× by the signature,
+        # and multi-referenced non-trivial columns are NOT inlined by
+        # CollapseProject — so the char-fold runs once per shingle.
+        .withColumn("_base", F.transform(F.col("_sh"), shingle_base_hash))
+        .withColumn("_sig", minhash_signature(F.col("_base"), num_hashes))
+        .drop("_base")
+        # reused by: band explode (×1), shingle lookups (×2) — persist
+        # instead of recomputing the signature pipeline per consumer
+        # (at warehouse scale: checkpoint signatures to the lake)
+        .persist()
+    )
+
+    # narrow band table: (id, band, key) only — shingle arrays stay in
+    # `base` and are joined back just for candidate verification
+    bands = base.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("_sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("_band", "_bkey"),
+    )
+
+    cand = (
+        bands.select(F.col("_id").alias("doc_a"), "_band", "_bkey")
+        .join(bands.select(F.col("_id").alias("doc_b"), "_band", "_bkey"), ["_band", "_bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    sh_b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jc", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jc") >= threshold)
+        .select("doc_a", "doc_b", "jc")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs (the O(n²) baseline; the oracle for
+    B29 and the small-corpus fallback). Cross join — use only when one
+    side fits comfortably; LSH above is the scale path."""
+    base = _spread(df).select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jc", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jc") >= threshold)
+        .select("doc_a", "doc_b", "jc")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash-32 fingerprint per document over distinct tokens with
+    unit weights: bit b is set iff Σ_tokens (±1 by token-hash bit b)
+    is positive. Pure integer pipeline: explode distinct tokens → one
+    groupBy(doc) with 32 conditional sums (map-side combined)."""
+    from .text import token_hash32
+
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    exploded = _spread(df).select(F.col(id_col).alias("_id"), F.explode(toks).alias("_tok"))
+    hashed = exploded.withColumn("_h", token_hash32(F.col("_tok")))
+    bit_sums = hashed.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when((F.floor(F.col("_h") / F.lit(2**b)) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col("_id").alias(id_col), sim.cast("long").alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 fingerprints (bit_count of
+    xor) — the SimHash pair-distance."""
+    return F.bit_count(a.bitwiseXOR(b))

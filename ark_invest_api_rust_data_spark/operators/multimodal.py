@@ -1,0 +1,146 @@
+"""Multimodal column plumbing (SURVEY.md §2 B32 + driver north star).
+
+Media (image/audio/video) travels as opaque ``binary`` columns with a
+typed metadata struct. All the Spark-side machinery — schema, batch
+iteration, Arrow transfer shape, partition sizing — is real and tested;
+the actual codec step is STUBBED (this container has no image/audio
+libs) behind ``decode_stub``: a deterministic fake that derives feature
+values from the bytes, or raises NotImplementedError in strict mode.
+
+Pattern: ``mapInPandas`` over Arrow batches so each Python worker sees
+a pandas iterator — the right shape for feeding a real decoder (PIL,
+torchaudio, ffmpeg) batch-by-batch without materializing a partition.
+At 100 TB: media rows are large, so partitions are kept small by bytes
+(maxPartitionBytes), not rows, and the decode stage is a narrow map —
+no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+STRICT_DECODE = False  # flip to surface NotImplementedError instead of the fake
+
+
+def attach_media(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
+    """Wrap an arbitrary string/binary column as a media column with
+    typed metadata (ingest-side adapter: real pipelines read with
+    spark.read.format('binaryFile'))."""
+    content = F.col(payload_col).cast("binary")
+    return df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.lit(kind).alias("kind"),
+        content.alias("content"),
+        F.struct(
+            F.length(content).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(batch_rows, kind: str):
+    """STUB decoder — deterministic fake features from raw bytes.
+
+    Replace with a real codec (PIL/torchaudio/ffmpeg) per ``kind``; the
+    signature (pandas Series of bytes → list of float vectors) is what
+    a real implementation drops into."""
+    if STRICT_DECODE:
+        raise NotImplementedError(f"no codec for kind={kind} in this environment")
+    out = []
+    for payload in batch_rows:
+        b = payload or b""
+        acc = [0.0] * FEATURE_DIM
+        for i, byte in enumerate(b):
+            acc[i % FEATURE_DIM] += byte
+        total = float(len(b)) or 1.0
+        out.append([v / total for v in acc])
+    return out
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """The decode / feature-extract stage: mapInPandas over Arrow
+    batches (narrow map, no shuffle); checksum is a plain sum of bytes
+    so tests can cross-check against an expression-only computation."""
+
+    def fn(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            feats = decode_stub(pdf["content"], kind=str(pdf["kind"].iloc[0]) if len(pdf) else "")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(b or b"") for b in pdf["content"]],
+                    "checksum": [int(sum(b or b"")) for b in pdf["content"]],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage stub: updates metadata, passes content through
+    (a real impl transforms bytes in the same mapInPandas shape)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ),
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling stub for video rows: keeps metadata bookkeeping
+    honest (n_frames shrinks) without a codec."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.greatest(
+                (F.col("meta.n_frames") / F.lit(every_n)).cast("int"), F.lit(1)
+            ).alias("n_frames"),
+        ),
+    )

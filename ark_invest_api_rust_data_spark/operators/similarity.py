@@ -1,0 +1,141 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2 B30).
+
+Two tiers:
+
+* ``cosine_topk`` — exact brute force: broadcast the query vector,
+  score every row with a μ-quantized integer dot product (cross-engine
+  deterministic: float→double exact, floor exact, int64 sums exact,
+  final double divide + IEEE sqrt deterministic), TakeOrdered top-k.
+  One scan, no shuffle beyond the top-k reduction. This is the
+  correctness baseline and fine up to ~10⁸ rows.
+
+* ``lsh_bucketed_topk`` — the 100 TB path: sign-random-projection LSH
+  (deterministic hyperplanes derived from a seed via the same 31-fold
+  token hash — no RNG state), bucket join on the signature prefix, then
+  exact scoring only within candidate buckets. Probing b-1 bit flips
+  trades recall for fan-out. Tested for recall against brute force.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+Q = 1_000_000  # μ-quantization grid (matches plans/relational.py b18)
+
+
+def _quantize(vec: Column) -> Column:
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(float(Q))).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine_scores(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact quantized cosine of every row against ``query``."""
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    qq = _quantize(qlit)
+    dq = _quantize(F.col(vec_col))
+    cos = _dot(dq, qq).cast("double") / (
+        F.sqrt(_norm2(dq).cast("double")) * F.sqrt(_norm2(qq).cast("double"))
+    )
+    return df.withColumn("cosine", cos)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple = (),
+) -> DataFrame:
+    """Brute-force top-k: orderBy+limit plans as TakeOrderedAndProject
+    (per-partition heaps + driver merge — no global sort)."""
+    scored = cosine_scores(df, query, vec_col).select(id_col, "cosine")
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(*exclude_ids))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# ------------------------------------------------------------- LSH tier
+
+
+def _hyperplane(seed: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane from an integer fold of (seed, i) —
+    the same recurrence as text.token_hash32, no RNG object."""
+    out = []
+    for i in range(dim):
+        h = 0
+        for ch in f"{seed}:{i}":
+            h = (h * 31 + ord(ch)) % 4294967296
+        out.append(1 if h % 2 == 1 else -1)
+    return out
+
+
+def srp_signature(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
+    """Sign-random-projection signature: bit j = [⟨vec, H_j⟩ > 0]."""
+    sig = None
+    q = _quantize(vec)
+    for j in range(bits):
+        plane = _hyperplane(seed * 1000 + j, dim)
+        proj = F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig.cast("long")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+    probe_flips: int = 1,
+) -> DataFrame:
+    """ANN top-k: score only rows whose SRP bucket is within
+    ``probe_flips`` bit flips of the query's bucket. At scale the table
+    is pre-bucketed (write once, partition by signature) so a query
+    touches ~(1 + bits·flips)/2^bits of the data."""
+    dim = len(query)
+    bucketed = df.withColumn("_sig", srp_signature(F.col(vec_col), dim, bits, seed))
+
+    # query bucket + probed neighbors, computed driver-side (tiny)
+    plane_sigs = []
+    qq = [int(__import__("math").floor(v * Q)) for v in query]
+    base_sig = 0
+    for j in range(bits):
+        plane = _hyperplane(seed * 1000 + j, dim)
+        if sum(x * s for x, s in zip(qq, plane)) > 0:
+            base_sig |= 1 << j
+    probes = {base_sig}
+    if probe_flips >= 1:
+        for j in range(bits):
+            probes.add(base_sig ^ (1 << j))
+    cand = bucketed.filter(F.col("_sig").isin(*[int(s) for s in probes]))
+    return cosine_topk(cand.drop("_sig"), query, k, id_col, vec_col)

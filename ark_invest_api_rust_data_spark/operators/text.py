@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2
+B31 + driver north star): token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+Everything is built-in expression work (split/transform/aggregate/md5)
+— JVM-side, vectorized, no Python in the row path — so the operators
+run at full scan speed on any corpus size; the only shuffle anywhere is
+a groupBy when the caller aggregates the per-doc outputs.
+
+Determinism contract (for the DuckDB oracles): ratios are int/int
+double divisions (same operands → same IEEE result in every engine);
+fingerprints are md5 hex; token hashes are 31-ary character folds in
+exact int64 arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+STOPWORDS = ("a", "the")  # corpus-appropriate tiny stopword set
+
+HASH_MOD = 4294967296  # 2^32 — token hashes are uint32 on an int64 carrier
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the oracle uses the same regex)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_hash32(tok: Column) -> Column:
+    """Deterministic 32-bit token hash: fold chars with h = (h*31 +
+    ascii) mod 2^32 — pure integer math, reproducible in any engine
+    (DuckDB oracle uses list_reduce with the same fold)."""
+    chars = F.filter(F.split(tok, ""), lambda ch: ch != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(HASH_MOD),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: token counts, uniq ratio, stopword ratio,
+    char stats, a composite quality score, and an md5 fingerprint."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    uniq_ratio = n_uniq.cast("double") / n_tokens.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        (sum_len.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        # quality: rewards lexical diversity, penalizes stopword mass —
+        # same closed-form in the oracle
+        (uniq_ratio * F.lit(0.5) + (F.lit(1.0) - stop_ratio) * F.lit(0.5)).alias(
+            "quality_score"
+        ),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK character share → 'zh'; else English
+    stopword share → 'en' / 'other'. (The synthetic corpus is one
+    vocabulary, so this validates the *operator's* determinism, not
+    label recovery.)"""
+    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    total = F.length(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    stop_ratio = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))).cast(
+        "double"
+    ) / F.size(toks).cast("double")
+    guess = (
+        F.when(total == 0, "unknown")
+        .when(cjk.cast("double") / total.cast("double") > 0.3, "zh")
+        .when(stop_ratio >= 0.02, "en")
+        .otherwise("other")
+    )
+    return df.select(id_col, guess.alias("lang_guess"))
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min 32-bit hash over each
+    sliding token window, distinct-sorted — a compact signature for
+    shift-robust near-dup detection. Integer math end to end."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(window)]
+        ),
+    )
+    hashes = F.transform(grams, token_hash32)
+    return df.select(
+        id_col,
+        F.array_sort(F.array_distinct(hashes)).alias("fingerprints"),
+        F.array_min(hashes).alias("min_fingerprint"),
+    )

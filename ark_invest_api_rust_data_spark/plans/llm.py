@@ -1,6 +1,244 @@
-"""LLM-data-pipeline probes (SURVEY.md §2 B25–B32) — filled in with
-dedup / similarity / text-analysis probes as the operators land."""
+"""LLM-data-pipeline probes (SURVEY.md §2 B28–B31 + driver north star):
+dedup family, similarity search, text analysis — each paired with a
+DuckDB oracle that recomputes the same deterministic math in SQL
+(md5-hex minima, 31-fold integer token hashes, μ-quantized cosines,
+int/int ratio divisions; see the operator modules for the contracts).
+"""
 
 from __future__ import annotations
 
-PROBES: list = []
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.similarity import cosine_topk
+from ..operators.text import lang_id, rolling_fingerprint, text_stats
+from .base import Probe
+
+# SQL fragments shared by the oracles ---------------------------------
+
+_W = "string_split_regex(trim(text), '\\s+')"
+
+# 31^p mod 2^32 lookup (p = 0..127) for the polynomial token hash —
+# congruent to the Spark side's fold-with-mod-at-each-step.
+_POW31 = []
+_p = 1
+for _ in range(128):
+    _POW31.append(_p)
+    _p = (_p * 31) % 4294967296
+_POW31_SQL = "[" + ", ".join(str(x) for x in _POW31) + "]"
+
+# token_hash32(s) in SQL: sum(ascii(s[i]) * 31^(len-i)) mod 2^32
+_HASH_TMPL = (
+    "(list_sum(list_transform(generate_series(1, length({s})), "
+    "i -> ascii({s}[i]) * ({pow})[length({s}) - i + 1])) % 4294967296)"
+)
+
+
+def _sql_hash(s: str) -> str:
+    return _HASH_TMPL.format(s=s, pow=_POW31_SQL)
+
+
+def _sql_shingles(n: int) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n)).replace("w[i+0]", "w[i]")
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(w) - {n - 1}, 1)), i -> {gram}))"
+    )
+
+
+# ------------------------------------------------------------ text stats
+def llm_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text_stats(load_table(spark, sf, "documents"))
+
+
+LLM_TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_W} AS w FROM documents),
+s AS (
+  SELECT doc_id, text, w,
+    len(w) AS n_tokens,
+    len(list_distinct(w)) AS n_uniq,
+    len(list_filter(w, x -> lower(x) IN ('a', 'the'))) AS n_stop,
+    list_sum(list_transform(w, x -> length(x))) AS sum_len
+  FROM t)
+SELECT doc_id, n_tokens, n_uniq,
+  length(text) AS n_chars,
+  CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+  CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+  (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5 AS quality_score,
+  md5(text) AS fingerprint
+FROM s
+"""
+
+
+# ------------------------------------------------------------ language id
+def llm_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return lang_id(load_table(spark, sf, "documents"))
+
+
+LLM_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_W} AS w FROM documents),
+s AS (
+  SELECT doc_id,
+    length(text) AS total,
+    length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+    CAST(len(list_filter(w, x -> lower(x) IN ('a', 'the'))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS stop_ratio
+  FROM t)
+SELECT doc_id,
+  CASE WHEN total = 0 THEN 'unknown'
+       WHEN CAST(cjk AS DOUBLE) / CAST(total AS DOUBLE) > 0.3 THEN 'zh'
+       WHEN stop_ratio >= 0.02 THEN 'en'
+       ELSE 'other' END AS lang_guess
+FROM s
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+def llm_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """B28 — keep the earliest event per (user_id, event_type)."""
+    events = load_table(spark, sf, "events")
+    kept = exact_dedup(
+        events, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")]
+    )
+    return kept.select("user_id", "event_type", "event_id", "value")
+
+
+LLM_EXACT_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------ minhash LSH
+def llm_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — LSH candidates + exact-Jaccard verify ≥ 0.5; equals the
+    O(n²) oracle because banding recall is 1.0 at this threshold
+    (P(miss | s≥0.9) ≈ 2e-6; pinned by tests)."""
+    return minhash_lsh_pairs(load_table(spark, sf, "documents"), threshold=0.5)
+
+
+LLM_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(3)} AS s
+  FROM (SELECT doc_id, {_W} AS w FROM documents))
+SELECT doc_a, doc_b, jc FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jc >= 0.5
+"""
+
+
+# ------------------------------------------------------------ 2-gram exact
+def llm_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 baseline — exact 2-gram Jaccard pairs ≥ 0.5 (O(n²))."""
+    return ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=2, threshold=0.5)
+
+
+LLM_NGRAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(2)} AS s
+  FROM (SELECT doc_id, {_W} AS w FROM documents))
+SELECT doc_a, doc_b, jc FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jc >= 0.5
+"""
+
+
+# ------------------------------------------------------------ simhash
+def llm_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash(load_table(spark, sf, "documents"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    recombine = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_W})) AS tok FROM documents),
+h AS (SELECT doc_id, {_sql_hash('tok')} AS h FROM tok),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+"""
+
+
+# ------------------------------------------------------------ fingerprints
+def llm_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return rolling_fingerprint(load_table(spark, sf, "documents")).select(
+        "doc_id", "min_fingerprint"
+    )
+
+
+_GRAM8 = " || ' ' || ".join(f"w[i+{j}]" for j in range(8)).replace("w[i+0]", "w[i]")
+LLM_FINGERPRINT_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(w) - 7, 1)), i -> {_GRAM8}) AS grams
+  FROM (SELECT doc_id, {_W} AS w FROM documents))
+SELECT doc_id,
+  list_min(list_transform(grams, s -> {_sql_hash('s')})) AS min_fingerprint
+FROM g
+"""
+
+
+# ------------------------------------------------------------ similarity
+def llm_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — brute-force cosine top-10 for the vec_id=0 query vector
+    (μ-quantized, cross-engine exact)."""
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk(emb, list(query), k=10, exclude_ids=(0,))
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+_QE = "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+_QQ = "CAST(floor(CAST(qv[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+LLM_SIMILARITY_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+         i -> {_QE} * {_QQ})) AS DOUBLE)
+    / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+              i -> {_QE} * {_QE})) AS DOUBLE))
+       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> {_QQ} * {_QQ})) AS DOUBLE))) AS cosine
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+PROBES = [
+    Probe("llm_text_stats", "B31", llm_text_stats, LLM_TEXT_STATS_SQL),
+    Probe("llm_lang_id", "B31", llm_lang_id, LLM_LANG_ID_SQL),
+    Probe("llm_exact_dedup", "B28", llm_exact_dedup, LLM_EXACT_DEDUP_SQL),
+    Probe("llm_minhash_lsh", "B29", llm_minhash_lsh, LLM_MINHASH_SQL),
+    Probe("llm_ngram_jaccard", "B29", llm_ngram_jaccard, LLM_NGRAM_SQL),
+    Probe("llm_simhash", "B29", llm_simhash, _simhash_sql()),
+    Probe("llm_fingerprint", "B29", llm_fingerprint, LLM_FINGERPRINT_SQL),
+    Probe("llm_similarity_topk", "B30", llm_similarity_topk, LLM_SIMILARITY_SQL),
+]

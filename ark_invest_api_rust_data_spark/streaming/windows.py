@@ -1,0 +1,146 @@
+"""Streaming window operators (SURVEY.md §2 B21–B24).
+
+Each transformation takes any events-shaped DataFrame — batch or
+streaming — so the SAME plan runs in both modes; the replay tests
+(tests/test_streaming.py) drop shuffled file batches into a directory,
+run the streaming query with ``trigger(availableNow=True)``, and assert
+the final state equals the batch run (exactly-once, late-data-safe).
+
+Scale posture: event-time windows + watermarks bound state; the
+aggregations are keyed by (window, type) / session — state store size
+is O(active windows), not O(events). ``dropDuplicatesWithinWatermark``
+bounds dedupe state the same way.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """B21 source — file-based streaming read with a fixed schema (file
+    source gives exactly-once + replayable batches)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .load(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "10 minutes", watermark: str | None = "1 hour"
+) -> DataFrame:
+    """B21 — tumbling event-time window. ``watermark`` bounds state and
+    defines lateness; pass None for an unbounded-state replay (exact
+    batch equivalence regardless of arrival order)."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming and watermark
+        else events
+    )
+    win = F.window(F.col("ts"), width)
+    return (
+        src.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "c", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """B21 — sliding window variant."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming and watermark
+        else events
+    )
+    win = F.window(F.col("ts"), width, slide)
+    return (
+        src.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("c"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "c")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "1 hour"
+) -> DataFrame:
+    """B22 — native session windows (30-minute inactivity gap); the
+    batch gaps-and-islands twin is plans/relational.py b22. Session
+    merging REQUIRES dropping data older than the watermark, so an
+    arrival-order-independent replay must pass watermark=None."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming and watermark
+        else events
+    )
+    return (
+        src.groupBy(F.session_window(F.col("ts"), gap).alias("s"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("s_start"),
+            F.col("s.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """B24 — stateful streaming dedupe on event_id with bounded state;
+    batch twin is a plain dropDuplicates(['event_id'])."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion against the current
+    file set (availableNow trigger) into an in-memory table; returns
+    the final result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Append-mode variant (B23: only watermark-finalized rows are
+    emitted; B24 dedupe emits each event_id once)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

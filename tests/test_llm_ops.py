@@ -1,0 +1,135 @@
+"""Operator-level tests for the LLM-data ops: LSH recall vs exact
+pairs, ANN recall vs brute force, simhash/hamming behavior, multimodal
+round-trip + batch plumbing (SURVEY §2 B28–B32)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ark_invest_api_rust_data_spark.catalog import load_table
+from ark_invest_api_rust_data_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ark_invest_api_rust_data_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    frame_sample,
+    resize_stub,
+)
+from ark_invest_api_rust_data_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_recall_equals_exact(spark):
+    """The LSH+verify pipeline must find EXACTLY the O(n²) exact-
+    Jaccard pairs at the probe threshold (recall 1.0 — this is what
+    makes the DuckDB oracle valid)."""
+    docs = load_table(spark, SF, "documents")
+    lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # planted near-dups exist at sf0.001
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [("k", 2, "b"), ("k", 1, "a"), ("k", 3, "c"), ("j", 9, "z")],
+        "key string, ord int, val string",
+    )
+    out = exact_dedup(df, ["key"], [F.asc("ord")])
+    got = {r["key"]: r["val"] for r in out.collect()}
+    assert got == {"k": "a", "j": "z"}
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    """Near-dup doc pairs (jaccard ≥ 0.9) must be close in simhash
+    space; random pairs far."""
+    docs = load_table(spark, SF, "documents")
+    sh = simhash(docs)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b").select(
+        hamming64(F.col("ha"), F.col("hb")).alias("d")
+    )
+    dists = [r["d"] for r in joined.collect()]
+    assert dists and max(dists) <= 4  # near-dups: ≤4/32 bits differ
+    # background pairs: the synthetic corpus shares ONE small
+    # vocabulary, so absolute distances are compressed — assert the
+    # SEPARATION of means rather than a large absolute gap
+    bg = (
+        sh.alias("x")
+        .crossJoin(sh.alias("y"))
+        .filter(F.col("x.doc_id") + 40 == F.col("y.doc_id"))
+        .select(hamming64(F.col("x.simhash"), F.col("y.simhash")).alias("d"))
+    )
+    bg_d = [r["d"] for r in bg.collect()]
+    assert sum(dists) / len(dists) < 2.0 < sum(bg_d) / len(bg_d)
+
+def test_ann_matches_brute_force_topk(spark):
+    """SRP-bucketed ANN with 1-bit probing must recover most of the
+    true top-10 (random embeddings — no planted structure, so demand
+    ≥50% overlap and identical scoring math)."""
+    emb = load_table(spark, SF, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    exact = cosine_topk(emb, query, k=10, exclude_ids=(7,))
+    ann = lsh_bucketed_topk(emb, query, k=10, bits=4, probe_flips=1)
+    exact_ids = [r["vec_id"] for r in exact.collect()]
+    ann_rows = {r["vec_id"]: r["cosine"] for r in ann.collect()}
+    overlap = [i for i in exact_ids if i in ann_rows]
+    assert len(overlap) >= 5
+    # scores for overlapping ids must be bit-identical (same math path)
+    exact_scores = {r["vec_id"]: r["cosine"] for r in exact.collect()}
+    for i in overlap:
+        assert ann_rows[i] == exact_scores[i]
+
+
+def test_multimodal_roundtrip_and_features(spark, tmp_path):
+    """B32 — binary+struct schema round-trips through parquet; the
+    mapInPandas feature stage preserves ids and computes the checksum
+    identically to a pure-expression computation."""
+    docs = load_table(spark, SF, "documents").limit(50)
+    media = attach_media(docs, "text", "image")
+    path = str(tmp_path / "media.parquet")
+    media.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    # parquet read-back relaxes nullability (incl. nested structs);
+    # names + type strings must round-trip
+    assert back.dtypes == media.dtypes
+    assert back.count() == 50
+
+    feats = extract_features(back)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # checksum cross-check vs expression-only computation
+    expr_side = back.select(
+        "media_id",
+        F.aggregate(
+            F.transform(
+                F.split(F.col("content").cast("string"), ""),
+                lambda ch: F.when(ch != "", F.ascii(ch)).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("checksum_expr"),
+    )
+    joined = feats.join(expr_side, "media_id")
+    bad = joined.filter(F.col("checksum") != F.col("checksum_expr")).count()
+    assert bad == 0
+
+    resized = resize_stub(feats_input := back, 64, 64)
+    assert resized.select("meta.width").first()[0] == 64
+    sampled = frame_sample(resized.withColumn("kind", F.lit("video")), every_n=2)
+    assert sampled.select("meta.n_frames").first()[0] >= 1

@@ -1,0 +1,173 @@
+"""B21–B24 replay tests (SURVEY §5): streaming result == batch result
+on the same events with files arriving shuffled (late data) and
+duplicated (at-least-once source); watermark lateness semantics proven
+with a controlled multi-phase checkpointed run."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from ark_invest_api_rust_data_spark.catalog import load_table
+from ark_invest_api_rust_data_spark.streaming.windows import (
+    EVENT_SCHEMA,
+    dedup_within_watermark,
+    run_append_to_completion,
+    run_to_completion,
+    session_counts,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=str)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """sf0.001 events as 10 parquet files in SHUFFLED time order
+    (deterministic hash buckets) — event-time arrives out of order."""
+    root = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = ev.withColumn("_bucket", F.pmod(F.hash("event_id"), F.lit(10)))
+    out = root / "files"
+    out.mkdir()
+    for b in range(10):
+        part = ev.filter(F.col("_bucket") == b).drop("_bucket")
+        part.coalesce(1).write.mode("overwrite").parquet(f"{root}/b{b}_tmp")
+        for i, f in enumerate(sorted(glob.glob(f"{root}/b{b}_tmp/part-*.parquet"))):
+            shutil.copy(f, out / f"batch_{b}_{i}.parquet")
+        shutil.rmtree(f"{root}/b{b}_tmp")
+    return str(out)
+
+
+def test_b21_tumbling_stream_equals_batch(spark, event_dir):
+    """Unwatermarked replay: result is arrival-order independent and
+    equals the batch aggregation exactly."""
+    batch = tumbling_counts(spark.read.parquet(event_dir))
+    stream = tumbling_counts(stream_events(spark, event_dir), watermark=None)
+    assert _rows(run_to_completion(stream, "t_tumbling")) == _rows(batch)
+
+
+def test_b21_sliding_stream_equals_batch(spark, event_dir):
+    batch = sliding_counts(spark.read.parquet(event_dir))
+    stream = sliding_counts(stream_events(spark, event_dir), watermark=None)
+    assert _rows(run_to_completion(stream, "t_sliding")) == _rows(batch)
+
+
+def test_b22_session_stream_equals_batch(spark, event_dir):
+    """Session merging needs a watermark in streaming mode; a watermark
+    larger than the full event-time span makes no data late, so the
+    shuffled replay must equal batch exactly."""
+    batch = session_counts(spark.read.parquet(event_dir))
+    stream = session_counts(stream_events(spark, event_dir), watermark="800 hours")
+    assert _rows(run_to_completion(stream, "t_session")) == _rows(batch)
+
+
+def test_b22_session_matches_gaps_and_islands(spark):
+    """Native session_window == the batch gaps-and-islands formulation
+    (plans/relational.py b22) on per-user session counts."""
+    from ark_invest_api_rust_data_spark.plans.relational import b22_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    native = (
+        session_counts(ev)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+    assert _rows(native) == _rows(b22_sessionize(spark, sf))
+
+
+def test_b23_watermark_late_data_semantics(spark, tmp_path):
+    """Controlled three-phase run against one checkpoint:
+    phase 1 establishes watermark; phase 2 delivers one tolerably-late
+    event (counted) and one too-late event (dropped); phase 3 advances
+    the watermark so windows finalize into the append sink."""
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / ("stage_" + name)))
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    T0 = datetime.datetime(2024, 6, 1, 10, 0, 0)
+
+    def run_phase():
+        q = (
+            tumbling_counts(
+                stream_events(spark, str(src)).drop("_corrupt"), watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: events 10:00-10:35 → watermark ≈ 09:35
+    write_file(
+        "p1",
+        [
+            (1, T0, 1, "click", 1.0, "{}"),
+            (2, T0 + datetime.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+            (3, T0 + datetime.timedelta(minutes=35), 1, "click", 1.0, "{}"),
+        ],
+    )
+    run_phase()
+    # phase 2: late-but-tolerable 10:02 (within 1h of 10:35) → counted;
+    # too-late 08:00 (before watermark 09:35) → dropped
+    write_file(
+        "p2",
+        [
+            (4, T0 + datetime.timedelta(minutes=2), 1, "click", 1.0, "{}"),
+            (5, T0 - datetime.timedelta(hours=2), 1, "click", 1.0, "{}"),
+        ],
+    )
+    run_phase()
+    # phase 3: push watermark far ahead → all windows finalize
+    write_file("p3", [(6, T0 + datetime.timedelta(hours=6), 1, "click", 1.0, "{}")])
+    run_phase()
+
+    got = {
+        (r["w_start"], r["c"])
+        for r in spark.read.schema(
+            "w_start timestamp, event_type string, c long, sum_value double"
+        ).parquet(str(sink)).collect()
+    }
+    # 10:00 window: events 1,2 + late 4 = 3 (too-late 5 NOT counted)
+    assert (T0, 3) in got
+    assert (T0 + datetime.timedelta(minutes=30), 1) in got
+    assert not any(w < T0 for w, _ in got)  # 08:00 window never materialized
+
+
+def test_b24_dedup_with_duplicated_files(spark, event_dir, tmp_path):
+    """Duplicate every file (at-least-once delivery); streaming dedupe
+    on event_id must equal batch distinct, each id exactly once."""
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    for i, f in enumerate(sorted(glob.glob(f"{event_dir}/*.parquet"))):
+        shutil.copy(f, dup_dir / f"a_{i}.parquet")
+        shutil.copy(f, dup_dir / f"b_{i}.parquet")
+
+    deduped = dedup_within_watermark(stream_events(spark, str(dup_dir)), "800 hours")
+    got = run_append_to_completion(deduped, "t_dedup")
+    batch_ids = spark.read.parquet(event_dir).select("event_id").distinct()
+    assert got.select("event_id").distinct().count() == batch_ids.count()
+    assert got.count() == batch_ids.count()
