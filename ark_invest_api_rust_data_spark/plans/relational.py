@@ -69,9 +69,12 @@ def b02_star_join(spark: SparkSession, sf: str) -> DataFrame:
     nation = load_table(spark, sf, "nation")
     region = load_table(spark, sf, "region")
     revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 4, 2))
+    year_1997 = (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")) & (
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )  # range form (≡ year()=1997) so the predicate pushes into the scan
     return (
         lineitem.join(
-            orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey")
+            orders.filter(year_1997), F.col("l_orderkey") == F.col("o_orderkey")
         )
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -93,7 +96,9 @@ SELECT n_name,
                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2))))
             AS DOUBLE) AS revenue
 FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey AND year(o_orderdate) = 1997
+JOIN orders   ON l_orderkey = o_orderkey
+             AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
 JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey

@@ -1,0 +1,176 @@
+"""UDF-tier probes (SURVEY.md §2 B25–B27) + remaining relational
+coverage (full outer join, grouping sets, first/last frames).
+
+The UDF probes deliberately compute something ALSO expressible
+natively, and the oracle is the native SQL — so the driver's hash
+compare proves the Python tier (Arrow-batched, vectorized) agrees with
+the JVM expression tier bit-for-bit. Policy note: UDFs are the slow
+path; these exist for API surface and as the pattern for logic Spark
+genuinely can't express, not as the way to write b15-style string work.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import load_table
+from .base import Probe
+
+
+# ---------------------------------------------------------------- B25
+@F.pandas_udf("string")
+def _clean_ticker_udf(s: pd.Series) -> pd.Series:
+    """Vectorized (Arrow) scalar pandas UDF reproducing the C6 suffix
+    cleanup — same rule table as functions/strings.py, in pandas."""
+    out = s
+    for pat in (" FP", " UQ", " UF", " UN", " UW", "/U", " CN"):
+        out = out.str.replace(pat, "", regex=False)
+    out = out.str.replace("DKNN", "DKNG", n=1, regex=False)
+    return out.str.rstrip()
+
+
+def b25_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """B25 — scalar pandas UDF over supplier names (adds a fake
+    exchange suffix, strips it back via the UDF); oracle is native
+    string SQL."""
+    supplier = load_table(spark, sf, "supplier")
+    noisy = supplier.select(
+        "s_suppkey", F.concat(F.col("s_name"), F.lit(" UW")).alias("noisy")
+    )
+    return noisy.select("s_suppkey", _clean_ticker_udf(F.col("noisy")).alias("clean"))
+
+
+B25_SQL = """
+SELECT s_suppkey, rtrim(replace(s_name || ' UW', ' UW', '')) AS clean FROM supplier
+"""
+
+
+# ---------------------------------------------------------------- B26
+def b26_udtf_split(spark: SparkSession, sf: str) -> DataFrame:
+    """B26 — table function: one row per word of p_name with its
+    position (posexplode = the built-in UDTF form; a lateral-join
+    python UDTF would be the custom variant)."""
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    )
+
+
+B26_SQL = """
+SELECT p_partkey, u.pos - 1 AS pos, u.word
+FROM part, (SELECT unnest(string_split(p_name, ' ')) AS word,
+                   generate_subscripts(string_split(p_name, ' '), 1) AS pos) u
+"""
+
+
+# ---------------------------------------------------------------- B27
+@F.pandas_udf("double")
+def _weighted_avg_udaf(price: pd.Series, qty: pd.Series) -> float:
+    """GROUPED_AGG pandas UDAF: quantity-weighted average price,
+    computed in exact integer cents to match the native-decimal oracle
+    bit-for-bit."""
+    cents = (price * 100).round().astype("int64")
+    q = qty.round().astype("int64")
+    num = int((cents * q).sum())
+    den = int(q.sum()) * 100
+    return float(num) / float(den)
+
+
+def b27_grouped_agg_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """B27 — custom aggregate via pandas GROUPED_AGG; oracle computes
+    the same weighted average natively in exact decimal."""
+    lineitem = load_table(spark, sf, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        _weighted_avg_udaf(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price")
+    )
+
+
+B27_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+    / CAST(SUM(CAST(l_quantity AS BIGINT)) * 100 AS DOUBLE) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ------------------------------------------------------- B3 full outer
+def b03_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """B3 — full outer join over two aggregates of disjoint-ish keys."""
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    o = orders.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("n_o"))
+    l = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("n_l"))
+    return o.join(l, "k", "full").select(
+        "k", F.coalesce("n_o", F.lit(0)).alias("n_o"), F.coalesce("n_l", F.lit(0)).alias("n_l")
+    )
+
+
+B03_FULL_SQL = """
+SELECT coalesce(o.k, l.k) AS k, coalesce(n_o, 0) AS n_o, coalesce(n_l, 0) AS n_l
+FROM (SELECT o_orderkey AS k, count(*) AS n_o FROM orders GROUP BY 1) o
+FULL OUTER JOIN (SELECT l_orderkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1) l
+  ON o.k = l.k
+"""
+
+
+# ------------------------------------------------------- grouping sets
+def b10_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """B10 — explicit GROUPING SETS (via SQL — the DataFrame API only
+    exposes rollup/cube) + grouping_id disambiguation."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS c,
+               grouping(o_orderpriority) AS g_pri, grouping(o_orderstatus) AS g_st
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+B10_GS_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS c,
+       grouping(o_orderpriority) AS g_pri, grouping(o_orderstatus) AS g_st
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# ------------------------------------------------------- first/last frame
+def b12_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """B12 — first/last_value over explicit row frames."""
+    orders = load_table(spark, sf, "orders")
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w_full).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )
+
+
+B12_FL_SQL = """
+SELECT o_custkey, o_orderkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice)  OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+PROBES = [
+    Probe("b25_pandas_udf", "B25", b25_pandas_udf, B25_SQL),
+    Probe("b26_udtf_split", "B26", b26_udtf_split, B26_SQL),
+    Probe("b27_grouped_agg_udaf", "B27", b27_grouped_agg_udaf, B27_SQL),
+    Probe("b03_full_outer", "B3", b03_full_outer, B03_FULL_SQL),
+    Probe("b10_grouping_sets", "B10", b10_grouping_sets, B10_GS_SQL),
+    Probe("b12_first_last", "B12", b12_first_last, B12_FL_SQL),
+]
