@@ -242,3 +242,70 @@ PROBES = [
     Probe("llm_fingerprint", "B29", llm_fingerprint, LLM_FINGERPRINT_SQL),
     Probe("llm_similarity_topk", "B30", llm_similarity_topk, LLM_SIMILARITY_SQL),
 ]
+
+
+# ------------------------------------------------ embedding near-dup
+def llm_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 (embedding variant) — cosine near-duplicate pairs ≥ 0.45 on
+    the quantized grid. Brute-force pair scan here (oracle-matched);
+    the bucketed-ANN path in operators/similarity.py is the scale
+    variant of the same scoring math."""
+    from ..operators.similarity import _dot, _norm2, _quantize
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("_q")
+    )
+    emb = emb.withColumn("_n2", _norm2(F.col("_q")))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb")
+    )
+    cos = _dot(F.col("_qa"), F.col("_qb")).cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+_QA = "CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+_QB = "CAST(floor(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+LLM_EMB_NEAR_DUP_SQL = f"""
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+         i -> {_QA} * {_QB})) AS DOUBLE)
+    / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+              i -> {_QA} * {_QA})) AS DOUBLE))
+       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(b.embedding)),
+              i -> {_QB} * {_QB})) AS DOUBLE))) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.45
+"""
+
+
+# ------------------------------------------------ multimodal plumbing
+def llm_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 — binary media columns through the mapInPandas feature
+    stage (stubbed codec). Python-side decode is engine-specific, so
+    this is a rows-only check; the checksum/byte-count cross-checks
+    live in tests/test_llm_ops.py."""
+    from ..operators.multimodal import attach_media, extract_features
+
+    docs = load_table(spark, sf, "documents")
+    return extract_features(attach_media(docs, "text", "image")).select(
+        "media_id", "kind", "n_bytes", "checksum"
+    )
+
+
+PROBES.extend(
+    [
+        Probe("llm_embedding_near_dup", "B29", llm_embedding_near_dup, LLM_EMB_NEAR_DUP_SQL),
+        Probe("llm_multimodal_features", "B32", llm_multimodal_features, None),
+    ]
+)

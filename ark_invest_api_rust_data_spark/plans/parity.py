@@ -215,3 +215,54 @@ PROBES = [
     Probe("parity_security_rules", "R2-R12", parity_security_rules, PARITY_RULES_SQL),
     Probe("parity_merge_dedupe", "U1-U2", parity_merge_dedupe, PARITY_MERGE_SQL),
 ]
+
+
+# ------------------------------------------------------- full normalize
+_ARK_RAW = [
+    ("01/05/2024", "ARKK", "TESLA INC", "TSLA UW", "88160R101", "1,234",
+     "$1,234,567.89", "9.87%"),
+] + [
+    (f"01/05/2024", "ARKK", f"FILLER {i} INC", f"FIL{i}", f"C{i}", "100",
+     "$1,000.00", "0.10%")
+    for i in range(18)
+] + [
+    ("Investors should carefully consider", None, None, None, None, None, None, None),
+]
+
+
+def parity_full_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end df_format parity (util.rs:153-497) on an ARK-CSV-
+    shaped frame: multi-format date parse + budget, fund drop, renames,
+    C2-C7 chains, share_price derivation, null-date filter, canonical
+    projection. Oracle = hand-derived expected output."""
+    from ..operators.normalize import normalize
+
+    df = spark.createDataFrame(
+        _ARK_RAW,
+        "date string, fund string, company string, ticker string, cusip string, "
+        "shares string, `market value ($)` string, `weight (%)` string",
+    )
+    return normalize(df)
+
+
+def _full_normalize_oracle() -> str:
+    rows = ["(DATE '2024-01-05', 'TSLA', '88160R101', 'TESLA', 1234567, 1234, "
+            "1000.46, 9.87)"]
+    for i in range(18):
+        rows.append(
+            f"(DATE '2024-01-05', 'FIL{i}', 'C{i}', 'FILLER {i}', 1000, 100, 10.0, 0.1)"
+        )
+    return (
+        "SELECT date, ticker, cusip, company, "
+        "CAST(market_value AS BIGINT) AS market_value, "
+        "CAST(shares AS BIGINT) AS shares, "
+        "CAST(share_price AS DOUBLE) AS share_price, "  # VALUES infers DECIMAL
+        "CAST(weight AS DOUBLE) AS weight "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(date, ticker, cusip, "
+        "company, market_value, shares, share_price, weight)"
+    )
+
+
+PROBES.append(
+    Probe("parity_full_normalize", "A-all", parity_full_normalize, _full_normalize_oracle())
+)

@@ -14,13 +14,14 @@ from __future__ import annotations
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import types as T
 
 from ..catalog import load_table
 from .base import Probe
 
 
 # ---------------------------------------------------------------- B25
-@F.pandas_udf("string")
+@F.pandas_udf(T.StringType())  # DataType obj: a DDL string would need a live session at import
 def _clean_ticker_udf(s: pd.Series) -> pd.Series:
     """Vectorized (Arrow) scalar pandas UDF reproducing the C6 suffix
     cleanup — same rule table as functions/strings.py, in pandas."""
@@ -67,7 +68,7 @@ FROM part, (SELECT unnest(string_split(p_name, ' ')) AS word,
 
 
 # ---------------------------------------------------------------- B27
-@F.pandas_udf("double")
+@F.pandas_udf(T.DoubleType())
 def _weighted_avg_udaf(price: pd.Series, qty: pd.Series) -> float:
     """GROUPED_AGG pandas UDAF: quantity-weighted average price,
     computed in exact integer cents to match the native-decimal oracle
