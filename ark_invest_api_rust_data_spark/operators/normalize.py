@@ -2,10 +2,17 @@
 ``df_format`` (/root/reference/src/util.rs:153-497).
 
 One lazy projection pipeline; every step is guarded by resolved-schema
-checks (free in Spark — no action), so the function is idempotent:
-``normalize(normalize(df)) == normalize(df)`` (property-tested). The
-only action inside is the tiny date-format-budget aggregate (C1), and
-only when ``date`` arrives as a string.
+checks (free in Spark — no action). The only action inside is the tiny
+date-format-budget aggregate (C1), and only when ``date`` arrives as a
+string.
+
+Convergence, not one-shot idempotence: security rules run BEFORE the
+C7 company cleanup (same order as the reference, util.rs:240), so rule
+cascades can need several passes — e.g. ``ROCKET LAB USA INC`` →
+(C7) ``ROCKET LAB USA`` → (R8) ``ROCKET LAB`` → (R8) ticker ``RKLB``.
+The reference has the same property and papers over it by re-formatting
+3× per run (§3.1); we do the same in pipeline.py, and property-test
+that 3 applications reach the fixpoint (tests/test_properties.py).
 
 Pipeline order (same as the reference, which is load-bearing):
 adapters → conditional renames → drops → date parse → security rules →

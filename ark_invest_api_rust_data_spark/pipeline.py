@@ -79,8 +79,11 @@ def refresh_ticker(
 
     update = fetch_update(spark, ticker, source, last_day, fetcher)
     merged = incremental_merge(cache, update)
-    # write_parquet re-formats before writing (util.rs:90) — idempotent
-    merged = normalize(merged)
+    # the reference formats 3× per run (merge branches, .format(), and
+    # write_parquet, main.rs:49-54 + util.rs:90) — needed because rule
+    # cascades (see normalize.py docstring) take up to 3 passes to
+    # reach their fixpoint; mirror that
+    merged = normalize(normalize(merged))
     write_ticker(merged, root, ticker.name)
     return merged
 

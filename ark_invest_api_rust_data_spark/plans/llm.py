@@ -309,3 +309,26 @@ PROBES.extend(
         Probe("llm_multimodal_features", "B32", llm_multimodal_features, None),
     ]
 )
+
+
+# ------------------------------------------------ B24 batch twin
+def b24_dedup_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """B24 batch twin — exact dedupe on event_id (keep-any is exact
+    here because event_ids are unique per payload); the streaming
+    dropDuplicatesWithinWatermark equivalence is proven by replay in
+    tests/test_streaming.py."""
+    from ..operators.dedup import exact_dedup
+
+    events = load_table(spark, sf, "events")
+    deduped = exact_dedup(events, ["event_id"], [F.asc("ts")])
+    return deduped.groupBy("event_type").agg(F.count("*").alias("c"))
+
+
+B24_BATCH_SQL = """
+SELECT event_type, count(*) AS c FROM (
+  SELECT event_type, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+  FROM events) WHERE rn = 1
+GROUP BY event_type
+"""
+
+PROBES.append(Probe("b24_dedup_batch", "B24", b24_dedup_batch, B24_BATCH_SQL))

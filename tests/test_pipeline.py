@@ -143,3 +143,34 @@ def test_json_api_shape(spark):
     r = out.first()
     assert r["share_price"] == 200.0 and r["shares"] == 5000
     assert out.columns[:4] == ["date", "ticker", "cusip", "company"]
+
+
+def test_lake_partitioned_roundtrip(spark, tmp_path):
+    """Scale-layout sink: hive-partitioned (ticker, date) lake with
+    dynamic partition overwrite — an incremental merge must rewrite
+    only the partitions it touches."""
+    from ark_invest_api_rust_data_spark.sources.parquet_store import read_lake, write_lake
+
+    root = str(tmp_path)
+    df = normalize(csv_to_df(spark, ARK_CSV))
+    write_lake(df, root)
+    back = read_lake(spark, root)
+    assert back.count() == df.count()
+    # partition pruning: a ticker+date slice must read a narrow subset
+    one = back.filter(
+        (F.col("ticker") == "TSLA") & (F.col("date") == datetime.date(2024, 1, 3))
+    )
+    assert one.count() == 1
+    # dynamic overwrite: rewrite ONE date with changed shares; other
+    # partitions must survive
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    patch = df.filter(F.col("date") == datetime.date(2024, 1, 3)).withColumn(
+        "shares", F.col("shares") * 2
+    )
+    write_lake(patch, root, mode="overwrite")
+    back2 = read_lake(spark, root)
+    assert back2.count() == df.count()  # other dates intact
+    changed = back2.filter(
+        (F.col("ticker") == "TSLA") & (F.col("date") == datetime.date(2024, 1, 3))
+    ).first()
+    assert changed["shares"] == 2468
