@@ -266,3 +266,66 @@ def _full_normalize_oracle() -> str:
 PROBES.append(
     Probe("parity_full_normalize", "A-all", parity_full_normalize, _full_normalize_oracle())
 )
+
+
+# ------------------------------------------------------- D2: 21Shares
+def parity_21shares_adapter(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 — 21Shares CSV shape through the real adapter + normalize
+    (data_source.rs:20-58): PascalCase renames, noise-column drops."""
+    from ..operators.normalize import normalize
+
+    df = spark.createDataFrame(
+        [
+            ("ACC1", "01/05/2024", "TSLA UW", "88160R101", "TESLA INC",
+             "1,234", 1000.46, "$1,234,567.89", "9.87%", "X", "Y", "Z", "N"),
+        ],
+        "Account string, Date string, StockTicker string, CUSIP string, "
+        "SecurityName string, Shares string, Price double, MarketValue string, "
+        "Weightings string, NetAssets string, SharesOutstanding string, "
+        "CreationUnits string, MoneyMarketFlag string",
+    )
+    return normalize(df)
+
+
+PARITY_21SHARES_SQL = """
+SELECT DATE '2024-01-05' AS date, 'TSLA' AS ticker, '88160R101' AS cusip,
+       'TESLA' AS company, CAST(1234567 AS BIGINT) AS market_value,
+       CAST(1234 AS BIGINT) AS shares, CAST(1000.46 AS DOUBLE) AS share_price,
+       CAST(9.87 AS DOUBLE) AS weight
+"""
+
+
+# ------------------------------------------------- D5: Europe arkfunds.io
+def parity_europe_arkfundsio_adapter(spark: SparkSession, sf: str) -> DataFrame:
+    """D5 — exact-column-set trigger [company,cusip,date,fund,weight,
+    weight_rank] (data_source.rs:110-131): drops + null-pad, then the
+    default normalize path."""
+    from ..operators.normalize import normalize
+
+    df = spark.createDataFrame(
+        [("SOME COMPANY PLC", "IE000ABC", "2024-01-05", "europe_arkk", 4.56, 1)],
+        "company string, cusip string, date string, fund string, "
+        "weight double, weight_rank int",
+    )
+    return normalize(df)
+
+
+PARITY_EUROPE_AFIO_SQL = """
+SELECT DATE '2024-01-05' AS date, CAST(NULL AS VARCHAR) AS ticker,
+       'IE000ABC' AS cusip, 'SOMEMPANY' AS company,
+       CAST(NULL AS BIGINT) AS market_value, CAST(NULL AS BIGINT) AS shares,
+       CAST(NULL AS DOUBLE) AS share_price, CAST(4.56 AS DOUBLE) AS weight
+"""
+
+
+PROBES.extend(
+    [
+        Probe("parity_21shares_adapter", "D2", parity_21shares_adapter, PARITY_21SHARES_SQL),
+        Probe(
+            "parity_europe_arkfundsio_adapter",
+            "D5",
+            parity_europe_arkfundsio_adapter,
+            PARITY_EUROPE_AFIO_SQL,
+        ),
+    ]
+)

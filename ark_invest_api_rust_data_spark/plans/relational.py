@@ -701,3 +701,54 @@ PROBES = [
     Probe("b21_window_tumbling", "B21", b21_window_tumbling, B21_SQL),
     Probe("b22_sessionize", "B22", b22_sessionize, B22_SQL),
 ]
+
+
+# ------------------------------------------------------- B21 sliding
+def b21_window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 10-min/5-min window, batch twin (SURVEY B21): each event
+    lands in exactly two windows; oracle enumerates both via the two
+    5-minute-aligned starts."""
+    events = load_table(spark, sf, "events")
+    win = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("c"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "c")
+    )
+
+
+B21_SLIDING_SQL = """
+WITH starts AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS w_start FROM events
+  UNION ALL
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+  FROM events)
+SELECT w_start, event_type, count(*) AS c FROM starts GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------- B8 percentile
+def b08_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-set aggregate (SURVEY B8 family): exact discrete
+    percentiles — percentile_disc picks an actual row value, so there
+    is no interpolation formula to disagree on across engines."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90"),
+    )
+
+
+B08_PCT_SQL = """
+SELECT o_orderstatus,
+  quantile_disc(o_totalprice, 0.5) AS p50,
+  quantile_disc(o_totalprice, 0.9) AS p90
+FROM orders GROUP BY o_orderstatus
+"""
+
+PROBES.extend(
+    [
+        Probe("b21_window_sliding", "B21", b21_window_sliding, B21_SLIDING_SQL),
+        Probe("b08_percentile", "B8", b08_percentile, B08_PCT_SQL),
+    ]
+)

@@ -133,3 +133,19 @@ def test_multimodal_roundtrip_and_features(spark, tmp_path):
     assert resized.select("meta.width").first()[0] == 64
     sampled = frame_sample(resized.withColumn("kind", F.lit("video")), every_n=2)
     assert sampled.select("meta.n_frames").first()[0] >= 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Skew fallback (operators/skew.py): salted join must return
+    exactly the plain join's rows, including skewed keys."""
+    from ark_invest_api_rust_data_spark.operators.skew import salted_join
+
+    # one pathologically hot key (80% of rows) + normal keys
+    large = spark.createDataFrame(
+        [(1, i) for i in range(800)] + [(k, k * 1000) for k in range(2, 102)],
+        "k int, payload int",
+    )
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(1, 102)], "k int, name string")
+    plain = large.join(small, "k").select("k", "payload", "name")
+    salted = salted_join(large, small, "k").select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
