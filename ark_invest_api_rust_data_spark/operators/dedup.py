@@ -229,6 +229,9 @@ def simhash(
 
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     exploded = _spread(df).select(F.col(id_col).alias("_id"), F.explode(toks).alias("_tok"))
+    # direct per-occurrence fold: measured FASTER than hashing the
+    # distinct vocabulary + broadcast-joining back (the join overhead
+    # exceeds the integer fold cost; short tokens are cheap)
     hashed = exploded.withColumn("_h", token_hash32(F.col("_tok")))
     bit_sums = hashed.groupBy("_id").agg(
         *[

@@ -149,3 +149,38 @@ def test_salted_join_equals_plain_join(spark):
     plain = large.join(small, "k").select("k", "payload", "name")
     salted = salted_join(large, small, "k").select("k", "payload", "name")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_elides_shuffle(spark):
+    """Co-located join (operators/bucketing.py): identically-bucketed
+    tables must SortMergeJoin with NO Exchange on either side, and the
+    result must equal the plain shuffled join."""
+    from ark_invest_api_rust_data_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b",
+        ["o_orderkey"], 8,
+    )
+    # model the fact-fact case: disable broadcast so the join planner
+    # must pick SMJ — bucketing then elides both shuffles
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", ["o_orderkey"])
+        joined.count()  # finalize the adaptive plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle either side
+
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

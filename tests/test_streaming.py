@@ -110,7 +110,7 @@ def test_b23_watermark_late_data_semantics(spark, tmp_path):
     def run_phase():
         q = (
             tumbling_counts(
-                stream_events(spark, str(src)).drop("_corrupt"), watermark="1 hour"
+                stream_events(spark, str(src)), watermark="1 hour"
             )
             .writeStream.format("parquet")
             .option("path", str(sink))
