@@ -13,7 +13,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS (pandas_udf / mapInPandas) unpickle functions that
+# reference this package by module name; they inherit the driver
+# process env, not its sys.path — export before any worker spawns.
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from ark_invest_api_rust_data_spark.plans import all_probes
 from ark_invest_api_rust_data_spark.plans.relational import b02_star_join

@@ -752,3 +752,134 @@ PROBES.extend(
         Probe("b08_percentile", "B8", b08_percentile, B08_PCT_SQL),
     ]
 )
+
+
+# ------------------------------------------------------- TPC-H Q3 shape
+def b02_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 shape (SURVEY B2): top-10 unshipped orders by revenue for one
+    market segment — join + agg + top-k in one plan."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    cutoff = F.lit("1997-03-15").cast("timestamp_ntz")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 4, 2))
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_date"))
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+B02_Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+WHERE l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------- scalar subquery (Q18ish)
+def b04_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar + HAVING-style subqueries (SURVEY B4 family): customers
+    whose total spend exceeds 1.5× the average customer spend."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          FROM _orders_sq GROUP BY o_custkey)
+        SELECT o_custkey, total FROM spend
+        WHERE total > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                                         AS DOUBLE) / count(DISTINCT o_custkey)
+                             FROM _orders_sq)
+        """
+    )
+
+
+B04_SCALAR_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, total FROM spend
+WHERE total > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                            / count(DISTINCT o_custkey)
+                     FROM orders)
+"""
+
+
+# -------------------------------------------------------------- pivot
+def b10_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT (SURVEY B10 family): order counts per priority, one column
+    per status; oracle is conditional aggregation."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .fillna(0, subset=["n_f", "n_o", "n_p"])
+    )
+
+
+B10_PIVOT_SQL = """
+SELECT o_orderpriority,
+  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+  count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------- ranking fns complete
+def b11_ranking_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank/cume_dist (SURVEY B11) with a
+    total tie-break order."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    ).filter(F.col("rnk") <= 20)
+
+
+B11_RANKING_SQL = """
+SELECT o_orderstatus, o_orderkey, rnk, drnk, quartile, prnk, cdist FROM (
+  SELECT o_orderstatus, o_orderkey,
+    rank()         OVER w AS rnk,
+    dense_rank()   OVER w AS drnk,
+    ntile(4)       OVER w AS quartile,
+    percent_rank() OVER w AS prnk,
+    cume_dist()    OVER w AS cdist
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey))
+WHERE rnk <= 20
+"""
+
+PROBES.extend(
+    [
+        Probe("b02_q3_shipping_priority", "B2", b02_q3_shipping_priority, B02_Q3_SQL),
+        Probe("b04_scalar_subquery", "B4", b04_scalar_subquery, B04_SCALAR_SQL),
+        Probe("b10_pivot", "B10", b10_pivot, B10_PIVOT_SQL),
+        Probe("b11_ranking_fns", "B11", b11_ranking_fns, B11_RANKING_SQL),
+    ]
+)

@@ -42,8 +42,43 @@ RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Python WORKERS.
+
+    pandas_udf / mapInPandas functions are cloudpickled BY REFERENCE to
+    this module, and workers don't share the driver's sys.path. Driver
+    env mutation can't help either: the JVM snapshots its env at launch,
+    which (for a foreign session, e.g. the verify driver's) predates our
+    import. ``addPyFile`` with a zip of the package is the mechanism
+    that works post-start — and is also exactly how you'd ship this
+    code to a real cluster."""
+    if getattr(spark, "_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="ark_spark_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Connect-only session without an SC — workers then
+        # rely on a shared filesystem PYTHONPATH instead
+    spark._pkg_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an existing session (idempotent)."""
+    _ship_package(spark)
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
