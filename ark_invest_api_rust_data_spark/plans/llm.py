@@ -250,9 +250,12 @@ def llm_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     the quantized grid. Brute-force pair scan here (oracle-matched);
     the bucketed-ANN path in operators/similarity.py is the scale
     variant of the same scoring math."""
+    from ..operators.dedup import _spread
     from ..operators.similarity import _dot, _norm2, _quantize
 
-    emb = load_table(spark, sf, "embeddings").select(
+    # single-file scans give ONE split; spread before the pair join so
+    # the O(n²/2) scoring runs on every core
+    emb = _spread(load_table(spark, sf, "embeddings")).select(
         "vec_id", _quantize(F.col("embedding")).alias("_q")
     )
     emb = emb.withColumn("_n2", _norm2(F.col("_q")))
