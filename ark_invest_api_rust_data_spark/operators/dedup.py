@@ -90,14 +90,16 @@ def minhash_constants(num_hashes: int = 16) -> list[tuple[int, int]]:
 
 
 def shingle_base_hash(s: Column) -> Column:
-    """31-fold character hash mod 2^31 (cross-engine exact; the SQL
-    twin uses the congruent polynomial-sum form)."""
-    chars = F.filter(F.split(s, ""), lambda ch: ch != F.lit(""))
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(MINHASH_MOD),
-    )
+    """Base hash for MinHash: JVM-native xxhash64 folded into [0, 2^31).
+
+    Unlike simhash/fingerprints (whose VALUES are hash-compared against
+    the SQL oracle and therefore use the cross-engine 31-fold), minhash
+    is only a candidate generator — the probe's oracle is the exact
+    O(n²) Jaccard pair set, so the internal hash just needs to be
+    deterministic within Spark and uniform. xxhash64 runs inside
+    codegen; the interpreted per-character fold it replaces was the
+    single hottest expression in the LSH pipeline."""
+    return F.pmod(F.xxhash64(s), F.lit(MINHASH_MOD))
 
 
 def _affine(a: int, b: int):

@@ -25,9 +25,12 @@ from ark_invest_api_rust_data_spark.session import get_spark
 # the LLM ops that matter for training-data pipelines.
 HEADLINE = [
     "b02_star_join",
+    "b02_q3_shipping_priority",
+    "b03_full_outer",
     "b05_theta_join",
     "b06_asof_join",
     "b07_agg_q1",
+    "b08_percentile",
     "b11_window_rank",
     "b12_window_running",
     "b13_topk",
@@ -36,6 +39,7 @@ HEADLINE = [
     "llm_text_stats",
     "llm_simhash",
     "llm_minhash_lsh",
+    "llm_fingerprint",
     "llm_similarity_topk",
 ]
 
