@@ -191,15 +191,23 @@ def llm_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_GRAM8 = " || ' ' || ".join(f"w[i+{j}]" for j in range(8)).replace("w[i+0]", "w[i]")
+_TH = f"list_transform(w, tok -> {_HASH_TMPL.format(s='tok', pow=_POW31_SQL)})"
+
+
+def _gram_fold_sql(window: int = 8) -> str:
+    expr = "th[i]"
+    for j in range(1, window):
+        expr = f"(({expr}) * 31 + th[i+{j}]) % 4294967296"
+    return expr
+
+
 LLM_FINGERPRINT_SQL = f"""
-WITH g AS (
-  SELECT doc_id,
-    list_transform(generate_series(1, greatest(len(w) - 7, 1)), i -> {_GRAM8}) AS grams
-  FROM (SELECT doc_id, {_W} AS w FROM documents))
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+h AS (SELECT doc_id, w, {_TH} AS th FROM t)
 SELECT doc_id,
-  list_min(list_transform(grams, s -> {_sql_hash('s')})) AS min_fingerprint
-FROM g
+  list_min(list_transform(generate_series(1, greatest(len(w) - 7, 1)),
+           i -> {_gram_fold_sql(8)})) AS min_fingerprint
+FROM h
 """
 
 
