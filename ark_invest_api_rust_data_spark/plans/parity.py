@@ -329,3 +329,42 @@ PROBES.extend(
         ),
     ]
 )
+
+
+# ------------------------------------------------- D6: Europe raw CSV
+_EUROPE_RAW_CSV = "\n".join(
+    [
+        "col,col,col",
+        "junk1,junk1,junk1",
+        "junk2,junk2,junk2",
+        "ACME HOLDINGS,IE00ACME,4.5",
+        "OTHER PLC,IE00OTHR,2.5",
+    ]
+)
+
+
+def parity_europe_csv_adapter(spark: SparkSession, sf: str) -> DataFrame:
+    """D6 — duplicate-header artifact through the REAL csv reader
+    (parse-order row index) + Europe dispatch: 2-row junk preamble
+    sliced positionally, columns renamed positionally
+    (data_source.rs:133-154). The current_date() stamp is excluded
+    from the hashed output (cross-engine 'today' is racy at midnight);
+    its presence is pinned by tests/test_pipeline.py."""
+    from ..operators.adapters import DataSource
+    from ..operators.normalize import normalize
+    from ..sources.data_reader import csv_to_df
+
+    df = csv_to_df(spark, _EUROPE_RAW_CSV)
+    return normalize(df, DataSource.ARK_EUROPE).select("cusip", "company", "weight")
+
+
+PARITY_EUROPE_CSV_SQL = """
+SELECT * FROM (VALUES
+  ('IE00ACME', 'ACME', CAST(4.5 AS DOUBLE)),
+  ('IE00OTHR', 'OTHER', CAST(2.5 AS DOUBLE))
+) AS t(cusip, company, weight)
+"""
+
+PROBES.append(
+    Probe("parity_europe_csv_adapter", "D6", parity_europe_csv_adapter, PARITY_EUROPE_CSV_SQL)
+)

@@ -171,3 +171,36 @@ def test_b24_dedup_with_duplicated_files(spark, event_dir, tmp_path):
     batch_ids = spark.read.parquet(event_dir).select("event_id").distinct()
     assert got.select("event_id").distinct().count() == batch_ids.count()
     assert got.count() == batch_ids.count()
+
+
+def test_custom_stateful_operator_matches_batch(spark, event_dir):
+    """applyInPandasWithState running totals: the LAST emitted state
+    per user (update mode over all micro-batches) must equal the batch
+    groupBy aggregation."""
+    from ark_invest_api_rust_data_spark.streaming.stateful import running_user_totals
+
+    stream = running_user_totals(stream_events(spark, event_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per user per batch-with-data; keep the
+    # final emission (max n_events) per user
+    from pyspark.sql import Window
+
+    emitted = spark.table("t_stateful")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = running_user_totals(spark.read.parquet(event_dir))
+    assert _rows(final) == _rows(batch)
+    # sanity: some users crossed the alert threshold, some didn't
+    kinds = {r["alerted"] for r in batch.collect()}
+    assert kinds == {True} or kinds == {True, False}
