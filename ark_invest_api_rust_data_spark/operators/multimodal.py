@@ -56,13 +56,18 @@ FEATURE_DIM = 8
 STRICT_DECODE = False  # flip to surface NotImplementedError instead of the fake
 
 
-def attach_media(df: DataFrame, payload_col: str, kind: str) -> DataFrame:
+def attach_media(
+    df: DataFrame, payload_col: str, kind: str, id_col: str | None = None
+) -> DataFrame:
     """Wrap an arbitrary string/binary column as a media column with
     typed metadata (ingest-side adapter: real pipelines read with
-    spark.read.format('binaryFile'))."""
+    spark.read.format('binaryFile')). Pass ``id_col`` for a stable,
+    partitioning-independent media_id (monotonically_increasing_id is
+    the fallback and is NOT reproducible across runs)."""
     content = F.col(payload_col).cast("binary")
+    media_id = F.col(id_col) if id_col else F.monotonically_increasing_id()
     return df.select(
-        F.monotonically_increasing_id().alias("media_id"),
+        media_id.cast("long").alias("media_id"),
         F.lit(kind).alias("kind"),
         content.alias("content"),
         F.struct(

@@ -302,22 +302,31 @@ WHERE cosine >= 0.45
 
 # ------------------------------------------------ multimodal plumbing
 def llm_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """B32 — binary media columns through the mapInPandas feature
-    stage (stubbed codec). Python-side decode is engine-specific, so
-    this is a rows-only check; the checksum/byte-count cross-checks
-    live in tests/test_llm_ops.py."""
+    """B32 — binary media columns through the REAL mapInPandas feature
+    stage (stubbed codec). n_bytes and the byte-sum checksum are fully
+    deterministic (ASCII corpus → bytes == chars), so the Python tier
+    is oracle-checked against pure SQL; the stub features themselves
+    are covered by tests/test_llm_ops.py."""
     from ..operators.multimodal import attach_media, extract_features
 
     docs = load_table(spark, sf, "documents")
-    return extract_features(attach_media(docs, "text", "image")).select(
-        "media_id", "kind", "n_bytes", "checksum"
-    )
+    media = attach_media(docs, "text", "image", id_col="doc_id")
+    return extract_features(media).select("media_id", "kind", "n_bytes", "checksum")
+
+
+LLM_MULTIMODAL_SQL = f"""
+SELECT doc_id AS media_id, 'image' AS kind,
+  octet_length(CAST(text AS BLOB)) AS n_bytes,
+  CAST(list_sum(list_transform(string_split(text, ''), ch -> ascii(ch)))
+       AS BIGINT) AS checksum
+FROM documents
+"""
 
 
 PROBES.extend(
     [
         Probe("llm_embedding_near_dup", "B29", llm_embedding_near_dup, LLM_EMB_NEAR_DUP_SQL),
-        Probe("llm_multimodal_features", "B32", llm_multimodal_features, None),
+        Probe("llm_multimodal_features", "B32", llm_multimodal_features, LLM_MULTIMODAL_SQL),
     ]
 )
 

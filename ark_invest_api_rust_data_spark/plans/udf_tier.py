@@ -175,3 +175,37 @@ PROBES = [
     Probe("b10_grouping_sets", "B10", b10_grouping_sets, B10_GS_SQL),
     Probe("b12_first_last", "B12", b12_first_last, B12_FL_SQL),
 ]
+
+
+# ------------------------------------------- B25 grouped-map variant
+def b25_applyinpandas(spark: SparkSession, sf: str) -> DataFrame:
+    """B25 (grouped map) — per-group min-max scaling via applyInPandas:
+    each group arrives as one pandas frame (Arrow). Same IEEE ops as
+    the SQL window twin: (v - min) / (max - min) on identical doubles."""
+    events = load_table(spark, sf, "events")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        rng = hi - lo
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "scaled": (pdf["value"] - lo) / rng if rng else 0.0,
+            }
+        )
+        return out
+
+    return events.select("event_id", "event_type", "value").groupBy("event_type").applyInPandas(
+        scale, "event_id long, event_type string, scaled double"
+    )
+
+
+B25_AIP_SQL = """
+SELECT event_id, event_type,
+  (value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w) AS scaled
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+PROBES.append(Probe("b25_applyinpandas", "B25", b25_applyinpandas, B25_AIP_SQL))
