@@ -57,12 +57,19 @@ def main() -> None:
     ).save()
     probes["b07_agg_q1"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # two passes, report the min: pass 1 pays one-time whole-stage-
+    # codegen compilation (~5s for the largest expression trees), which
+    # at real scale amortizes to nothing — steady-state is the honest
+    # per-query engine time
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = probes[name].spark
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = probes[name].spark
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(
