@@ -258,30 +258,12 @@ def llm_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     the quantized grid. Brute-force pair scan here (oracle-matched);
     the bucketed-ANN path in operators/similarity.py is the scale
     variant of the same scoring math."""
-    from ..operators.dedup import _spread
-    from ..operators.similarity import _dot, _norm2, _quantize
+    from ..operators.similarity import cosine_near_dup_pairs
 
-    # single-file scans give ONE split; spread before the pair join so
-    # the O(n²/2) scoring runs on every core
-    emb = _spread(load_table(spark, sf, "embeddings")).select(
-        "vec_id", _quantize(F.col("embedding")).alias("_q")
-    )
-    emb = emb.withColumn("_n2", _norm2(F.col("_q")))
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb")
-    )
-    cos = _dot(F.col("_qa"), F.col("_qb")).cast("double") / (
-        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.45)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    # numpy-vectorized all-pairs tier (broadcast quantized matrix +
+    # one integer matmul per Arrow batch); identical math to the
+    # expression tier, ~20x faster — see operators/similarity.py
+    return cosine_near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.45)
 
 
 _QA = "CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"

@@ -41,6 +41,7 @@ HEADLINE = [
     "llm_minhash_lsh",
     "llm_fingerprint",
     "llm_similarity_topk",
+    "llm_embedding_near_dup",
 ]
 
 

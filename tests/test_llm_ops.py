@@ -184,3 +184,34 @@ def test_bucketed_join_elides_shuffle(spark):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_vectorized_near_dup_equals_expression_tier(spark):
+    """The numpy mapInPandas all-pairs tier must produce BIT-identical
+    pairs+cosines to the pure-expression formulation (same integer
+    grid, same IEEE ops)."""
+    from ark_invest_api_rust_data_spark.operators.similarity import (
+        _dot,
+        _norm2,
+        _quantize,
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    vec = cosine_near_dup_pairs(emb, threshold=0.40)
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("_q")).withColumn(
+        "_n2", _norm2(F.col("_q"))
+    )
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na"))
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb"))
+    expr = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qa"), F.col("_qb")).cast("double")
+            / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
+        )
+        .filter(F.col("cosine") >= 0.40)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    assert sorted(map(tuple, vec.collect())) == sorted(map(tuple, expr.collect()))
