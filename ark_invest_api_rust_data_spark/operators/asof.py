@@ -8,10 +8,16 @@ partitions, no point-lookup loop, no broadcast of the big side — which
 is exactly the plan you want at 100 TB (both sides co-partitioned by
 key; AQE handles skewed keys).
 
-Semantics = ``pandas.merge_asof(direction="backward",
-allow_exact_matches=True)`` = DuckDB ``ASOF LEFT JOIN`` on
-``l.ts >= r.ts``: every left row is kept and annotated with the value
-columns of the latest right row at-or-before its timestamp.
+Semantics match ``pandas.merge_asof`` (tested against it directly):
+
+* ``direction="backward"`` (default): latest right row at-or-before
+  the left timestamp — DuckDB ``ASOF LEFT JOIN`` on ``l.ts >= r.ts``.
+* ``direction="forward"``: earliest right row at-or-after.
+* ``tolerance_seconds``: matches further than the tolerance are
+  nulled, like merge_asof's ``tolerance``.
+
+``allow_exact_matches=True`` always: at equal timestamps the right row
+is visible to the left row (side ordering per direction).
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 _SIDE = "_asof_side"
+_RTS = "_asof_rts"
 
 
 def asof_join(
@@ -29,12 +36,17 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     values: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Backward as-of left join; right ``values`` columns are appended to
-    every left row (null when no right row precedes it)."""
+    """As-of left join; right ``values`` columns are appended to every
+    left row (null when no right row qualifies)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     ts = "_asof_ts"
     right_types = {f.name: f.dataType for f in right.schema.fields}
+    carried = list(values) + [_RTS]  # also carry the matched right ts
 
     left_payload = [c for c in left.columns if c not in keys]
     l = left.select(
@@ -42,6 +54,7 @@ def asof_join(
         F.col(left_ts).alias(ts),
         *[F.col(c) for c in left_payload],
         *[F.lit(None).cast(right_types[v]).alias(f"_r_{v}") for v in values],
+        F.lit(None).cast(right_types[right_ts]).alias(f"_r_{_RTS}"),
         F.lit(1).alias(_SIDE),
     )
     left_types = {f.name: f.dataType for f in left.schema.fields}
@@ -50,24 +63,46 @@ def asof_join(
         F.col(right_ts).alias(ts),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
         *[F.col(v).alias(f"_r_{v}") for v in values],
+        F.col(right_ts).alias(f"_r_{_RTS}"),
         F.lit(0).alias(_SIDE),
     )
-
-    # side=0 (right) sorts before side=1 (left) at equal ts → exact
-    # matches are visible to the left row (allow_exact_matches=True).
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.asc(ts), F.asc(_SIDE))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     unioned = l.unionByName(r)
-    for v in values:
-        unioned = unioned.withColumn(f"_r_{v}", F.last(f"_r_{v}", ignorenulls=True).over(w))
 
-    out = unioned.filter(F.col(_SIDE) == 1).select(
+    if direction == "backward":
+        # right (side=0) sorts BEFORE left at equal ts → exact matches
+        # visible; take last non-null over the preceding frame
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc(ts), F.asc(_SIDE))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for v in carried:
+            unioned = unioned.withColumn(f"_r_{v}", F.last(f"_r_{v}", ignorenulls=True).over(w))
+    else:
+        # right sorts AFTER left at equal ts → exact matches inside the
+        # following frame; take first non-null
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc(ts), F.desc(_SIDE))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for v in carried:
+            unioned = unioned.withColumn(f"_r_{v}", F.first(f"_r_{v}", ignorenulls=True).over(w))
+
+    out = unioned.filter(F.col(_SIDE) == 1)
+    if tolerance_seconds is not None:
+        gap = (
+            F.col(ts).cast("double") - F.col(f"_r_{_RTS}").cast("double")
+            if direction == "backward"
+            else F.col(f"_r_{_RTS}").cast("double") - F.col(ts).cast("double")
+        )
+        in_tol = F.col(f"_r_{_RTS}").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        for v in values:
+            out = out.withColumn(f"_r_{v}", F.when(in_tol, F.col(f"_r_{v}")))
+
+    return out.select(
         *keys,
         F.col(ts).alias(left_ts),
         *[F.col(c) for c in left_payload],
         *[F.col(f"_r_{v}").alias(v) for v in values],
     )
-    return out

@@ -174,3 +174,51 @@ def test_lake_partitioned_roundtrip(spark, tmp_path):
         (F.col("ticker") == "TSLA") & (F.col("date") == datetime.date(2024, 1, 3))
     ).first()
     assert changed["shares"] == 2468
+
+
+def test_scheduled_run_fans_out_with_error_isolation(spark, tmp_path):
+    """O5: the scheduled run hits exactly the 8 non-excluded tickers,
+    and one ticker failing leaves the others intact (main.rs:62-98)."""
+    from ark_invest_api_rust_data_spark.pipeline import scheduled_run
+    from ark_invest_api_rust_data_spark.tickers import SCHEDULED_EXCLUDED, Source, Ticker
+
+    calls = []
+
+    def fetch(url: str) -> str:
+        calls.append(url)
+        if "ARKW" in url:
+            raise OSError("simulated upstream 500")
+        return ARK_CSV
+
+    results = scheduled_run(
+        spark, source=Source.ARK, root=str(tmp_path), fetcher=fetch, max_workers=4
+    )
+    expected = {t.name for t in Ticker if t not in SCHEDULED_EXCLUDED}
+    assert set(results) == expected and len(expected) == 8
+    assert isinstance(results["ARKW"], OSError)
+    ok = [k for k, v in results.items() if v is None]
+    assert len(ok) == 7  # everyone else succeeded
+    import os
+
+    assert os.path.exists(f"{tmp_path}/ARKK.parquet")
+    assert not os.path.exists(f"{tmp_path}/ARKW.parquet")
+
+
+def test_dtype_repair_golden(spark):
+    """C9 (util.rs:452-476): mistyped numeric columns are repaired —
+    float market_value/shares → long, long share_price/weight → double."""
+    from ark_invest_api_rust_data_spark.functions.casts import repair_dtypes
+
+    df = spark.createDataFrame(
+        [(1234.0, 10.0, 100, 5)],
+        "market_value double, shares double, share_price long, weight long",
+    )
+    out = repair_dtypes(df)
+    assert dict(out.dtypes) == {
+        "market_value": "bigint",
+        "shares": "bigint",
+        "share_price": "double",
+        "weight": "double",
+    }
+    r = out.first()
+    assert (r["market_value"], r["shares"], r["share_price"], r["weight"]) == (1234, 10, 100.0, 5.0)
