@@ -254,3 +254,55 @@ def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 fingerprints (bit_count of
     xor) — the SimHash pair-distance."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------------------ clusters
+def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Connected components over a near-duplicate pair graph → cluster
+    assignment (the step AFTER pair detection in a real dedup pipeline:
+    keep one doc per cluster). Iterative min-label propagation: each
+    node adopts the smallest label among itself and its neighbors until
+    fixpoint — O(diameter) joins, each a shuffle on the node id; dedup
+    graphs are near-cliques so diameter (and iteration count) is tiny.
+
+    Returns (node, cluster) where cluster = min node id in the
+    component. Deterministic regardless of partitioning.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        # fixpoint check: one small action per iteration (graphs here
+        # are near-cliques, so this converges in ~2-3 rounds)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.persist()
+        if changed == 0:
+            break
+    return labels.select("node", "cluster")

@@ -334,3 +334,41 @@ GROUP BY event_type
 """
 
 PROBES.append(Probe("b24_dedup_batch", "B24", b24_dedup_batch, B24_BATCH_SQL))
+
+
+# ------------------------------------------------ dedup clusters
+def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 endgame — near-dup pairs → connected components → cluster
+    assignment (iterative min-label propagation; operators/dedup.py).
+    Oracle: recursive-CTE transitive closure + min label (tractable on
+    the sparse near-dup graph)."""
+    from ..operators.dedup import dedup_clusters
+
+    pairs = minhash_lsh_pairs(load_table(spark, sf, "documents"), threshold=0.5)
+    return dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+
+
+LLM_CLUSTERS_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_sql_shingles(3)} AS s
+  FROM (SELECT doc_id, {_W} AS w FROM documents)),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jc
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE jc >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, via) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.via = e.src)
+SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node
+"""
+
+PROBES.append(Probe("llm_dedup_clusters", "B29", llm_dedup_clusters, LLM_CLUSTERS_SQL))

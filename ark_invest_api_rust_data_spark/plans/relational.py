@@ -883,3 +883,100 @@ PROBES.extend(
         Probe("b11_ranking_fns", "B11", b11_ranking_fns, B11_RANKING_SQL),
     ]
 )
+
+
+# ------------------------------------------------------- TPC-H Q4 shape
+def b04_exists_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 shape (SURVEY B4): orders in one quarter having at least one
+    line shipped after a cutoff — correlated EXISTS decorrelated by
+    Catalyst into a semi join."""
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    q = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    joined = q.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+B04_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------- TPC-H Q6 shape
+def b07_forecast_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 shape (SURVEY B7): pure scan-filter-agg — revenue change from
+    discounted small-quantity lines in one year. All predicates push to
+    the parquet scan."""
+    lineitem = load_table(spark, sf, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(_dec("l_extendedprice") * _dec("l_discount", 4, 2), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+B07_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------ TPC-H Q16 shape
+def b08_supplier_cnt_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 shape (SURVEY B8): distinct-count with an anti-join
+    exclusion list (suppliers of small parts, excluding one brand)."""
+    part = load_table(spark, sf, "part")
+    lineitem = load_table(spark, sf, "lineitem")
+    eligible = part.filter((F.col("p_size") <= 10) & (F.col("p_brand") != "BRAND_0"))
+    return (
+        lineitem.join(
+            F.broadcast(eligible), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+B08_Q16_SQL = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10 AND p_brand <> 'BRAND_0'
+GROUP BY p_brand, p_type
+"""
+
+PROBES.extend(
+    [
+        Probe("b04_exists_q4", "B4", b04_exists_q4, B04_Q4_SQL),
+        Probe("b07_forecast_q6", "B7", b07_forecast_q6, B07_Q6_SQL),
+        Probe("b08_supplier_cnt_q16", "B8", b08_supplier_cnt_q16, B08_Q16_SQL),
+    ]
+)
