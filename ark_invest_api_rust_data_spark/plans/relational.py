@@ -980,3 +980,33 @@ PROBES.extend(
         Probe("b08_supplier_cnt_q16", "B8", b08_supplier_cnt_q16, B08_Q16_SQL),
     ]
 )
+
+
+# ------------------------------------------- correlated scalar subquery
+def b04_correlated_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (SURVEY B4 family) — Catalyst
+    decorrelates it into an aggregate + left join."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("_cust_cs")
+    load_table(spark, sf, "orders").createOrReplaceTempView("_orders_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT CAST(min(o_orderdate) AS DATE) FROM _orders_cs
+                WHERE o_custkey = c_custkey) AS first_order,
+               (SELECT count(*) FROM _orders_cs
+                WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS n_finished
+        FROM _cust_cs
+        """
+    )
+
+
+B04_CORR_SQL = """
+SELECT c_custkey,
+       (SELECT CAST(min(o_orderdate) AS DATE) FROM orders
+        WHERE o_custkey = c_custkey) AS first_order,
+       (SELECT count(*) FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS n_finished
+FROM customer
+"""
+
+PROBES.append(Probe("b04_correlated_scalar", "B4", b04_correlated_scalar, B04_CORR_SQL))

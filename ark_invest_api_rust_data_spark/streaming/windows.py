@@ -144,3 +144,32 @@ def run_append_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair each left row with
+    right rows of the same key whose timestamp falls in
+    [left_ts - lookback, left_ts]. In streaming mode both sides carry
+    watermarks and the time-bound condition lets Spark expire join
+    state — the canonical bounded-state stream-stream join."""
+    lts, rts = f"_l_{left_ts}", f"_r_{right_ts}"
+    l = left.withColumnRenamed(left_ts, lts)
+    r = right.withColumnRenamed(right_ts, rts)
+    if left.isStreaming and watermark:
+        l = l.withWatermark(lts, watermark)
+    if right.isStreaming and watermark:
+        r = r.withWatermark(rts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(rts) <= F.col(lts))
+        & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond)

@@ -204,3 +204,29 @@ def test_custom_stateful_operator_matches_batch(spark, event_dir):
     # sanity: some users crossed the alert threshold, some didn't
     kinds = {r["alerted"] for r in batch.collect()}
     assert kinds == {True} or kinds == {True, False}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, event_dir):
+    """Bounded-state stream-stream join: purchases ⋈ clicks within a
+    30-minute lookback per user — streaming replay (shuffled arrival,
+    generous watermark) must equal the batch join."""
+    from ark_invest_api_rust_data_spark.streaming.windows import interval_join
+
+    def split(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", "ts"
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), "user_id", "ts"
+        )
+        return p, c
+
+    bp, bc = split(spark.read.parquet(event_dir))
+    batch = interval_join(bp, bc, "user_id").select("p_id", "c_id")
+
+    sp, s_all = stream_events(spark, event_dir), stream_events(spark, event_dir)
+    spf, scf = split(sp)[0], split(s_all)[1]
+    stream = interval_join(spf, scf, "user_id", watermark="800 hours").select("p_id", "c_id")
+    got = run_append_to_completion(stream, "t_interval")
+    assert _rows(got) == _rows(batch)
+    assert batch.count() > 0
