@@ -5,8 +5,10 @@ Where the reference runs read→collect→format→collect→concat→collect→
 write per ticker (/root/reference/src/util.rs:43-108), here each ticker
 is ONE lazy Spark DAG: cache scan → (tiny watermark agg) → driver HTTP
 fetch → normalize both branches → union → dedupe → write. The triple
-re-format collapses to a single normalize per branch (idempotent by
-construction; property-tested).
+normalize application is KEPT (not collapsed): rule cascades reach
+their fixpoint only after up to 3 passes (see operators/normalize.py;
+property-tested) — but here they're lazy projections in one DAG, not
+three separate materializations.
 
 Orchestration (scheduler, jitter, per-ticker fan-out) is plain driver
 Python — the fetch is I/O-bound HTTP, so a thread pool over tickers
@@ -137,3 +139,41 @@ def scheduled_run(
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         list(pool.map(run, tickers))
     return results
+
+
+def run_daemon(
+    spark: SparkSession,
+    schedule_times: tuple[str, ...] = ("10:00", "22:00"),
+    root: str = DEFAULT_ROOT,
+    fetcher: Fetcher = http_fetch,
+    clock=None,
+    sleeper=None,
+    max_cycles: int | None = None,
+) -> int:
+    """O3 — the twice-daily scheduler loop (/root/reference/src/main.rs:
+    114-121, clokwerk '10:00 am'/'10:00 pm'). Plain driver loop — the
+    source is pull-based HTTP, so Structured Streaming is the wrong
+    tool here (SURVEY A.7). ``clock``/``sleeper``/``max_cycles`` are
+    injectable for tests; production callers pass none of them (or use
+    external cron with the `scheduled-run` CLI instead)."""
+    import datetime as _dt
+
+    # clock() returns "HH:MM" or "YYYY-MM-DD HH:MM"; the date part (when
+    # present) resets the fired-set at day rollover
+    clock = clock or (lambda: _dt.datetime.now().strftime("%Y-%m-%d %H:%M"))
+    sleeper = sleeper or time.sleep
+    fired_today: set[str] = set()
+    current_day: str | None = None
+    cycles = 0
+    while max_cycles is None or cycles < max_cycles:
+        now = clock()
+        day, _, hhmm = now.rpartition(" ")
+        if day and day != current_day:
+            current_day = day
+            fired_today.clear()
+        if hhmm in schedule_times and hhmm not in fired_today:
+            scheduled_run(spark, root=root, fetcher=fetcher)
+            fired_today.add(hhmm)
+        cycles += 1
+        sleeper(1)
+    return cycles

@@ -222,3 +222,40 @@ def test_dtype_repair_golden(spark):
     }
     r = out.first()
     assert (r["market_value"], r["shares"], r["share_price"], r["weight"]) == (1234, 10, 100.0, 5.0)
+
+
+def test_read_only_mode(spark, tmp_path):
+    """O6: Source.READ serves the cache, errors when absent
+    (util.rs:57-60)."""
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        refresh_ticker(spark, Ticker.ARKK, Source.READ, str(tmp_path))
+    df = normalize(csv_to_df(spark, ARK_CSV))
+    write_ticker(df, str(tmp_path), "ARKK")
+    out = refresh_ticker(spark, Ticker.ARKK, Source.READ, str(tmp_path))
+    assert out.count() == df.count()
+
+
+def test_daemon_fires_on_schedule(spark, tmp_path):
+    """O3: the scheduler loop fires exactly at configured times, once
+    per time slot (injectable clock/sleeper — no real sleeping)."""
+    from ark_invest_api_rust_data_spark.pipeline import run_daemon
+
+    runs = []
+
+    def fetch(url):
+        runs.append(url)
+        return ARK_CSV
+
+    ticks = iter(["09:59", "10:00", "10:00", "13:37", "22:00", "23:00"])
+    run_daemon(
+        spark,
+        root=str(tmp_path),
+        fetcher=fetch,
+        clock=lambda: next(ticks),
+        sleeper=lambda s: None,
+        max_cycles=6,
+    )
+    # 8 scheduled tickers × 2 firings (10:00 fired once despite two ticks)
+    assert len(runs) == 16
