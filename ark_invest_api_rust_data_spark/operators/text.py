@@ -20,6 +20,12 @@ from pyspark.sql import Column, DataFrame
 
 STOPWORDS = ("a", "the")  # corpus-appropriate tiny stopword set
 
+# BPE-ish subword segmentation: runs of lowercase, TitleCase fragments,
+# digit runs, or single non-alnum marks — the pre-tokenization regex
+# family GPT-2-style BPE vocabularies are trained over. Simple enough
+# that Java regex (Spark) and RE2 (DuckDB oracle) agree exactly.
+SUBTOKEN_RE = r"[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"
+
 HASH_MOD = 4294967296  # 2^32 — token hashes are uint32 on an int64 carrier
 
 
@@ -54,9 +60,11 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
     from .dedup import _spread
 
+    n_subtokens = F.regexp_count(F.col(text_col), F.lit(SUBTOKEN_RE))
     return _spread(df).select(
         id_col,
         n_tokens.alias("n_tokens"),
+        n_subtokens.alias("n_subtokens"),
         n_uniq.alias("n_uniq"),
         F.length(F.col(text_col)).alias("n_chars"),
         (sum_len.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),

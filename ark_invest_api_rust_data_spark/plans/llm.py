@@ -67,7 +67,10 @@ s AS (
     len(list_filter(w, x -> lower(x) IN ('a', 'the'))) AS n_stop,
     list_sum(list_transform(w, x -> length(x))) AS sum_len
   FROM t)
-SELECT doc_id, n_tokens, n_uniq,
+SELECT doc_id, n_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]'))
+    AS n_subtokens,
+  n_uniq,
   length(text) AS n_chars,
   CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
   CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
