@@ -68,7 +68,7 @@ s AS (
     list_sum(list_transform(w, x -> length(x))) AS sum_len
   FROM t)
 SELECT doc_id, n_tokens,
-  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]'))
+  len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]'))
     AS n_subtokens,
   n_uniq,
   length(text) AS n_chars,
