@@ -204,3 +204,88 @@ def cosine_near_dup_pairs(
     from .dedup import _spread
 
     return _spread(quant).mapInPandas(score, out_schema)
+
+
+# ----------------------------------------------------------- IVF tier
+class IvfIndex:
+    """IVF (inverted-file) vector index — the beyond-broadcast scale
+    path for similarity search.
+
+    Build: k-means on a driver-side sample (deterministic seed), then
+    one distributed pass assigns every row to its nearest centroid
+    (numpy argmax over the broadcast centroid matrix inside
+    mapInPandas). Persisted with ``partitionBy(cluster)`` the layout
+    gives PARTITION PRUNING: a query reads only its nprobe nearest
+    clusters (~nprobe/k of the data) — the IVF-Flat design, expressed
+    as a parquet layout instead of a custom index file.
+
+    Query: rank centroids driver-side (tiny), filter to the nprobe
+    nearest clusters, exact quantized cosine top-k within.
+    """
+
+    def __init__(self, centroids, assigned: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids  # (k, dim) float64 ndarray
+        self.assigned = assigned  # input df + 'cluster' int column
+        self.id_col, self.vec_col = id_col, vec_col
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        n_centroids: int = 16,
+        sample: int = 2048,
+        iters: int = 10,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        import numpy as np
+
+        smp = (
+            df.orderBy(id_col).limit(sample).select(vec_col).collect()
+        )  # deterministic sample: first N by id
+        X = np.array([list(r[0]) for r in smp], dtype=np.float64)
+        rng = np.random.RandomState(seed)
+        cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+        for _ in range(iters):
+            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            for c in range(len(cents)):
+                members = X[lab == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+
+        sc = df.sparkSession.sparkContext
+        b_cents = sc.broadcast(cents)
+        from pyspark.sql import types as T
+
+        fields = df.schema.fields + [T.StructField("cluster", T.IntegerType())]
+        out_schema = T.StructType(fields)
+
+        def assign(batches):
+            import pandas as pd
+
+            C = b_cents.value
+            for pdf in batches:
+                V = np.array(list(pdf[vec_col].map(list)), dtype=np.float64)
+                d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                pdf = pdf.copy()
+                pdf["cluster"] = d.argmin(axis=1).astype("int32")
+                yield pdf
+
+        from .dedup import _spread
+
+        assigned = _spread(df).mapInPandas(assign, out_schema)
+        return IvfIndex(cents, assigned, id_col, vec_col)
+
+    def save(self, path: str) -> None:
+        """Persist centroid-partitioned (→ partition pruning on query)."""
+        self.assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+    def query(self, query_vec: list, k: int = 10, nprobe: int = 4) -> DataFrame:
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        d = ((self.centroids - q[None, :]) ** 2).sum(axis=1)
+        probes = [int(c) for c in d.argsort()[:nprobe]]
+        cand = self.assigned.filter(F.col("cluster").isin(probes)).drop("cluster")
+        return cosine_topk(cand, list(query_vec), k, self.id_col, self.vec_col)

@@ -215,3 +215,30 @@ def test_vectorized_near_dup_equals_expression_tier(spark):
         .select("vec_a", "vec_b", "cosine")
     )
     assert sorted(map(tuple, vec.collect())) == sorted(map(tuple, expr.collect()))
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF tier: nprobe search must recover most of the exact top-10
+    with bit-identical scores, and the saved layout must partition-
+    prune (scan only the probed cluster directories)."""
+    from ark_invest_api_rust_data_spark.operators.similarity import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = IvfIndex.build(emb, n_centroids=8, iters=5)
+    query = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, query, k=10).collect()}
+    got = {r["vec_id"]: r["cosine"] for r in idx.query(query, k=10, nprobe=4).collect()}
+    overlap = set(exact) & set(got)
+    assert len(overlap) >= 6  # ≥60% recall at nprobe=4/8
+    for v in overlap:
+        assert got[v] == exact[v]  # same scoring math
+
+    # persisted layout prunes partitions
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("cluster") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cluster" in plan or "cluster#" in plan
+    assert one.count() > 0
