@@ -66,3 +66,29 @@ def write_lake(df: DataFrame, root: str, mode: str = "overwrite") -> str:
 def read_lake(spark: SparkSession, root: str) -> DataFrame:
     tune(spark)
     return spark.read.parquet(f"{root}/holdings")
+
+
+def compact_lake(
+    spark: SparkSession, root: str, max_records_per_file: int = 5_000_000
+) -> int:
+    """Compact the hive-partitioned holdings lake in place.
+
+    Incremental merges with dynamic partition overwrite accumulate one
+    small file per merge per touched partition; at warehouse scale the
+    file count (not data size) becomes the scan bottleneck. This
+    rewrites every partition through a shuffle-free coalescing pass:
+    read → write with maxRecordsPerFile, partition layout preserved.
+    Returns the number of files after compaction. Run it off-peak; the
+    write is atomic per partition (dynamic overwrite)."""
+    import glob as _glob
+
+    path = f"{root}/holdings"
+    df = spark.read.parquet(path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("ticker", "date")
+        .parquet(path)
+    )
+    return len(_glob.glob(f"{path}/*/*/*.parquet"))

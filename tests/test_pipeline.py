@@ -259,3 +259,31 @@ def test_daemon_fires_on_schedule(spark, tmp_path):
     )
     # 8 scheduled tickers × 2 firings (10:00 fired once despite two ticks)
     assert len(runs) == 16
+
+
+def test_lake_compaction_reduces_files(spark, tmp_path):
+    """Roadmap #4: repeated incremental merges leave small files; the
+    compaction pass rewrites partitions to one file each with no data
+    change."""
+    import glob
+
+    from ark_invest_api_rust_data_spark.sources.parquet_store import (
+        compact_lake,
+        read_lake,
+        write_lake,
+    )
+
+    root = str(tmp_path)
+    df = normalize(csv_to_df(spark, ARK_CSV))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # simulate 3 merge rounds appending to the same partitions
+    write_lake(df, root)
+    write_lake(df.repartition(4), root, mode="append")
+    write_lake(df.repartition(4), root, mode="append")
+    before = len(glob.glob(f"{root}/holdings/*/*/*.parquet"))
+    rows_before = sorted(map(tuple, read_lake(spark, root).collect()))
+
+    after = compact_lake(spark, root)
+    assert after < before
+    rows_after = sorted(map(tuple, read_lake(spark, root).collect()))
+    assert rows_after == rows_before
