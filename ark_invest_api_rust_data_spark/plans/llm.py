@@ -375,3 +375,31 @@ SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node
 """
 
 PROBES.append(Probe("llm_dedup_clusters", "B29", llm_dedup_clusters, LLM_CLUSTERS_SQL))
+
+
+# ------------------------------------------------ hypertable rollup
+def b21_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution continuous aggregate (1m/10m/1h buckets) in a
+    single grouping-sets pass (streaming/windows.py hypertable_rollup);
+    the oracle unions per-resolution time_bucket aggregations."""
+    from ..streaming.windows import hypertable_rollup
+
+    return hypertable_rollup(load_table(spark, sf, "events"))
+
+
+B21_HYPER_SQL = """
+SELECT 60 AS resolution_s, time_bucket(INTERVAL '60 seconds', ts) AS bucket_start,
+       event_type, count(*) AS c,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 600, time_bucket(INTERVAL '600 seconds', ts), event_type, count(*),
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 3600, time_bucket(INTERVAL '3600 seconds', ts), event_type, count(*),
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+"""
+
+PROBES.append(Probe("b21_hypertable_rollup", "B21", b21_hypertable_rollup, B21_HYPER_SQL))

@@ -173,3 +173,42 @@ def interval_join(
         & (F.col(rts) >= F.col(lts) - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond)
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    widths_seconds: tuple[int, ...] = (60, 600, 3600),
+    value_col: str = "value",
+) -> DataFrame:
+    """TimescaleDB-style multi-resolution rollup (the 'hypertable
+    rollup' custom-operator case): counts + exact sums for SEVERAL
+    bucket widths in ONE scan, expressed as grouping sets over
+    precomputed bucket columns — Catalyst expands to a single
+    partial+final aggregation, no per-resolution rescan.
+
+    Output: (resolution_s, bucket_start, event_type, c, sum_value) —
+    one row per (width, bucket, type)."""
+    buckets = {
+        f"_b{w}": F.timestamp_seconds(
+            (F.col("ts").cast("long") / F.lit(w)).cast("long") * F.lit(w)
+        )
+        for w in widths_seconds
+    }
+    src = events.withColumns(buckets)
+    src.createOrReplaceTempView("_hyper_src")
+    sets = ", ".join(f"(_b{w}, event_type)" for w in widths_seconds)
+    cases = " ".join(
+        f"WHEN _b{w} IS NOT NULL THEN {w}" for w in widths_seconds
+    )
+    coalesce_bucket = ", ".join(f"_b{w}" for w in widths_seconds)
+    return events.sparkSession.sql(
+        f"""
+        SELECT CASE {cases} END AS resolution_s,
+               coalesce({coalesce_bucket}) AS bucket_start,
+               event_type,
+               count(*) AS c,
+               CAST(SUM(CAST({value_col} AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        FROM _hyper_src
+        GROUP BY GROUPING SETS ({sets})
+        """
+    )
