@@ -126,7 +126,6 @@ def lsh_bucketed_topk(
     bucketed = df.withColumn("_sig", srp_signature(F.col(vec_col), dim, bits, seed))
 
     # query bucket + probed neighbors, computed driver-side (tiny)
-    plane_sigs = []
     qq = [int(__import__("math").floor(v * Q)) for v in query]
     base_sig = 0
     for j in range(bits):

@@ -25,7 +25,6 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.adapters import DataSource
 from .operators.merge import canonical_sort, concat_dedupe, incremental_merge, watermark
 from .operators.normalize import normalize
 from .sources.data_reader import (
