@@ -76,7 +76,9 @@ def b02_star_join(spark: SparkSession, sf: str) -> DataFrame:
         lineitem.join(
             orders.filter(year_1997), F.col("l_orderkey") == F.col("o_orderkey")
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is unbounded (grows with SF): no hard broadcast hint —
+        # AQE picks broadcast vs shuffle from its runtime size estimate.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(nation),
@@ -164,8 +166,9 @@ def b05_theta_join(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part")
     lineitem = load_table(spark, sf, "lineitem")
     return (
+        # part is unbounded: let AQE decide broadcast vs shuffle.
         lineitem.join(
-            F.broadcast(part),
+            part,
             (F.col("l_partkey") == F.col("p_partkey")) & (F.col("l_quantity") > F.col("p_size")),
         )
         .groupBy("p_brand")
@@ -766,8 +769,9 @@ def b02_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     return (
         lineitem.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        # filtered customer is still SF-proportional: no hard hint, AQE decides.
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_date"))
@@ -958,9 +962,8 @@ def b08_supplier_cnt_q16(spark: SparkSession, sf: str) -> DataFrame:
     lineitem = load_table(spark, sf, "lineitem")
     eligible = part.filter((F.col("p_size") <= 10) & (F.col("p_brand") != "BRAND_0"))
     return (
-        lineitem.join(
-            F.broadcast(eligible), F.col("l_partkey") == F.col("p_partkey")
-        )
+        # eligible parts are SF-proportional: AQE decides broadcast vs shuffle.
+        lineitem.join(eligible, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

@@ -1,0 +1,69 @@
+"""Physical-plan guarantees for the 100 TB posture.
+
+The star joins must NOT hard-hint broadcast on unbounded (SF-proportional)
+tables: a hard ``F.broadcast`` overrides AQE's size estimate and would OOM
+the driver when customer/part are multi-GB. Bounded dims (region, nation,
+supplier) keep their hints. We verify by setting the broadcast thresholds
+to -1 *after* plan construction (load_table's tune() re-applies the default
+threshold during construction): hinted tables still broadcast (hints
+override thresholds), while unhinted ones must fall back to a shuffle join.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+_THRESH_KEYS = [
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold",
+]
+
+
+def _plan_without_auto_broadcast(spark, df) -> str:
+    """Execute df with auto-broadcast disabled; return the final plan."""
+    old = {}
+    for k in _THRESH_KEYS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        df.collect()  # planning happens here, with thresholds off
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_star_join_customer_not_hard_broadcast(spark):
+    from ark_invest_api_rust_data_spark.plans.relational import b02_star_join
+
+    df = b02_star_join(spark, SF)
+    plan = _plan_without_auto_broadcast(spark, df)
+    # bounded dims are hinted → broadcast survives threshold=-1
+    assert "BroadcastHashJoin" in plan
+    # customer (and the fact-fact join) are unhinted → with thresholds off
+    # they must NOT broadcast
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "probe_name",
+    ["b05_theta_join", "b08_supplier_cnt_q16", "b02_q3_shipping_priority"],
+)
+def test_unbounded_tables_not_hard_broadcast(spark, probe_name):
+    from ark_invest_api_rust_data_spark.plans import relational
+
+    fn = getattr(relational, probe_name)
+    plan = _plan_without_auto_broadcast(spark, fn(spark, SF))
+    assert "BroadcastHashJoin" not in plan, (
+        f"{probe_name} still hard-hints broadcast on an unbounded table"
+    )
