@@ -1013,3 +1013,105 @@ FROM customer
 """
 
 PROBES.append(Probe("b04_correlated_scalar", "B4", b04_correlated_scalar, B04_CORR_SQL))
+
+
+# ------------------------------------------------- B23 (deterministic twin)
+def b23_late_data_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark accept/drop semantics (SURVEY B23), batch-expressible
+    deterministic replay twin of tests/test_streaming.py::
+    test_b23_watermark_late_data_semantics.
+
+    Models Structured Streaming's rule — watermark after each
+    micro-batch is max(event time seen so far) − delay; an event is
+    DROPPED iff its time is below the watermark established by PRIOR
+    batches. Arrival order is a deterministic arithmetic shuffle
+    ((event_id * 48271) % 10007, tie-broken by event_id; events arrive
+    near-ordered by event_id, so a shuffle is needed to create genuine
+    lateness), chunked into 500-row micro-batches.
+
+    The global row_number models the SOURCE's arrival order — in a real
+    stream that order is given, not computed; per-batch max + the
+    running max over the (tiny) batch table are map-side combines plus
+    a broadcast join back, which is the 100 TB shape."""
+    events = load_table(spark, sf, "events").select("event_id", "ts", "event_type")
+    arr = events.withColumn(
+        "akey", (F.col("event_id") * F.lit(48271)) % F.lit(10007)
+    )
+    w_arr = Window.orderBy("akey", "event_id")
+    batched = arr.withColumn(
+        "batch", F.floor((F.row_number().over(w_arr) - F.lit(1)) / F.lit(500)).cast("long")
+    )
+    bmax = batched.groupBy("batch").agg(F.max("ts").alias("batch_max"))
+    w_b = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.withColumn("wm_max", F.max("batch_max").over(w_b)).select("batch", "wm_max")
+    status = F.when(
+        F.col("wm_max").isNull()
+        | (F.col("ts") >= F.col("wm_max") - F.expr("INTERVAL 240 HOURS")),
+        F.lit("accepted"),
+    ).otherwise(F.lit("dropped"))
+    return (
+        batched.join(F.broadcast(wm), "batch")
+        .withColumn("status", status)
+        .groupBy("status", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+B23_SQL = """
+WITH arr AS (
+  SELECT event_id, ts, event_type,
+         (event_id * 48271) % 10007 AS akey
+  FROM events),
+rn AS (
+  SELECT event_id, ts, event_type,
+         row_number() OVER (ORDER BY akey, event_id) - 1 AS rid
+  FROM arr),
+batched AS (
+  SELECT event_id, ts, event_type, rid // 500 AS batch FROM rn),
+bmax AS (
+  SELECT batch, max(ts) AS batch_max FROM batched GROUP BY batch),
+wm AS (
+  SELECT batch,
+         max(batch_max) OVER (ORDER BY batch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_max
+  FROM bmax)
+SELECT CASE WHEN w.wm_max IS NULL
+            OR b.ts >= w.wm_max - INTERVAL '240 hours'
+       THEN 'accepted' ELSE 'dropped' END AS status,
+       b.event_type, count(*) AS c
+FROM batched b JOIN wm w USING (batch)
+GROUP BY status, b.event_type
+"""
+
+PROBES.append(Probe("b23_late_data_accounting", "B23", b23_late_data_accounting, B23_SQL))
+
+
+# --------------------------------------- B23/B21 interval join (batch twin)
+def b23_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join, batch twin (SURVEY B23 family):
+    purchases ⋈ clicks of the same user within a 30-minute lookback —
+    the exact plan streaming/windows.py interval_join runs under
+    watermarks (replay equivalence: tests/test_streaming.py::
+    test_stream_stream_interval_join_equals_batch)."""
+    from ..streaming.windows import interval_join
+
+    events = load_table(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts"
+    )
+    return interval_join(purchases, clicks, "user_id").select("p_id", "c_id")
+
+
+B23_INTERVAL_SQL = """
+SELECT p.event_id AS p_id, c.event_id AS c_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+PROBES.append(Probe("b23_interval_join", "B23", b23_interval_join, B23_INTERVAL_SQL))

@@ -49,8 +49,13 @@ def write_ticker(df: DataFrame, root: str, ticker: str) -> str:
     return final
 
 
-def write_lake(df: DataFrame, root: str, mode: str = "overwrite") -> str:
-    """Scale sink: hive-partitioned by (ticker, date). With
+def write_lake(
+    df: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    partition_cols: tuple[str, ...] = ("ticker", "date"),
+) -> str:
+    """Scale sink: hive-partitioned by (ticker, date) by default. With
     ``partitionOverwriteMode=dynamic`` an incremental merge rewrites
     only the date partitions present in ``df``."""
     path = f"{root}/holdings"
@@ -59,7 +64,7 @@ def write_lake(df: DataFrame, root: str, mode: str = "overwrite") -> str:
         if hasattr(df, "sparkSession")
         else None
     )
-    df.write.mode(mode).partitionBy("ticker", "date").parquet(path)
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     return path
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 import pytest
 
 SF = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
@@ -53,6 +54,39 @@ def test_star_join_customer_not_hard_broadcast(spark):
     # customer (and the fact-fact join) are unhinted → with thresholds off
     # they must NOT broadcast
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_lake_read_partition_prunes(spark):
+    """The lake read path must prune: the scan's PartitionFilters carry
+    the ticker/date predicates, and only matching partition directories
+    are read (file count in the scan < total lake files)."""
+    from ark_invest_api_rust_data_spark.plans.lake import (
+        build_orders_lake,
+        s02_lake_pruned_read,
+    )
+
+    df = s02_lake_pruned_read(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ticker" in plan.split("PartitionFilters")[1][:400]
+
+    import glob
+
+    root = build_orders_lake(spark, SF)
+    total = len(glob.glob(f"{root}/holdings/*/*/*.parquet"))
+    selected = len(glob.glob(f"{root}/holdings/ticker=F/date=1997-*/*.parquet"))
+    assert 0 < selected < total
+    # the filtered scan reads only the selected partition files
+    filtered = (
+        spark.read.parquet(f"{root}/holdings")
+        .filter(
+            (F.col("ticker") == "F")
+            & (F.col("date") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("date") < F.lit("1998-01-01").cast("date"))
+        )
+    )
+    scanned = filtered.select(F.input_file_name()).distinct().count()
+    assert scanned == selected
 
 
 @pytest.mark.parametrize(
