@@ -205,6 +205,85 @@ def cosine_near_dup_pairs(
     return _spread(quant).mapInPandas(score, out_schema)
 
 
+def cosine_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates — block-matrix tier.
+
+    The broadcast tier above collects the whole quantized matrix to the
+    driver; fine to ~10⁶×64d, impossible at 100 TB. This tier is the
+    beyond-broadcast EXACT path (LSH/IVF pruning cannot guarantee the
+    exact result at low thresholds like 0.45, where SRP bit-agreement
+    is only ~0.65/bit): split rows into ``n_blocks`` deterministic
+    blocks, replicate each row to every block pair it participates in
+    (×n_blocks amplification), and score one block pair per
+    applyInPandas group with a single int64 matmul. Compute is the same
+    O(n²/2) dot products — irreducible for an exact answer — but
+    distributed over B(B+1)/2 independent tasks with O((n/B)·d) memory
+    each and NO driver round-trip; size n_blocks so a block fits an
+    executor (e.g. 10⁹ rows × 64d → B=1024 ⇒ ~0.5 GB/block).
+
+    Scoring math is bit-identical to the broadcast tier and the O(n²)
+    SQL oracle: exact int64 dot products, double divide, IEEE sqrt.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        _quantize(F.col(vec_col)).alias("_q"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # row in block b joins block-pair group (min(b,o), max(b,o)) for every o
+    rep = (
+        q.withColumn("_other", F.explode(F.array(*[F.lit(b) for b in range(n_blocks)])))
+        .withColumn("_bi", F.least("_blk", "_other"))
+        .withColumn("_bj", F.greatest("_blk", "_other"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_block_pair(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = key
+        left = pdf[pdf["_blk"] == bi]
+        right = pdf[pdf["_blk"] == bj] if bi != bj else left
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        ids_l = left["_id"].to_numpy(dtype=np.int64)
+        ids_r = right["_id"].to_numpy(dtype=np.int64)
+        L = np.array(list(left["_q"].map(list)), dtype=np.int64)
+        R = np.array(list(right["_q"].map(list)), dtype=np.int64)
+        nl = np.sqrt((L * L).sum(axis=1).astype(np.float64))
+        nr = np.sqrt((R * R).sum(axis=1).astype(np.float64))
+        cos = (L @ R.T).astype(np.float64) / (nl[:, None] * nr[None, :])
+        # each unordered pair appears in exactly one block-pair group;
+        # emit (smaller id, larger id), never self-pairs
+        if bi == bj:
+            mask = (cos >= threshold) & (ids_l[:, None] < ids_r[None, :])
+        else:  # cross-block ids never collide (block = id mod n_blocks)
+            mask = cos >= threshold
+        ii, jj = np.nonzero(mask)
+        a, b = ids_l[ii], ids_r[jj]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cosine": cos[ii, jj]}
+        )
+
+    return rep.groupBy("_bi", "_bj").applyInPandas(score_block_pair, out_schema)
+
+
 # ----------------------------------------------------------- IVF tier
 class IvfIndex:
     """IVF (inverted-file) vector index — the beyond-broadcast scale

@@ -258,15 +258,19 @@ PROBES = [
 # ------------------------------------------------ embedding near-dup
 def llm_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """B29 (embedding variant) — cosine near-duplicate pairs ≥ 0.45 on
-    the quantized grid. Brute-force pair scan here (oracle-matched);
-    the bucketed-ANN path in operators/similarity.py is the scale
-    variant of the same scoring math."""
-    from ..operators.similarity import cosine_near_dup_pairs
+    the quantized grid, via the BLOCK-MATRIX exact tier: rows split
+    into deterministic blocks, one int64 matmul per block pair inside
+    applyInPandas — no driver collect/broadcast of the matrix, memory
+    O((n/B)·d) per task. Exact by construction (LSH pruning cannot
+    guarantee exactness at a 0.45 threshold); bit-identical math to the
+    broadcast tier and the O(n²) SQL oracle. The ANN tiers
+    (SRP-bucketed, IVF) in operators/similarity.py are the approximate
+    scale paths, recall-tested in tests/test_llm_ops.py."""
+    from ..operators.similarity import cosine_near_dup_pairs_blocked
 
-    # numpy-vectorized all-pairs tier (broadcast quantized matrix +
-    # one integer matmul per Arrow batch); identical math to the
-    # expression tier, ~20x faster — see operators/similarity.py
-    return cosine_near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.45)
+    return cosine_near_dup_pairs_blocked(
+        load_table(spark, sf, "embeddings"), threshold=0.45, n_blocks=8
+    )
 
 
 _QA = "CAST(floor(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"

@@ -186,6 +186,27 @@ def test_bucketed_join_elides_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
+def test_blocked_near_dup_equals_broadcast_tier(spark):
+    """The block-matrix exact tier (no driver collect) must produce
+    BIT-identical pairs+cosines to the broadcast tier, for any block
+    count — every unordered pair must appear exactly once."""
+    from ark_invest_api_rust_data_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_blocked,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    want = sorted(map(tuple, cosine_near_dup_pairs(emb, threshold=0.40).collect()))
+    for n_blocks in (1, 3, 8):
+        got = sorted(
+            map(
+                tuple,
+                cosine_near_dup_pairs_blocked(emb, 0.40, n_blocks=n_blocks).collect(),
+            )
+        )
+        assert got == want, f"n_blocks={n_blocks}"
+
+
 def test_vectorized_near_dup_equals_expression_tier(spark):
     """The numpy mapInPandas all-pairs tier must produce BIT-identical
     pairs+cosines to the pure-expression formulation (same integer
