@@ -150,7 +150,8 @@ def minhash_lsh_pairs(
         .drop("_base")
         # reused by: band explode (×1), shingle lookups (×2) — persist
         # instead of recomputing the signature pipeline per consumer
-        # (at warehouse scale: checkpoint signatures to the lake)
+        # (at warehouse scale: checkpoint signatures to the lake).
+        # Released below once the (small) pair result is materialized.
         .persist()
     )
 
@@ -183,13 +184,21 @@ def minhash_lsh_pairs(
     )
     sh_a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
     sh_b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
-    return (
+    result = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jc", jaccard(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jc") >= threshold)
         .select("doc_a", "doc_b", "jc")
     )
+    try:
+        # materialize the pair result (tiny vs the corpus) while the
+        # signature frame is cached, then release executor storage —
+        # a long-lived session must not accumulate signature caches
+        result = result.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -267,42 +276,70 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
 
     Returns (node, cluster) where cluster = min node id in the
     component. Deterministic regardless of partitioning.
+
+    Resource hygiene: edges are cached for the loop and released at the
+    end; each iteration's labels are materialized with a lineage cut
+    (localCheckpoint) and the superseded iteration is dropped — storage
+    stays O(nodes) and the plan stays O(1) deep no matter the graph
+    diameter.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .persist()  # probed every iteration
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("cluster").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
-                ).alias("cluster"),
+    try:
+        while True:
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nmin"))
             )
-        )
-        # fixpoint check: one small action per iteration (graphs here
-        # are near-cliques, so this converges in ~2-3 rounds)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.cluster") != F.col("l.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.persist()
-        if changed == 0:
-            break
-    return labels.select("node", "cluster")
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                    ).alias("cluster"),
+                )
+                # materialize + cut lineage: the next iteration (and the
+                # fixpoint check) read these partitions, not a plan that
+                # deepens by two joins per round
+                .localCheckpoint(eager=True)
+            )
+            # fixpoint check: one small action per iteration (graphs here
+            # are near-cliques, so this converges in ~2-3 rounds)
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "node")
+                .filter(F.col("u.cluster") != F.col("l.cluster"))
+                .limit(1)
+                .count()
+            )
+            _release_checkpoint(labels)  # superseded iteration
+            labels = updated
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels  # columns are exactly (node, cluster); returning the
+    # checkpointed frame itself keeps it releasable via _release_checkpoint
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the storage behind a localCheckpoint'ed DataFrame we no
+    longer need. DataFrame.unpersist() only consults the SQL cache
+    manager, so reach the checkpointed RDD itself; best-effort (the
+    ContextCleaner would reclaim it eventually anyway)."""
+    try:  # LogicalRDD (the localCheckpoint plan node) holds the RDD
+        df._jdf.logicalPlan().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -186,6 +186,38 @@ def test_bucketed_join_elides_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
+def test_dedup_ops_release_executor_storage(spark):
+    """Long-lived-session hygiene: minhash_lsh_pairs and dedup_clusters
+    must not accumulate cached partitions — after each call the only
+    surviving storage is the (small) materialized result, releasable
+    via _release_checkpoint."""
+    from ark_invest_api_rust_data_spark.operators.dedup import (
+        _release_checkpoint,
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    docs = load_table(spark, SF, "documents")
+    for _ in range(2):
+        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        assert pairs.count() >= 0
+        # signature frame released; only the result checkpoint lives
+        assert n_persistent() <= base + 1
+        clusters = dedup_clusters(pairs)
+        assert clusters.count() >= 0
+        # edges + per-iteration labels released; final labels remain
+        assert n_persistent() <= base + 2
+        _release_checkpoint(clusters)
+        _release_checkpoint(pairs)
+        assert n_persistent() == base
+
+
 def test_blocked_near_dup_equals_broadcast_tier(spark):
     """The block-matrix exact tier (no driver collect) must produce
     BIT-identical pairs+cosines to the broadcast tier, for any block
