@@ -2,9 +2,11 @@
 
 Media (image/audio/video) travels as opaque ``binary`` columns with a
 typed metadata struct. All the Spark-side machinery — schema, batch
-iteration, Arrow transfer shape, partition sizing — is real and tested;
-the actual codec step is STUBBED (this container has no image/audio
-libs) behind ``decode_stub``: a deterministic fake that derives feature
+iteration, Arrow transfer shape, partition sizing — is real and tested.
+Image METADATA decode is real too: ``parse_image_dims`` reads
+width/height straight from PNG IHDR / JPEG SOFn / GIF headers in pure
+Python (no media libs needed). Only the pixel/feature codec is STUBBED
+behind ``decode_stub``: a deterministic fake that derives feature
 values from the bytes, or raises NotImplementedError in strict mode.
 
 Pattern: ``mapInPandas`` over Arrow batches so each Python worker sees
@@ -48,6 +50,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("checksum", T.LongType()),
+        T.StructField("width", T.IntegerType()),  # parsed from real headers
+        T.StructField("height", T.IntegerType()),  # (null if not an image)
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -79,6 +83,53 @@ def attach_media(
     )
 
 
+def parse_image_dims(b: bytes) -> tuple[int, int] | None:
+    """REAL image metadata decode, pure Python over raw bytes — no
+    media libs needed. Supports PNG (IHDR), JPEG (SOFn segment walk)
+    and GIF (logical screen descriptor); returns (width, height) or
+    None if the payload is not a recognized image."""
+    if b is None or len(b) < 10:
+        return None
+    # PNG: 8-byte signature, IHDR is always the first chunk → width and
+    # height are the two big-endian u32 at offsets 16 and 20
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    # JPEG: walk marker segments to the first SOFn (C0–CF minus the
+    # non-frame markers C4/C8/CC); dims are big-endian u16 at +5/+7
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:  # no payload
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    # GIF: little-endian u16 pair right after the 6-byte version tag
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    return None
+
+
 def decode_stub(batch_rows, kind: str):
     """STUB decoder — deterministic fake features from raw bytes.
 
@@ -108,12 +159,19 @@ def extract_features(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             feats = decode_stub(pdf["content"], kind=str(pdf["kind"].iloc[0]) if len(pdf) else "")
+            dims = [parse_image_dims(b) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(b or b"") for b in pdf["content"]],
                     "checksum": [int(sum(b or b"")) for b in pdf["content"]],
+                    "width": pd.array(
+                        [d[0] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] if d else None for d in dims], dtype="Int32"
+                    ),
                     "feature": feats,
                 }
             )

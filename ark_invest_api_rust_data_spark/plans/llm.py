@@ -292,22 +292,29 @@ WHERE cosine >= 0.45
 # ------------------------------------------------ multimodal plumbing
 def llm_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """B32 — binary media columns through the REAL mapInPandas feature
-    stage (stubbed codec). n_bytes and the byte-sum checksum are fully
-    deterministic (ASCII corpus → bytes == chars), so the Python tier
-    is oracle-checked against pure SQL; the stub features themselves
-    are covered by tests/test_llm_ops.py."""
+    stage. n_bytes and the byte-sum checksum are fully deterministic
+    (ASCII corpus → bytes == chars), so the Python tier is
+    oracle-checked against pure SQL. width/height come from the REAL
+    pure-Python image-header decoder (PNG IHDR / JPEG SOFn / GIF) —
+    correctly null for these text payloads; actual image bytes are
+    decoded in tests/test_llm_ops.py. Only the feature-vector codec
+    remains a stub (no media libs in env)."""
     from ..operators.multimodal import attach_media, extract_features
 
     docs = load_table(spark, sf, "documents")
     media = attach_media(docs, "text", "image", id_col="doc_id")
-    return extract_features(media).select("media_id", "kind", "n_bytes", "checksum")
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "checksum", "width", "height"
+    )
 
 
 LLM_MULTIMODAL_SQL = f"""
 SELECT doc_id AS media_id, 'image' AS kind,
   octet_length(CAST(text AS BLOB)) AS n_bytes,
   CAST(list_sum(list_transform(string_split(text, ''), ch -> ascii(ch)))
-       AS BIGINT) AS checksum
+       AS BIGINT) AS checksum,
+  CAST(NULL AS INTEGER) AS width,
+  CAST(NULL AS INTEGER) AS height
 FROM documents
 """
 

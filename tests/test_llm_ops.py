@@ -95,6 +95,73 @@ def test_ann_matches_brute_force_topk(spark):
         assert ann_rows[i] == exact_scores[i]
 
 
+def _make_png(width: int, height: int) -> bytes:
+    """A complete, valid PNG (correct chunk CRCs, zlib-compressed
+    scanlines) built with stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_jpeg_header(width: int, height: int) -> bytes:
+    """SOI + JFIF APP0 + SOF0 — the header prefix every baseline JPEG
+    starts with (enough for any header-level dimension parser)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">H", height)
+        + struct.pack(">H", width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_image_header_decode_real_bytes(spark):
+    """parse_image_dims reads REAL image headers (PNG/JPEG/GIF) in pure
+    Python, directly and through the mapInPandas feature stage; text
+    payloads correctly yield null dims."""
+    import struct
+
+    from ark_invest_api_rust_data_spark.operators.multimodal import parse_image_dims
+
+    png = _make_png(640, 480)
+    jpg = _make_jpeg_header(1024, 768)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_dims(png) == (640, 480)
+    assert parse_image_dims(jpg) == (1024, 768)
+    assert parse_image_dims(gif) == (320, 200)
+    assert parse_image_dims(b"just some text, definitely not an image") is None
+    assert parse_image_dims(b"") is None
+
+    rows = [(1, "image", png), (2, "image", jpg), (3, "image", gif), (4, "image", b"plain text")]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in extract_features(df).collect()
+    }
+    assert got == {1: (640, 480), 2: (1024, 768), 3: (320, 200), 4: (None, None)}
+
+
 def test_multimodal_roundtrip_and_features(spark, tmp_path):
     """B32 — binary+struct schema round-trips through parquet; the
     mapInPandas feature stage preserves ids and computes the checksum
