@@ -54,16 +54,23 @@ def parse_date_with_budget(df: DataFrame, colname: str = "date") -> DataFrame:
 
 
 def percent_to_double(c: Column) -> Column:
-    """C2 — strip '%' (first occurrence; single '%' in data makes
-    first≡all), cast double."""
-    return F.replace(c, F.lit("%"), F.lit("")).cast("double")
+    """C2 — strip the FIRST '%' (Polars str.replace literal semantics,
+    /root/reference/src/util.rs:250-255), cast double. A malformed
+    '1%2%' leaves '12%' behind and the cast fails loudly in BOTH
+    engines; stripping all '%' would instead silently succeed here."""
+    from .strings import replace_first
+
+    return replace_first(c, "%", "").cast("double")
 
 
 def currency_to_long(c: Column) -> Column:
-    """C3 — strip '$' then all ',', cast double THEN long: the
-    double→long truncation-toward-zero is load-bearing
-    (/root/reference/src/util.rs:264-272)."""
-    cleaned = F.replace(F.replace(c, F.lit("$"), F.lit("")), F.lit(","), F.lit(""))
+    """C3 — strip the FIRST '$' (reference str.replace is
+    first-occurrence, /root/reference/src/util.rs:264-267) then all
+    ',', cast double THEN long: the double→long truncation-toward-zero
+    is load-bearing (/root/reference/src/util.rs:264-272)."""
+    from .strings import replace_first
+
+    cleaned = F.replace(replace_first(c, "$", ""), F.lit(","), F.lit(""))
     return cleaned.cast("double").cast("long")
 
 

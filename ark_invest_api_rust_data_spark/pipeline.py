@@ -86,7 +86,12 @@ def refresh_ticker(
     # reach their fixpoint; mirror that
     merged = normalize(normalize(merged))
     write_ticker(merged, root, ticker.name)
-    return merged
+    # return the parquet-backed cache, not the in-memory plan: same rows,
+    # but callers get a narrow scan with working predicate pushdown.
+    # Pushing a filter through the composed rule-chain projections makes
+    # Catalyst substitute the ~50-step replace expression into the
+    # predicate at every level — an optimizer-time blowup.
+    return read_ticker(spark, root, ticker.name)
 
 
 def csv_backfill(
@@ -105,9 +110,20 @@ def csv_backfill(
     cache = read_ticker(spark, root, ticker.name)
     if cache is not None:
         df = concat_dedupe([normalize(cache), normalize(df)])
-    merged = canonical_sort(normalize(df))
+        # composing the ~50-step company chain 3× multiplies the
+        # Catalyst expression tree to ~O(chain³) nodes and OOMs the
+        # optimizer; a lazy localCheckpoint swaps the analyzed subtree
+        # for a plan cut. Backfill frames are per-ticker holdings
+        # (MB-scale), so losing pushdown across the cut costs nothing.
+        df = df.localCheckpoint(eager=False)
+    # reference backfill formats the concat AND the write path again
+    # (util.rs:555-572 → csv_merge .format() + write_parquet .format()),
+    # so rule cascades get the same number of passes as refresh_ticker —
+    # needed for multi-step company cascades to reach their fixpoint
+    merged = canonical_sort(normalize(normalize(df)))
     write_ticker(merged, root, ticker.name)
-    return merged
+    # parquet-backed return for the same reason as refresh_ticker
+    return read_ticker(spark, root, ticker.name)
 
 
 def scheduled_run(
@@ -163,6 +179,7 @@ def run_daemon(
     sleeper = sleeper or time.sleep
     fired_today: set[str] = set()
     current_day: str | None = None
+    prev_hhmm: str | None = None
     cycles = 0
     while max_cycles is None or cycles < max_cycles:
         now = clock()
@@ -170,6 +187,12 @@ def run_daemon(
         if day and day != current_day:
             current_day = day
             fired_today.clear()
+        elif not day and prev_hhmm is not None and hhmm < prev_hhmm:
+            # date-less clock: a backwards HH:MM means midnight crossed —
+            # without this, each schedule time would fire at most once
+            # for the daemon's lifetime
+            fired_today.clear()
+        prev_hhmm = hhmm
         if hhmm in schedule_times and hhmm not in fired_today:
             scheduled_run(spark, root=root, fetcher=fetcher)
             fired_today.add(hhmm)

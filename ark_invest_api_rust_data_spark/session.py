@@ -93,6 +93,7 @@ def get_spark(
     app_name: str = "ark-invest-api-rust-data-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Session for local runs/tests. On a real cluster, submit with your
     own master/conf; everything scale-critical is also in RUNTIME_CONF."""
@@ -117,6 +118,8 @@ def get_spark(
         )
     )
     for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -83,17 +83,29 @@ def compact_lake(
     file count (not data size) becomes the scan bottleneck. This
     rewrites every partition through a shuffle-free coalescing pass:
     read → write with maxRecordsPerFile, partition layout preserved.
-    Returns the number of files after compaction. Run it off-peak; the
-    write is atomic per partition (dynamic overwrite)."""
+
+    Crash safety: the rewrite lands in a SIBLING directory and is
+    swapped in only on success (old data kept as ``holdings_pre_compact``
+    until the swap completes) — an in-place dynamic overwrite has a
+    commit window where a crash after partitions are deleted loses data
+    with no backup. Returns the number of files after compaction."""
     import glob as _glob
 
     path = f"{root}/holdings"
+    staged = f"{root}/.holdings_compacting"
+    backup = f"{root}/holdings_pre_compact"
+    shutil.rmtree(staged, ignore_errors=True)
     df = spark.read.parquet(path)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("ticker", "date")
-        .parquet(path)
+        .parquet(staged)
     )
+    # both renames are metadata-only on the same filesystem; the data
+    # is never in a partially-deleted state
+    shutil.rmtree(backup, ignore_errors=True)
+    os.replace(path, backup)
+    os.replace(staged, path)
+    shutil.rmtree(backup, ignore_errors=True)
     return len(_glob.glob(f"{path}/*/*/*.parquet"))

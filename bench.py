@@ -3,10 +3,15 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "shuffle_bytes": {name: {...}}, "sf": <sf>}
 
 Queries execute to a noop sink — full pipeline runs (scan→shuffle→agg),
 nothing materializes on the driver, so the number is engine time.
+
+Per-query shuffle read/write bytes come from the Spark status REST API
+(each query pass runs in its own job group; stage metrics are summed
+per group) — plan regressions show up round-over-round even when wall
+time is noisy.
 """
 
 from __future__ import annotations
@@ -45,10 +50,63 @@ HEADLINE = [
 ]
 
 
+def _rest_json(base: str, path: str):
+    import urllib.request
+
+    with urllib.request.urlopen(f"{base}{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def shuffle_bytes_by_group(spark) -> dict[str, dict[str, int]]:
+    """Sum shuffle read/write bytes of every stage, keyed by the job
+    group its job ran under (stages counted once per group)."""
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    app_id = spark.sparkContext.applicationId
+    try:
+        jobs = _rest_json(base, f"/api/v1/applications/{app_id}/jobs?status=succeeded")
+        stages = _rest_json(base, f"/api/v1/applications/{app_id}/stages?status=complete")
+    except Exception:
+        return {}
+    per_stage = {
+        s["stageId"]: (
+            int(s.get("shuffleReadBytes", 0)),
+            int(s.get("shuffleWriteBytes", 0)),
+        )
+        for s in stages
+    }
+    out: dict[str, dict[str, int]] = {}
+    seen: set[tuple[str, int]] = set()
+    for j in jobs:
+        group = j.get("jobGroup")
+        if not group:
+            continue
+        acc = out.setdefault(group, {"read": 0, "write": 0})
+        for sid in j.get("stageIds", []):
+            if (group, sid) in seen or sid not in per_stage:
+                continue
+            seen.add((group, sid))
+            r, w = per_stage[sid]
+            acc["read"] += r
+            acc["write"] += w
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        # status REST API for per-query shuffle metrics; keep plenty of
+        # stage history so nothing ages out mid-run
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "5000",
+            "spark.ui.retainedJobs": "5000",
+        },
+    )
+    sc = spark.sparkContext
 
     probes = all_probes()
     # untimed warmup: parquet footers, codegen, executor spin-up — so
@@ -66,11 +124,21 @@ def main() -> None:
     for _pass in range(2):
         for name in HEADLINE:
             fn = probes[name].spark
+            sc.setJobGroup(f"{name}@p{_pass}", name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
+            sc.setJobGroup(None, None)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+
+    by_group = shuffle_bytes_by_group(spark)
+    shuffle: dict[str, dict[str, int]] = {}
+    for name in HEADLINE:
+        # steady-state pass; fall back to pass 0 if pass 1 aged out
+        g = by_group.get(f"{name}@p1") or by_group.get(f"{name}@p0")
+        if g:
+            shuffle[name] = g
 
     total = round(sum(timings.values()), 3)
     print(
@@ -80,6 +148,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_bytes": shuffle,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -237,6 +237,67 @@ def test_read_only_mode(spark, tmp_path):
     assert out.count() == df.count()
 
 
+def test_csv_backfill_roundtrip_with_cascade(spark, tmp_path):
+    """Backfill entry point (merge_old_csv_to_parquet, util.rs:555-572):
+    glob CSVs → merge with cache → sort → write. The reference formats
+    the backfill frame multiple times, so a multi-step company cascade
+    (ROCKET LAB USA INC → ROCKET LAB USA → ROCKET LAB) must reach its
+    fixpoint here too, on BOTH the bootstrap and the merge path."""
+    from ark_invest_api_rust_data_spark.pipeline import csv_backfill
+
+    cascade_csv = "\n".join(
+        ['date,fund,company,ticker,cusip,shares,"market value ($)","weight (%)"']
+        + ['01/03/2024,ARKK,ROCKET LAB USA INC,RKLB UW,77312X108,100,"$1,000.00",1.00%']
+    )
+    csv_root = tmp_path / "csv"
+    (csv_root / "ARKK").mkdir(parents=True)
+    (csv_root / "ARKK" / "part1.csv").write_text(cascade_csv)
+    root = str(tmp_path / "parquet")
+
+    # bootstrap (no cache): cascade must be fully collapsed
+    out = csv_backfill(spark, Ticker.ARKK, str(csv_root), root)
+    assert out is not None
+    row = out.filter(F.col("ticker") == "RKLB").first()
+    assert row["company"] == "ROCKET LAB"
+
+    # merge path (cache present): write a cache, backfill again
+    write_ticker(normalize(csv_to_df(spark, ARK_CSV)), root, "ARKK")
+    out2 = csv_backfill(spark, Ticker.ARKK, str(csv_root), root)
+    assert out2.filter(F.col("ticker") == "RKLB").first()["company"] == "ROCKET LAB"
+    assert out2.count() == 15  # 14 cache rows + 1 backfill row
+    # round-trip: written cache equals the returned frame
+    back = read_ticker(spark, root, "ARKK")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, out2.collect()))
+
+    # missing dir → None
+    assert csv_backfill(spark, Ticker.ARKQ, str(csv_root), root) is None
+
+
+def test_daemon_bare_clock_day_rollover(spark, tmp_path):
+    """A date-less HH:MM clock must re-arm schedule times when the
+    observed time rolls backwards (midnight crossing)."""
+    from ark_invest_api_rust_data_spark.pipeline import run_daemon
+
+    runs = []
+
+    def fetch(url):
+        runs.append(url)
+        return ARK_CSV
+
+    ticks = iter(["22:00", "23:30", "00:10", "10:00", "22:00"])
+    run_daemon(
+        spark,
+        root=str(tmp_path),
+        fetcher=fetch,
+        clock=lambda: next(ticks),
+        sleeper=lambda s: None,
+        max_cycles=5,
+    )
+    # 8 scheduled tickers × 3 firings: 22:00, then (post-rollover) 10:00
+    # and 22:00 again — without the rollover reset the last would not fire
+    assert len(runs) == 24
+
+
 def test_daemon_fires_on_schedule(spark, tmp_path):
     """O3: the scheduler loop fires exactly at configured times, once
     per time slot (injectable clock/sleeper — no real sleeping)."""
