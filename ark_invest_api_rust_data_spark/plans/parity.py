@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.casts import currency_to_long, percent_to_double, thousands_to_long
 from ..functions.rules import apply_security_rules
-from ..functions.strings import clean_company_df, clean_ticker
+from ..functions.strings import COMPANY_RULES, clean_company_df, clean_ticker
 from .base import Probe
 
 # ------------------------------------------------------------- C2/C3/C4
@@ -367,4 +367,96 @@ SELECT * FROM (VALUES
 
 PROBES.append(
     Probe("parity_europe_csv_adapter", "D6", parity_europe_csv_adapter, PARITY_EUROPE_CSV_SQL)
+)
+
+
+# --------------------------------------------- C7 bulk (sf-proportional)
+def _chain_oracle_layers(rules: list[tuple[str, str, bool]]) -> list[str]:
+    """Compile the ordered rule chain to a list of DuckDB expressions,
+    each over column ``c`` of the previous layer. Consecutive
+    replace-ALL rules fuse into one nested-replace expression (linear
+    growth); each replace-FIRST rule gets its own layer because its
+    CASE/strpos/substr form references ``c`` several times — nesting
+    those would grow the SQL text exponentially, layering keeps it
+    linear. Mirrors apply_rules_to_column's plan-shape argument."""
+    layers: list[str] = []
+    pending = "c"
+    for pat, rep, first in rules:
+        p, r = pat.replace("'", "''"), rep.replace("'", "''")
+        if first:
+            if pending != "c":
+                layers.append(pending)
+                pending = "c"
+            layers.append(
+                f"CASE WHEN strpos(c, '{p}') > 0 THEN "
+                f"substr(c, 1, strpos(c, '{p}') - 1) || '{r}' || "
+                f"substr(c, strpos(c, '{p}') + {len(pat)}) ELSE c END"
+            )
+        else:
+            pending = f"replace({pending}, '{p}', '{r}')"
+    if pending != "c":
+        layers.append(pending)
+    return layers
+
+
+def _company_bulk_oracle() -> str:
+    src = (
+        "SELECT doc_id * 1000 + i AS id, "
+        "upper(substr(text, CAST(i * 8 + 1 AS BIGINT), 64)) AS c "
+        "FROM (SELECT doc_id, text, "
+        "unnest(range(0, CAST(floor((n_chars - 1) / 8) AS BIGINT) + 1)) AS i "
+        "FROM documents)"
+    )
+    ctes = [f"s0 AS ({src})"]
+    layers = _chain_oracle_layers(COMPANY_RULES)
+    for i, expr in enumerate(layers, 1):
+        ctes.append(f"s{i} AS (SELECT id, {expr} AS c FROM s{i - 1})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, rtrim(c) AS company FROM s{len(layers)}"
+    )
+
+
+def _company_bulk_input(spark: SparkSession, sf: str) -> DataFrame:
+    """SF-proportional company-shaped strings: 64-char windows over the
+    documents text at stride 8 (all-ASCII corpus, so upper() agrees
+    across engines). ~186k rows at sf0.1 — the row count regime the
+    real normalize pipeline sees on a full-history backfill."""
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor((F.col("n_chars") - 1) / 8).cast("long"))
+        ).alias("i"),
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("i")).alias("id"),
+        F.upper(F.expr("substring(text, CAST(i * 8 + 1 AS INT), 64)")).alias("company"),
+    )
+
+
+def parity_company_bulk(spark: SparkSession, sf: str) -> DataFrame:
+    """C7 chain at sf-proportional row count (~600k rows/sf0.1):
+    uppercased l_comment pushed through the full ordered rule table in
+    the codegen'd expression tier. This is the ROADMAP #2 fusion
+    benchmark subject — same oracle as the fused-UDF twin below, bench
+    records both so the expression-vs-UDF margin is tracked per round."""
+    return clean_company_df(_company_bulk_input(spark, sf)).select("id", "company")
+
+
+def parity_company_bulk_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """Fused single-pass pandas-UDF twin of parity_company_bulk: whole
+    chain in one Python pass per Arrow batch. Kept as a bench
+    comparison point, NOT the default (loses WholeStageCodegen)."""
+    from ..functions.strings import company_chain_fused
+
+    df = _company_bulk_input(spark, sf)
+    return df.select("id", company_chain_fused(F.col("company")).alias("company"))
+
+
+_COMPANY_BULK_SQL = _company_bulk_oracle()
+PROBES.append(Probe("parity_company_bulk", "C7", parity_company_bulk, _COMPANY_BULK_SQL))
+PROBES.append(
+    Probe("parity_company_bulk_fused", "C7/B25", parity_company_bulk_fused, _COMPANY_BULK_SQL)
 )

@@ -41,6 +41,8 @@ HEADLINE = [
     "b13_topk",
     "b21_window_tumbling",
     "b22_sessionize",
+    "parity_company_bulk",
+    "parity_company_bulk_fused",
     "llm_text_stats",
     "llm_simhash",
     "llm_minhash_lsh",

@@ -239,3 +239,35 @@ def test_rename_asymmetry_quirk(spark):
     )
     with pytest.raises(Exception):
         normalize(df).collect()
+
+
+def test_company_chain_fused_udf_matches_expression_tier(spark):
+    """The fused single-pass pandas-UDF variant (bench comparison
+    point, ROADMAP #2) must agree with the codegen'd expression tier
+    on every curated case AND on a real text sample."""
+    from ark_invest_api_rust_data_spark.functions.strings import company_chain_fused
+    from ark_invest_api_rust_data_spark.plans.parity import _company_bulk_input
+
+    cases = [
+        ("TESLA INC",), ("COINBASE GLOBAL",),
+        ("Space Exploration Technologies Corp",), ("DRAFTKINGS INC",),
+        ("UIPATH INC - CLASS A",), ("DISCOVERY",), ("  trailing   ",),
+        (None,), ("",),
+    ]
+    df = spark.createDataFrame(cases, "company: string")
+    expr_out = [r["company"] for r in clean_company_df(df).collect()]
+    fused_out = [
+        r["c"] for r in df.select(company_chain_fused(F.col("company")).alias("c")).collect()
+    ]
+    assert expr_out == fused_out
+
+    import os
+
+    smoke = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    bulk = _company_bulk_input(spark, smoke).limit(500)
+    a = {r["id"]: r["company"] for r in clean_company_df(bulk).collect()}
+    b = {
+        r["id"]: r["c"]
+        for r in bulk.select("id", company_chain_fused(F.col("company")).alias("c")).collect()
+    }
+    assert a == b
