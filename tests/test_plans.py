@@ -91,12 +91,18 @@ def test_lake_read_partition_prunes(spark):
 
 @pytest.mark.parametrize(
     "probe_name",
-    ["b05_theta_join", "b08_supplier_cnt_q16", "b02_q3_shipping_priority"],
+    [
+        "b05_theta_join",
+        "b08_supplier_cnt_q16",
+        "b02_q3_shipping_priority",
+        "q13_customer_distribution",
+        "q19_disjunctive_pushdown",
+    ],
 )
 def test_unbounded_tables_not_hard_broadcast(spark, probe_name):
-    from ark_invest_api_rust_data_spark.plans import relational
+    from ark_invest_api_rust_data_spark.plans import relational, tpch_extra
 
-    fn = getattr(relational, probe_name)
+    fn = getattr(relational, probe_name, None) or getattr(tpch_extra, probe_name)
     plan = _plan_without_auto_broadcast(spark, fn(spark, SF))
     assert "BroadcastHashJoin" not in plan, (
         f"{probe_name} still hard-hints broadcast on an unbounded table"
