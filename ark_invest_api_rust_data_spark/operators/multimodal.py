@@ -83,6 +83,35 @@ def attach_media(
     )
 
 
+def ingest_binary_files(
+    spark, path: str, kind: str, glob: str | None = None
+) -> DataFrame:
+    """The real 100 TB ingest path: ``spark.read.format('binaryFile')``
+    over a directory of media files → MEDIA_SCHEMA. media_id is
+    xxhash64 of the file path — stable across runs and partitionings
+    (unlike monotonically_increasing_id). Parallelism comes from the
+    file listing; each file is one row, and Spark sizes partitions by
+    bytes, so giant media files don't skew tasks.
+
+    ``glob`` narrows the listing (e.g. '*.png') via pathGlobFilter —
+    pushed into the file index, never a post-scan filter."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),  # real dims come from
+            F.lit(None).cast("int").alias("height"),  # extract_features
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def parse_image_dims(b: bytes) -> tuple[int, int] | None:
     """REAL image metadata decode, pure Python over raw bytes — no
     media libs needed. Supports PNG (IHDR), JPEG (SOFn segment walk)

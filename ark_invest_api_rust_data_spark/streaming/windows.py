@@ -30,13 +30,17 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def stream_events(
+    spark: SparkSession, path: str, fmt: str = "parquet", max_files_per_trigger: int = 4
+) -> DataFrame:
     """B21 source — file-based streaming read with a fixed schema (file
-    source gives exactly-once + replayable batches)."""
+    source gives exactly-once + replayable batches). A small
+    ``max_files_per_trigger`` forces many micro-batches, which the
+    replay/chaos tests use to exercise mid-stream recovery."""
     return (
         spark.readStream.format(fmt)
         .schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
 

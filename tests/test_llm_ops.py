@@ -202,6 +202,47 @@ def test_multimodal_roundtrip_and_features(spark, tmp_path):
     assert sampled.select("meta.n_frames").first()[0] >= 1
 
 
+def test_binaryfile_ingest_path(spark, tmp_path):
+    """B32 ingest — the real media entry point: a directory of images read
+    via spark.read.format('binaryFile') → MEDIA_SCHEMA → feature stage
+    with REAL header-parsed dims. pathGlobFilter prunes non-matching
+    files at the listing, and media_id is stable across re-reads."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        ingest_binary_files,
+    )
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    dims = {"a": (640, 480), "b": (32, 16), "c": (2000, 1000)}
+    for name, (w, h) in dims.items():
+        (media_dir / f"{name}.png").write_bytes(_make_png(w, h))
+    (media_dir / "notes.txt").write_bytes(b"not an image; must be pruned")
+
+    media = ingest_binary_files(spark, str(media_dir), "image", glob="*.png")
+    assert media.count() == 3  # .txt pruned at the file listing
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "kind",
+        "content",
+        "meta",
+    ]
+
+    feats = extract_features(media)
+    got = sorted((r["width"], r["height"]) for r in feats.collect())
+    assert got == sorted(dims.values())
+
+    # media_id must be stable across independent reads (hash of path,
+    # not partition-dependent ids)
+    ids_a = {r["media_id"] for r in media.select("media_id").collect()}
+    ids_b = {
+        r["media_id"]
+        for r in ingest_binary_files(spark, str(media_dir), "image", glob="*.png")
+        .select("media_id")
+        .collect()
+    }
+    assert ids_a == ids_b and len(ids_a) == 3
+
+
 def test_salted_join_equals_plain_join(spark):
     """Skew fallback (operators/skew.py): salted join must return
     exactly the plain join's rows, including skewed keys."""

@@ -230,3 +230,147 @@ def test_stream_stream_interval_join_equals_batch(spark, event_dir):
     got = run_append_to_completion(stream, "t_interval")
     assert _rows(got) == _rows(batch)
     assert batch.count() > 0
+
+
+def test_chaos_kill_midstream_then_restart(spark, event_dir, tmp_path):
+    """Crash recovery, file-sink path: kill a running query after its
+    first data-bearing micro-batch (1 file per trigger over 10 files),
+    restart from the same checkpoint with availableNow — the sink must
+    contain the batch result exactly once (no loss, no duplicates)."""
+    import time
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def dedup_stream():
+        # dedupe (not an agg) emits in append mode with no finalization
+        # wait, so every committed batch is visible in the file sink —
+        # the right operator for asserting exactly-once across a crash
+        return dedup_within_watermark(
+            stream_events(spark, event_dir, max_files_per_trigger=1), "800 hours"
+        )
+
+    q = (
+        dedup_stream()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    # wait for ≥1 committed micro-batch, then kill mid-stream
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] < 9, "query finished before the kill — not a chaos test"
+
+    # restart from the same checkpoint; availableNow drains the rest
+    q2 = (
+        dedup_stream()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(sink)
+    batch = spark.read.parquet(event_dir)
+    # exactly-once: every event exactly once despite the mid-stream kill
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_chaos_rocksdb_state_survives_restart(spark, event_dir, tmp_path):
+    """Crash recovery, state-store path: with the RocksDB provider,
+    dedupe state written in phase 1 must survive a stop/restart —
+    duplicate files re-delivered under NEW names in phase 2 (so the
+    source's processed-file log can't skip them) must still be
+    suppressed by the operator's cross-restart state."""
+    import glob as g
+
+    from ark_invest_api_rust_data_spark.streaming.reliability import (
+        rocksdb_state_store,
+    )
+
+    src, sink, ckpt = tmp_path / "src", str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    src.mkdir()
+    files = sorted(g.glob(f"{event_dir}/*.parquet"))
+    half = len(files) // 2
+
+    def run_phase():
+        q = (
+            dedup_within_watermark(stream_events(spark, str(src)), "800 hours")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with rocksdb_state_store(spark):
+        # phase 1: first half of the corpus
+        for i, f in enumerate(files[:half]):
+            shutil.copy(f, src / f"p1_{i}.parquet")
+        run_phase()
+        # state really is RocksDB: provider writes zip snapshots/changelogs
+        state_files = g.glob(f"{ckpt}/state/0/*/*")
+        assert any(p.endswith((".zip", ".changelog")) for p in state_files), state_files
+
+        # "crash" boundary: new query object, same checkpoint.
+        # phase 2: re-deliver phase-1 files under new names (source log
+        # can't dedupe them) + the second half of the corpus
+        for i, f in enumerate(files[:half]):
+            shutil.copy(f, src / f"p2_redeliver_{i}.parquet")
+        for i, f in enumerate(files[half:]):
+            shutil.copy(f, src / f"p2_new_{i}.parquet")
+        run_phase()
+
+    got = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(sink)
+    batch = spark.read.parquet(event_dir)
+    assert got.count() == batch.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_idempotent_foreachbatch_sink_replay_safe(spark, event_dir, tmp_path):
+    """The idempotent foreachBatch pattern: delivering the same corpus
+    through two checkpoints (simulating a redelivered batch range) into
+    the same target directory must leave exactly one copy per batch id
+    — overwrite, not append."""
+    from ark_invest_api_rust_data_spark.streaming.reliability import (
+        start_idempotent_parquet_sink,
+    )
+
+    out = str(tmp_path / "out")
+
+    def deliver(ckpt_name):
+        q = start_idempotent_parquet_sink(
+            stream_events(spark, event_dir),
+            out,
+            str(tmp_path / ckpt_name),
+            f"t_idem_{ckpt_name}",
+        )
+        q.awaitTermination()
+
+    deliver("ckpt_a")
+    n_first = spark.read.parquet(out).count()
+    # fresh checkpoint ⇒ Spark re-delivers every batch id from 0 — the
+    # worst-case replay an external sink can see
+    deliver("ckpt_b")
+    got = spark.read.parquet(out)
+    assert got.count() == n_first
+    assert got.drop("batch_id").count() == spark.read.parquet(event_dir).count()
