@@ -101,6 +101,82 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return _spread(df).select(id_col, guess.alias("lang_guess"))
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams as an array column (empty when the
+    document has fewer than n words — guarded because F.sequence with
+    start > stop would generate a DESCENDING range, not an empty one)."""
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (quality filters
+    for training corpora; Rae et al. 2021 §A1.1 'repetitious text'):
+
+    * ``top_2gram_frac`` — the largest character mass any single word
+      2-gram accounts for, as a fraction of the document
+      (max over grams of count·len(gram) / n_chars). Degenerate
+      boilerplate ("click here click here …") scores near 1.
+    * ``dup_3gram_frac`` — the character fraction covered by 3-grams
+      that occur more than once (sum of count·len(gram) over duplicated
+      grams / n_chars).
+
+    Taking max of count·len directly (instead of argmax-by-count, then
+    length) keeps the signal deterministic across engines — no
+    tie-breaking between equally-frequent grams.
+
+    Shape: explode grams of both orders in ONE pass → one partial+final
+    count aggregation keyed by (doc, order, gram) → one per-doc rollup.
+    Linear in corpus size, two shuffles, no Python in the row path."""
+    toks = tokens(F.col(text_col))
+    grams = F.concat(
+        F.transform(word_ngrams(toks, 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+        F.transform(word_ngrams(toks, 3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+    )
+    from .dedup import _spread
+
+    exploded = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("n_chars"),
+            F.explode(grams).alias("g"),
+        )
+        .select(id_col, "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counted = exploded.groupBy(id_col, "n_chars", "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    cover = F.col("c") * F.length(F.col("gram"))
+    return (
+        counted.groupBy(id_col, "n_chars")
+        .agg(
+            F.max(F.when(F.col("n") == 2, cover)).alias("top_2gram_cover"),
+            F.coalesce(
+                F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), cover)), F.lit(0)
+            ).alias("dup_3gram_chars"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            "top_2gram_cover",
+            "dup_3gram_chars",
+            (F.col("top_2gram_cover").cast("double") / F.col("n_chars").cast("double")).alias(
+                "top_2gram_frac"
+            ),
+            (F.col("dup_3gram_chars").cast("double") / F.col("n_chars").cast("double")).alias(
+                "dup_3gram_frac"
+            ),
+        )
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
 ) -> DataFrame:

@@ -414,3 +414,41 @@ FROM events GROUP BY 2, 3
 """
 
 PROBES.append(Probe("b21_hypertable_rollup", "B21", b21_hypertable_rollup, B21_HYPER_SQL))
+
+
+# ------------------------------------------------ repetition signals
+def llm_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 (quality filters) — Gopher-style repetition signals: top
+    2-gram character coverage and duplicated-3-gram character fraction
+    per document (operators/text.py repetition_stats)."""
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf, "documents"))
+
+
+LLM_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_W} AS w, length(text) AS n_chars FROM documents),
+g AS (
+  SELECT doc_id, n_chars, 2 AS n,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM t
+  UNION ALL
+  SELECT doc_id, n_chars, 3 AS n,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM t
+),
+c AS (SELECT doc_id, n_chars, n, gram, count(*) AS c FROM g GROUP BY ALL)
+SELECT doc_id, n_chars,
+  max(CASE WHEN n = 2 THEN c * length(gram) END) AS top_2gram_cover,
+  CAST(coalesce(sum(CASE WHEN n = 3 AND c > 1 THEN c * length(gram) END), 0)
+       AS BIGINT) AS dup_3gram_chars,
+  CAST(max(CASE WHEN n = 2 THEN c * length(gram) END) AS DOUBLE)
+    / CAST(n_chars AS DOUBLE) AS top_2gram_frac,
+  CAST(CAST(coalesce(sum(CASE WHEN n = 3 AND c > 1 THEN c * length(gram) END), 0)
+       AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup_3gram_frac
+FROM c GROUP BY doc_id, n_chars
+"""
+
+PROBES.append(Probe("llm_repetition", "B31", llm_repetition, LLM_REPETITION_SQL))

@@ -73,6 +73,52 @@ def read_lake(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(f"{root}/holdings")
 
 
+def write_lake_bucketed_by_cusip(
+    df: DataFrame, table: str = "holdings_by_cusip", num_buckets: int = 32
+) -> None:
+    """Security-centric lake variant: holdings bucketed by ``cusip``
+    and sorted by (cusip, date) — the layout for cross-fund
+    security-level analytics (which funds hold X, position history of
+    X), where the ticker=/date= hive layout is exactly wrong (a
+    per-security query would touch EVERY partition).
+
+    Bucketing pays the cusip shuffle once at write time; after that:
+    * cusip⋈cusip joins (holdings against a securities dim bucketed
+      the same way) plan with NO Exchange on either side, and
+    * a single-security filter prunes to 1/num_buckets of the files
+      (``SelectedBucketsCount`` in the scan node) before any IO.
+
+    Kept as a *secondary* copy next to the hive lake — at 100 TB the
+    two layouts serve disjoint query families, and storage is cheaper
+    than the per-query shuffle this removes."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "cusip")
+        .sortBy("cusip", "date")
+        .saveAsTable(table)
+    )
+
+
+def security_history(spark: SparkSession, cusip: str, table: str = "holdings_by_cusip") -> DataFrame:
+    """Cross-fund position history of one security from the bucketed
+    lake: bucket pruning reads only the one bucket that can contain
+    the cusip (SelectedBucketsCount: 1 out of N in the scan).
+
+    Spark's auto-bucketed-scan heuristic disables bucketed reading for
+    filter-only plans (it only considers shuffle elision, not pruning),
+    which would silently scan every file — pin it off so the scan stays
+    bucketed and the equality filter prunes."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return (
+        spark.table(table)
+        .filter(F.col("cusip") == cusip)
+        .orderBy("date", "ticker")
+    )
+
+
 def compact_lake(
     spark: SparkSession, root: str, max_records_per_file: int = 5_000_000
 ) -> int:

@@ -403,3 +403,73 @@ def test_ivf_index_recall_and_pruning(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(cluster" in plan or "cluster#" in plan
     assert one.count() > 0
+
+
+def test_repetition_stats_crafted_docs(spark):
+    """Gopher repetition signals on crafted text: boilerplate spam
+    scores high on both signals, diverse text scores low, and the
+    cover arithmetic is exact."""
+    from ark_invest_api_rust_data_spark.operators.text import repetition_stats
+
+    spam = "click here " * 10  # "click here click here ..."
+    diverse = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [(1, spam.strip()), (2, diverse), (3, "one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    # spam: 20 tokens, the 2-gram "click here" occurs 10x (len 10) and
+    # "here click" 9x (len 10) -> top cover = 100; every 3-gram occurs
+    # >1 time so dup_3gram covers all 18 grams
+    assert got[1]["top_2gram_cover"] == 100
+    assert got[1]["top_2gram_frac"] == 100 / got[1]["n_chars"]
+    assert got[1]["dup_3gram_chars"] > 0
+    # diverse: every 2-gram unique -> top cover == the longest 2-gram;
+    # no duplicated 3-grams at all
+    assert got[2]["dup_3gram_chars"] == 0
+    assert got[2]["top_2gram_frac"] < 0.35
+    # two words: one 2-gram, zero 3-grams
+    assert got[3]["top_2gram_cover"] == len("one two")
+    assert got[3]["dup_3gram_chars"] == 0
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew robustness, first line of defense: on a pathologically
+    skewed key (one key ~ 90% of rows), AQE must mark and split the
+    skewed partitions (skew=true in the final SortMergeJoin) with the
+    result identical to the logical join. The salted_join fallback for
+    keys AQE can't fix is covered by test_salted_join_equals_plain_join."""
+    fact = (
+        spark.range(200_000)
+        .select(
+            F.when(F.col("id") < 180_000, 0)
+            .otherwise(F.pmod(F.col("id"), F.lit(1000)) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+    )
+    # 20020 = 20 x 1001 → every key 0..1000 matches exactly 20 rows
+    other = spark.range(20_020).select(
+        F.pmod(F.col("id"), F.lit(1001)).alias("k"), F.col("id").alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        # test-scale thresholds so ~MB partitions register as skewed
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = fact.join(other, "k")
+        # execute THIS queryExecution (count() would plan a separate
+        # one and leave this plan isFinalPlan=false)
+        n = joined._jdf.queryExecution().toRdd().count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        # 180k skewed-key rows x 20 matches + long tail x ~20 each
+        assert n == 180_000 * 20 + 20_000 * 20
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

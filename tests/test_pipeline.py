@@ -176,6 +176,52 @@ def test_lake_partitioned_roundtrip(spark, tmp_path):
     assert changed["shares"] == 2468
 
 
+def test_lake_bucketed_by_cusip_security_joins(spark, tmp_path):
+    """Security-centric lake variant: cusip-bucketed holdings join a
+    same-bucketed securities dim with NO shuffle Exchange, and a
+    single-cusip lookup prunes buckets at the scan (the two query
+    families the ticker=/date= hive layout cannot serve)."""
+    from ark_invest_api_rust_data_spark.sources.parquet_store import (
+        security_history,
+        write_lake_bucketed_by_cusip,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS t_cusip LOCATION '{tmp_path}/wh'")
+    df = normalize(csv_to_df(spark, ARK_CSV))
+    write_lake_bucketed_by_cusip(df, table="t_cusip.holdings_by_cusip", num_buckets=8)
+    dim = df.select("cusip").distinct().withColumn("sector", F.lit("tech"))
+    (
+        dim.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "cusip")
+        .sortBy("cusip")
+        .saveAsTable("t_cusip.securities")
+    )
+
+    # model the fact-fact case: disable broadcast so the planner must
+    # pick SMJ — matched bucket specs then elide both shuffles
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_cusip.holdings_by_cusip").join(
+            spark.table("t_cusip.securities"), "cusip"
+        )
+        assert joined.count() == df.count()  # finalizes the adaptive plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    one_cusip = df.first()["cusip"]
+    hist = security_history(spark, one_cusip, table="t_cusip.holdings_by_cusip")
+    scan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in scan, scan  # bucket pruning
+    assert hist.count() == df.filter(F.col("cusip") == one_cusip).count()
+
+    spark.sql("DROP DATABASE t_cusip CASCADE")
+
+
 def test_scheduled_run_fans_out_with_error_isolation(spark, tmp_path):
     """O5: the scheduled run hits exactly the 8 non-excluded tickers,
     and one ticker failing leaves the others intact (main.rs:62-98)."""
