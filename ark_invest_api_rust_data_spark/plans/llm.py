@@ -452,3 +452,65 @@ FROM c GROUP BY doc_id, n_chars
 """
 
 PROBES.append(Probe("llm_repetition", "B31", llm_repetition, LLM_REPETITION_SQL))
+
+
+# ------------------------------------------------ ANN (SRP-bucketed)
+def llm_similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 scale tier — SRP-bucketed ANN top-10 for the vec_id=0 query
+    (operators/similarity.py lsh_bucketed_topk): score only rows whose
+    8-bit sign-random-projection bucket is within 1 bit flip of the
+    query's. The oracle replicates the bucketing (deterministic ±1
+    hyperplanes from the 31-fold seed hash) in SQL, so the comparison
+    is exact regardless of ANN recall — it verifies the PRUNING, not
+    just the final ranking."""
+    from ..operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = lsh_bucketed_topk(emb.filter(F.col("vec_id") != 0), list(query), k=10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _ann_sql(bits: int = 8, seed: int = 42, dim: int = 64) -> str:
+    from ..operators.similarity import _hyperplane
+
+    def dot_plane(vec_expr: str, plane: list[int]) -> str:
+        plane_sql = "[" + ", ".join(str(p) for p in plane) + "]"
+        q = f"CAST(floor(CAST({vec_expr}[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {q} * ({plane_sql})[i]))"
+        )
+
+    def sig(vec_expr: str) -> str:
+        terms = []
+        for j in range(bits):
+            plane = _hyperplane(seed * 1000 + j, dim)
+            terms.append(
+                f"(CASE WHEN {dot_plane(vec_expr, plane)} > 0 THEN {2**j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    flips = ", ".join(str(1 << j) for j in range(bits))
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qsig AS (SELECT {sig('qv')} AS bsig FROM q),
+cand AS (
+  SELECT vec_id, embedding FROM embeddings, qsig
+  WHERE vec_id <> 0 AND xor({sig('embedding')}, bsig) IN (0, {flips})),
+sc AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+         i -> {_QE} * {_QQ})) AS DOUBLE)
+    / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+              i -> {_QE} * {_QE})) AS DOUBLE))
+       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> {_QQ} * {_QQ})) AS DOUBLE))) AS cosine
+  FROM cand, q)
+SELECT vec_id, cosine, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+PROBES.append(Probe("llm_similarity_ann", "B30", llm_similarity_ann, _ann_sql()))

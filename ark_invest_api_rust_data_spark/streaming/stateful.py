@@ -75,3 +75,97 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
         ((F.sum(cents).cast("double") / F.lit(100.0)) >= 1000.0).alias("alerted"),
     )
+
+
+# ---------------------------------------------------------------- sessions
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, s_start timestamp, s_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+_US = 1_000_000
+
+
+def _update_session_state(gap_us: int):
+    """Build the applyInPandasWithState function for gap-based
+    sessionization with EventTimeTimeout expiry.
+
+    State: ONE open session per user (start, last-event, count) —
+    O(users) not O(events). A new event either extends the open
+    session (≤ gap after its last event) or closes it (emitted) and
+    opens a new one. When the event-time watermark passes
+    last_event + gap the timeout fires and the final session is
+    emitted and the state removed — the mechanism a TTL/expiry needs
+    at 100 TB so abandoned keys don't pin the state store forever.
+
+    Batches are processed in event-time order WITHIN each micro-batch;
+    cross-batch disorder is bounded by the watermark (same contract as
+    the native session_window twin)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+
+        def emit(start_us, last_us, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "s_start": [pd.Timestamp(start_us, unit="us")],
+                    "s_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+
+        # one batch may hand the group over as several Arrow chunks —
+        # gather, then process the WHOLE batch in event-time order
+        all_ts: list = []
+        for pdf in pdfs:
+            all_ts.extend(pdf["ts"].tolist())
+        for ts in sorted(all_ts):
+            ev_us = int(pd.Timestamp(ts).value // 1000)
+            if start_us is None:
+                start_us, last_us, n = ev_us, ev_us, 1
+            elif ev_us - last_us <= gap_us:
+                last_us, n = max(last_us, ev_us), n + 1
+            else:
+                yield emit(start_us, last_us, n)
+                start_us, last_us, n = ev_us, ev_us, 1
+
+        state.update((start_us, last_us, n))
+        # expire when the watermark passes the session's close edge
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    return update
+
+
+def user_sessions_stateful(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """B22/B24 custom tier — gap sessionization as an arbitrary
+    stateful operator with event-time TIMEOUT expiry (the semantics
+    native session_window hides). Streaming only; the batch twin IS
+    session_counts(events) from streaming/windows.py."""
+    value, unit = gap.split()
+    gap_us = int(value) * {"seconds": 1, "minutes": 60, "hours": 3600}[
+        unit.rstrip("s") + "s"
+    ] * _US
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session_state(gap_us),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -374,3 +374,54 @@ def test_idempotent_foreachbatch_sink_replay_safe(spark, event_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_first
     assert got.drop("batch_id").count() == spark.read.parquet(event_dir).count()
+
+
+def test_stateful_session_timeout_matches_native(spark, tmp_path):
+    """EventTimeTimeout expiry: the applyInPandasWithState session
+    operator must emit every session exactly once — mid-stream closes
+    when a later event opens a new session, end-of-stream closes via
+    the watermark-driven timeout — and the union must equal the batch
+    session_counts twin."""
+    import glob as g
+
+    from ark_invest_api_rust_data_spark.streaming.stateful import (
+        user_sessions_stateful,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # chronological delivery (watermark tolerance is 0): 5 time-ordered
+    # files + a far-future sentinel to advance the watermark past every
+    # session's close edge
+    from pyspark.sql import Window
+
+    ev = ev.withColumn("_bucket", F.ntile(5).over(Window.orderBy("ts")))
+    for b in range(1, 6):
+        part = ev.filter(F.col("_bucket") == b).drop("_bucket")
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"stage{b}"))
+        shutil.copy(
+            g.glob(str(tmp_path / f"stage{b}" / "part-*.parquet"))[0],
+            src / f"b{b}.parquet",
+        )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + datetime.timedelta(hours=48)
+    spark.createDataFrame(
+        [(999_999, sentinel_ts, 999_999, "click", 0.0, "{}")], EVENT_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage_s"))
+    shutil.copy(
+        g.glob(str(tmp_path / "stage_s" / "part-*.parquet"))[0],
+        src / "z_sentinel.parquet",
+    )
+
+    stream = user_sessions_stateful(
+        stream_events(spark, str(src), max_files_per_trigger=1), gap="30 minutes"
+    )
+    got = run_append_to_completion(stream, "t_session_timeout").filter(
+        F.col("user_id") != 999_999
+    )
+    batch = session_counts(spark.read.parquet(str(src))).filter(
+        F.col("user_id") != 999_999
+    )
+    assert _rows(got) == _rows(batch)
+    assert got.count() > 100  # non-trivial corpus
