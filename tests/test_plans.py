@@ -107,3 +107,60 @@ def test_unbounded_tables_not_hard_broadcast(spark, probe_name):
     assert "BroadcastHashJoin" not in plan, (
         f"{probe_name} still hard-hints broadcast on an unbounded table"
     )
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _full_metadata(spark):
+    """Plan strings truncate scan metadata at 100 chars by default —
+    long PushedFilters/ReadSchema lists need the cap raised to be
+    assertable."""
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "100000")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@pytest.mark.parametrize(
+    "probe_name,pushed_fragment",
+    [
+        # Q6: tight range predicates must reach the parquet scan
+        ("b07_forecast_q6", "GreaterThanOrEqual(l_shipdate"),
+        # Q3: segment equality + date range pushed on both sides
+        ("b02_q3_shipping_priority", "LessThan(o_orderdate"),
+        # Q19: the whole OR-of-ANDs quantity disjunction is pushed
+        ("q19_disjunctive_pushdown", "Or(Or(And(GreaterThanOrEqual(l_quantity"),
+    ],
+)
+def test_filter_pushdown_reaches_scan(spark, probe_name, pushed_fragment):
+    """Filters must appear in the scan's PushedFilters — at 100 TB the
+    difference between a row-group skip and a full read."""
+    from ark_invest_api_rust_data_spark.plans import relational, tpch_extra
+
+    fn = getattr(relational, probe_name, None) or getattr(tpch_extra, probe_name)
+    with _full_metadata(spark):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert pushed_fragment in plan, plan[:4000]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Q1 touches 7 of lineitem's 16 columns; the scan's ReadSchema
+    must carry only those — a scan reading all columns for a narrow
+    aggregation would move ~2x the bytes at any scale."""
+    from ark_invest_api_rust_data_spark.catalog import load_table
+    from ark_invest_api_rust_data_spark.plans.relational import b07_agg_q1
+
+    with _full_metadata(spark):
+        plan = b07_agg_q1(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    total_cols = len(load_table(spark, SF, "lineitem").columns)
+    read_cols = read_schema.count(":")  # struct<a:t,b:t,...> field count
+    assert read_cols < total_cols, read_schema
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema and "l_shipdate" in read_schema
