@@ -734,7 +734,14 @@ SELECT w_start, event_type, count(*) AS c FROM starts GROUP BY 1, 2
 def b08_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered-set aggregate (SURVEY B8 family): exact discrete
     percentiles — percentile_disc picks an actual row value, so there
-    is no interpolation formula to disagree on across engines."""
+    is no interpolation formula to disagree on across engines.
+
+    Scale note: EXACT percentiles concentrate each group's full value
+    set on one reducer (the 2.7 MB shuffle at sf0.1 is every
+    o_totalprice) — correct but a straggler when a group holds
+    billions of rows. The 100 TB tier is ``approx_percentile`` (t-digest
+    sketch, map-side mergeable, O(sketch) shuffle) with this exact form
+    as its small-data verifier — same pattern as B9's approx distinct."""
     orders = load_table(spark, sf, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
@@ -1115,3 +1122,54 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 PROBES.append(Probe("b23_interval_join", "B23", b23_interval_join, B23_INTERVAL_SQL))
+
+
+def b08_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """B8 scale tier — approx_percentile (mergeable sketch, O(sketch)
+    shuffle instead of b08_percentile's per-group full-value
+    concentration). Sketch estimates differ across engines, so as with
+    B9 the hashed output is the tolerance verdict: the approx p50/p90
+    must land within 2% of the exact percentile — checked per group in
+    both engines; the estimate itself stays engine-local."""
+    orders = load_table(spark, sf, "orders")
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("e50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("e90"),
+    )
+    approx = orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("a90"),
+    )
+    tol = F.lit(0.02)
+    return (
+        exact.join(approx, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "e50",
+            "e90",
+            (F.abs(F.col("a50") - F.col("e50")) / F.col("e50") <= tol).alias("p50_ok"),
+            (F.abs(F.col("a90") - F.col("e90")) / F.col("e90") <= tol).alias("p90_ok"),
+        )
+    )
+
+
+B08_APPROX_SQL = """
+WITH e AS (
+  SELECT o_orderstatus,
+    quantile_disc(o_totalprice, 0.5) AS e50,
+    quantile_disc(o_totalprice, 0.9) AS e90
+  FROM orders GROUP BY o_orderstatus),
+a AS (
+  SELECT o_orderstatus,
+    approx_quantile(o_totalprice, 0.5) AS a50,
+    approx_quantile(o_totalprice, 0.9) AS a90
+  FROM orders GROUP BY o_orderstatus)
+SELECT e.o_orderstatus, e50, e90,
+  abs(a50 - e50) / e50 <= 0.02 AS p50_ok,
+  abs(a90 - e90) / e90 <= 0.02 AS p90_ok
+FROM e JOIN a ON e.o_orderstatus = a.o_orderstatus
+"""
+
+PROBES.append(
+    Probe("b08_approx_percentile", "B8", b08_approx_percentile, B08_APPROX_SQL)
+)
