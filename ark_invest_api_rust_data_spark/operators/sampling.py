@@ -1,0 +1,117 @@
+"""Corpus sampling / splitting / sequence-packing operators for
+training-data pipelines (driver north star: "operations a large-scale
+training-data pipeline would need").
+
+Three ops every pretraining dataset build runs between "clean corpus"
+and "training shards":
+
+* **deterministic split assignment** — route each document to
+  train/val/test by a content-independent hash of its id, so the split
+  is stable across re-runs, engines, and re-partitioning (no RNG, no
+  state, no per-run sampling drift).
+* **stratified sampling** — keep a deterministic p% slice *per
+  stratum* (e.g. per source domain), using the same hash-bucket
+  machinery, so every stratum is downsampled by the same rule and the
+  sample is reproducible row-for-row.
+* **sequence packing** — GPT-style concat-and-chunk: order documents
+  within a shard, concatenate token streams, cut every `budget`
+  tokens; a document's pack is the chunk containing its first token.
+
+Scale shape: split/sample are pure narrow expression maps (zero
+shuffles — the hash is computed from the id column in place, so both
+compose with any scan and push no data anywhere). Packing is one
+window aggregation partitioned by the shard column: a single hash
+shuffle on `part_col`, then a per-partition running sum — the same
+plan at 500 rows or 100 TB, with per-shard state bounded by the shard
+size (shards are the natural packing unit in real pipelines precisely
+so this never needs a global order).
+
+Determinism contract (DuckDB oracle): the bucket hash is the shared
+31-fold character hash (`operators.text.token_hash32`) over the id's
+decimal string form — exact integer math both engines reproduce
+bit-for-bit; pack offsets are int window sums.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from .text import token_hash32, tokens
+
+N_BUCKETS = 100
+
+
+def hash_bucket(id_col: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets): 31-fold char hash of the
+    id's decimal string, mod n_buckets. Content-independent (changing a
+    document's text never moves it across splits) and engine-portable
+    (pure integer math — no engine-specific hash function)."""
+    return token_hash32(id_col.cast("string")) % F.lit(n_buckets)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Add ``bucket`` and ``split`` columns: train/val/test by hash
+    bucket (default 80/10/10). Narrow map — no shuffle, no action."""
+    bucket = hash_bucket(F.col(id_col))
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction_pct: int,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic ~fraction_pct% sample per stratum: keep rows whose
+    id bucket falls below the cutoff. Because the bucket depends only on
+    the id, the sample is reproducible and composes with split_assign
+    (the same doc keeps the same bucket in both). Salting the bucket
+    with the stratum (hash of strata_col + id) would decorrelate the
+    two — deliberately NOT done so sample ∩ split is predictable."""
+    return df.filter(hash_bucket(F.col(id_col)) < F.lit(fraction_pct))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each ``part_col``
+    shard, order documents by id, lay their token streams end to end,
+    and cut a pack boundary every ``budget`` tokens. A document belongs
+    to the pack containing its FIRST token (``pack_id =
+    floor(start_offset / budget)``) — documents may straddle a
+    boundary, exactly like GPT-style pretraining chunking where the
+    loader later truncates/continues across the cut.
+
+    One shuffle (window partition on the shard key), running int sum
+    per shard — linear in corpus size, shard-bounded state.
+    """
+    n_tokens = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens).over(w)
+    start = (cum - n_tokens).cast("long")
+    return df.select(
+        id_col,
+        part_col,
+        n_tokens.alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
+    )

@@ -177,6 +177,46 @@ def repetition_stats(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_uniq_ratio: float = 0.35,
+    max_top_2gram_frac: float = 0.12,
+    max_dup_3gram_frac: float = 0.10,
+) -> DataFrame:
+    """Composite corpus quality verdict (Gopher-style filter cascade,
+    Rae et al. 2021 §A1.1): combine the length/diversity signals from
+    ``text_stats`` with the repetition signals from
+    ``repetition_stats`` into a keep/drop decision plus the FIRST
+    failing rule as the drop reason (rule order is part of the
+    contract — the oracle evaluates the same CASE chain).
+
+    Shape: two linear passes over the corpus (stats is a narrow map;
+    repetition is the two-shuffle gram aggregation) joined on the doc
+    id — the join co-partitions on the id hash, so the combine step is
+    one more linear shuffle, never a blowup. At 100 TB you'd fuse the
+    two passes per-partition; the rule cascade itself is unchanged.
+    """
+    stats = text_stats(df, text_col, id_col).select(id_col, "n_tokens", "uniq_ratio")
+    rep = repetition_stats(df, text_col, id_col).select(
+        id_col, "top_2gram_frac", "dup_3gram_frac"
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("uniq_ratio") < min_uniq_ratio, "low_diversity")
+        .when(F.col("top_2gram_frac") > max_top_2gram_frac, "repetitive_2gram")
+        .when(F.col("dup_3gram_frac") > max_dup_3gram_frac, "repetitive_3gram")
+        .otherwise("ok")
+    )
+    return (
+        stats.join(rep, id_col)
+        .withColumn("reason", reason)
+        .select(id_col, (F.col("reason") == "ok").alias("keep"), "reason")
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
 ) -> DataFrame:

@@ -514,3 +514,112 @@ FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
 
 
 PROBES.append(Probe("llm_similarity_ann", "B30", llm_similarity_ann, _ann_sql()))
+
+
+# ------------------------------------------------ split + sample
+def llm_split_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-prep (training-pipeline north star) — deterministic
+    train/val/test assignment + a stratified 20% sample flag, both from
+    the content-independent id hash bucket (operators/sampling.py).
+    Doc-level output so the oracle verifies every routing decision,
+    not just the aggregate rates."""
+    from ..operators.sampling import hash_bucket, split_assign
+
+    docs = split_assign(load_table(spark, sf, "documents"))
+    return docs.select(
+        "doc_id",
+        "source",
+        "bucket",
+        "split",
+        (hash_bucket(F.col("doc_id")) < F.lit(20)).alias("sampled"),
+    )
+
+
+_ID_HASH = _HASH_TMPL.format(s="CAST(doc_id AS VARCHAR)", pow=_POW31_SQL)
+LLM_SPLIT_SQL = f"""
+WITH b AS (SELECT doc_id, source, ({_ID_HASH}) % 100 AS bucket FROM documents)
+SELECT doc_id, source, bucket,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  bucket < 20 AS sampled
+FROM b
+"""
+
+PROBES.append(Probe("llm_split_sample", "B31", llm_split_sample, LLM_SPLIT_SQL))
+
+
+# ------------------------------------------------ sequence packing
+def llm_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-prep — GPT-style concat-and-chunk sequence packing with a
+    512-token budget per pack, shard = source (operators/sampling.py
+    pack_sequences): one window shuffle on the shard key, running int
+    sums, linear at any corpus size."""
+    from ..operators.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, sf, "documents"), budget=512)
+
+
+LLM_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_W}) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, source, n_tokens, start_offset,
+  CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
+FROM c
+"""
+
+PROBES.append(Probe("llm_sequence_pack", "B31", llm_sequence_pack, LLM_PACK_SQL))
+
+
+# ------------------------------------------------ quality filter
+def llm_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-prep — composite Gopher-style keep/drop verdict with the
+    first failing rule as the drop reason (operators/text.py
+    quality_filter). The oracle recomputes the identical stat +
+    repetition signals and the same ordered CASE cascade."""
+    from ..operators.text import quality_filter
+
+    return quality_filter(load_table(spark, sf, "documents"))
+
+
+LLM_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_W} AS w, length(text) AS n_chars FROM documents),
+s AS (
+  SELECT doc_id, len(w) AS n_tokens,
+    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS uniq_ratio
+  FROM t),
+g AS (
+  SELECT doc_id, n_chars, 2 AS n,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM t
+  UNION ALL
+  SELECT doc_id, n_chars, 3 AS n,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM t),
+cnt AS (SELECT doc_id, n_chars, n, gram, count(*) AS c FROM g GROUP BY ALL),
+r AS (
+  SELECT doc_id,
+    CAST(max(CASE WHEN n = 2 THEN c * length(gram) END) AS DOUBLE)
+      / CAST(n_chars AS DOUBLE) AS top_2gram_frac,
+    CAST(CAST(coalesce(sum(CASE WHEN n = 3 AND c > 1 THEN c * length(gram) END), 0)
+         AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup_3gram_frac
+  FROM cnt GROUP BY doc_id, n_chars),
+v AS (
+  SELECT s.doc_id,
+    CASE WHEN n_tokens < 20 THEN 'too_short'
+         WHEN uniq_ratio < 0.35 THEN 'low_diversity'
+         WHEN top_2gram_frac > 0.12 THEN 'repetitive_2gram'
+         WHEN dup_3gram_frac > 0.10 THEN 'repetitive_3gram'
+         ELSE 'ok' END AS reason
+  FROM s JOIN r ON s.doc_id = r.doc_id)
+SELECT doc_id, reason = 'ok' AS keep, reason FROM v
+"""
+
+PROBES.append(Probe("llm_quality_filter", "B31", llm_quality_filter, LLM_QUALITY_SQL))

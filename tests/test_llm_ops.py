@@ -473,3 +473,88 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_split_assign_deterministic_content_independent(spark):
+    """Split routing must depend only on the id: same ids → same
+    buckets on re-run and after text mutation; proportions near
+    80/10/10; the 20% sample is a subset of train by construction
+    (both are prefix ranges of the same bucket space)."""
+    from ark_invest_api_rust_data_spark.operators.sampling import (
+        hash_bucket,
+        split_assign,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    mutated = docs.withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    b = {r["doc_id"]: r["split"] for r in split_assign(mutated).collect()}
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+    sampled = {r["doc_id"] for r in stratified_sample(docs, 20).collect()}
+    train_ids = {k for k, s in a.items() if s == "train"}
+    assert sampled <= train_ids
+    # bucket stays in [0, 100)
+    rows = docs.select(hash_bucket(F.col("doc_id")).alias("b")).collect()
+    assert all(0 <= r["b"] < 100 for r in rows)
+
+
+def test_pack_sequences_crafted_boundaries(spark):
+    """Concat-and-chunk: offsets are per-shard running sums; a doc's
+    pack is the chunk holding its FIRST token even when it straddles a
+    boundary; shards pack independently."""
+    from ark_invest_api_rust_data_spark.operators.sampling import pack_sequences
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", words(3, "a")),   # start 0  → pack 0
+            (2, "s1", words(4, "b")),   # start 3  → pack 0 (straddles 6)
+            (3, "s1", words(5, "c")),   # start 7  → pack 1
+            (4, "s2", words(6, "d")),   # start 0  → pack 0 (own shard)
+            (5, "s2", words(1, "e")),   # start 6  → pack 1
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["pack_id"])
+        for r in pack_sequences(df, budget=6).collect()
+    }
+    assert got == {1: (0, 0), 2: (3, 0), 3: (7, 1), 4: (0, 0), 5: (6, 1)}
+
+
+def test_quality_filter_crafted_reasons(spark):
+    """Each cascade rule fires on its crafted doc, in cascade order
+    (low diversity outranks repetition; repetitive_3gram checked via a
+    tightened threshold on a doc passing all earlier rules)."""
+    from ark_invest_api_rust_data_spark.operators.text import quality_filter
+
+    uniq40 = " ".join(f"w{i:02d}" for i in range(40))
+    rep2 = " ".join(f"u{i:02d}" for i in range(32)) + " xx yy" * 4
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc"),                     # 2 tokens  → too_short
+            (2, " ".join(["dup"] * 30)),         # uniq 1/30 → low_diversity
+            (3, rep2),                           # "xx yy"×4 → repetitive_2gram
+            (4, uniq40),                         # clean     → ok
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["reason"] for r in quality_filter(docs).collect()}
+    assert got == {
+        1: "too_short",
+        2: "low_diversity",
+        3: "repetitive_2gram",
+        4: "ok",
+    }
+    # repetitive_3gram: doc passing earlier rules, any dup 3-gram trips
+    # a tightened threshold
+    tri = uniq40 + " aa bb cc " + " ".join(f"v{i:02d}" for i in range(20)) + " aa bb cc"
+    one = spark.createDataFrame([(9, tri)], "doc_id long, text string")
+    got9 = quality_filter(one, max_dup_3gram_frac=0.0001).collect()[0]
+    assert got9["reason"] == "repetitive_3gram" and not got9["keep"]

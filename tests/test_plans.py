@@ -164,3 +164,25 @@ def test_column_pruning_reaches_scan(spark):
     assert read_cols < total_cols, read_schema
     assert "l_comment" not in read_schema
     assert "l_quantity" in read_schema and "l_shipdate" in read_schema
+
+
+def test_sampling_ops_shuffle_shape(spark):
+    """Scale contract of the corpus-prep ops: split/sample assignment
+    is a pure narrow map (zero Exchanges — composes with any scan at
+    any size); sequence packing shuffles exactly once, on the shard
+    key its window partitions by."""
+    from ark_invest_api_rust_data_spark.plans.llm import (
+        llm_sequence_pack,
+        llm_split_sample,
+    )
+
+    split_plan = (
+        llm_split_sample(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in split_plan, split_plan[:2000]
+
+    pack_plan = (
+        llm_sequence_pack(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert pack_plan.count("Exchange") == 1, pack_plan[:2000]
+    assert "hashpartitioning(source" in pack_plan
