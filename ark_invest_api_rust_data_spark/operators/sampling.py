@@ -82,6 +82,29 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(id_col)) < F.lit(fraction_pct))
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Domain-mixture sampling: keep a per-stratum percentage given by
+    ``weights`` (stratum → pct in [0,100]), the corpus-mixing step of a
+    pretraining build (upweight curated domains, downweight crawl).
+    Same deterministic id bucket as split_assign — re-runs reproduce
+    the identical sample, and mixture ∩ split stays predictable.
+
+    The weight table is a driver-side literal compiled into a CASE
+    expression (mixtures are small configs, not data) — the op stays a
+    zero-shuffle narrow map; no join against a weights table.
+    """
+    cutoff = F.lit(default_pct)
+    for stratum, pct in sorted(weights.items()):
+        cutoff = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(cutoff)
+    return df.filter(hash_bucket(F.col(id_col)) < cutoff)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -623,3 +623,34 @@ SELECT doc_id, reason = 'ok' AS keep, reason FROM v
 """
 
 PROBES.append(Probe("llm_quality_filter", "B31", llm_quality_filter, LLM_QUALITY_SQL))
+
+
+# ------------------------------------------------ domain mixture
+# Even sources upweighted to 60%, odd downweighted to 15% — a stand-in
+# for a curated-vs-crawl mixture config; the probe pins the weighted-
+# sampling MACHINERY (per-stratum deterministic cutoffs), not these
+# numbers.
+_MIX = {f"src{i}": (60 if i % 2 == 0 else 15) for i in range(20)}
+
+
+def llm_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-prep — domain-mixture weighted sampling: keep a
+    per-source percentage of documents (operators/sampling.py
+    mixture_sample), deterministic id-bucket cutoffs, zero shuffles.
+    Doc-level output so the oracle checks every keep decision."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf, "documents")
+    return mixture_sample(docs, _MIX).select("doc_id", "source")
+
+
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {p}" for s, p in sorted(_MIX.items())
+)
+LLM_MIX_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, ({_ID_HASH}) % 100 AS bucket FROM documents)
+WHERE bucket < (CASE {_MIX_CASE} ELSE 0 END)
+"""
+
+PROBES.append(Probe("llm_domain_mix", "B31", llm_domain_mix, LLM_MIX_SQL))

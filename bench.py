@@ -58,6 +58,8 @@ HEADLINE = [
     "llm_fingerprint",
     "llm_similarity_topk",
     "llm_embedding_near_dup",
+    "llm_sequence_pack",
+    "llm_quality_filter",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -558,3 +558,26 @@ def test_quality_filter_crafted_reasons(spark):
     one = spark.createDataFrame([(9, tri)], "doc_id long, text string")
     got9 = quality_filter(one, max_dup_3gram_frac=0.0001).collect()[0]
     assert got9["reason"] == "repetitive_3gram" and not got9["keep"]
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Per-stratum keep rates track the mixture weights (aggregated
+    over strata to damp small-stratum noise); re-runs reproduce the
+    identical row set; unknown strata fall to default_pct=0."""
+    from ark_invest_api_rust_data_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, SF, "documents")
+    weights = {f"src{i}": (60 if i % 2 == 0 else 15) for i in range(20)}
+    kept = mixture_sample(docs, weights).select("doc_id", "source")
+    rows = {(r["doc_id"], r["source"]) for r in kept.collect()}
+    again = {(r["doc_id"], r["source"]) for r in mixture_sample(docs, weights).collect()}
+    assert rows == again
+    n_even = sum(1 for _, s in rows if int(s[3:]) % 2 == 0)
+    n_odd = len(rows) - n_even
+    total_even = docs.filter(F.expr("CAST(substr(source, 4) AS INT) % 2 = 0")).count()
+    total_odd = docs.count() - total_even
+    assert 0.45 < n_even / total_even < 0.75      # target 0.60
+    assert 0.05 < n_odd / total_odd < 0.30        # target 0.15
+    # strata absent from the mixture are dropped entirely
+    none_kept = mixture_sample(docs, {"src0": 50}, strata_col="lang")
+    assert none_kept.count() == 0
