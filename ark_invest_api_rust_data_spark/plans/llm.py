@@ -654,3 +654,27 @@ WHERE bucket < (CASE {_MIX_CASE} ELSE 0 END)
 """
 
 PROBES.append(Probe("llm_domain_mix", "B31", llm_domain_mix, LLM_MIX_SQL))
+
+
+# ------------------------------------------------ IVF query path
+def llm_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 lake tier — the IVF index query path (operators/similarity.py
+    IvfIndex): deterministic k-means build (fixed seed, first-N-by-id
+    sample), distributed centroid assignment, centroid-ranked probe
+    list, exact quantized cosine within the probed clusters. Run with
+    ``nprobe = n_centroids`` the scan covers every cluster, so the
+    result is EXACT and the brute-force top-k oracle verifies the whole
+    build+assign+query machinery bit-for-bit (approximate-nprobe recall
+    and the partition-pruned on-disk layout are covered by
+    tests/test_llm_ops.py::test_ivf_index_recall_and_pruning)."""
+    from ..operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    index = IvfIndex.build(emb.filter(F.col("vec_id") != 0), n_centroids=16)
+    top = index.query(list(query), k=10, nprobe=16)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+PROBES.append(Probe("llm_similarity_ivf", "B30", llm_similarity_ivf, LLM_SIMILARITY_SQL))
