@@ -618,7 +618,7 @@ v AS (
          WHEN top_2gram_frac > 0.12 THEN 'repetitive_2gram'
          WHEN dup_3gram_frac > 0.10 THEN 'repetitive_3gram'
          ELSE 'ok' END AS reason
-  FROM s JOIN r ON s.doc_id = r.doc_id)
+  FROM s LEFT JOIN r ON s.doc_id = r.doc_id)
 SELECT doc_id, reason = 'ok' AS keep, reason FROM v
 """
 

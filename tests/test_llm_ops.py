@@ -538,6 +538,8 @@ def test_quality_filter_crafted_reasons(spark):
     rep2 = " ".join(f"u{i:02d}" for i in range(32)) + " xx yy" * 4
     docs = spark.createDataFrame(
         [
+            (0, "solo"),                         # 1 token, no grams — must
+                                                 # still appear as too_short
             (1, "tiny doc"),                     # 2 tokens  → too_short
             (2, " ".join(["dup"] * 30)),         # uniq 1/30 → low_diversity
             (3, rep2),                           # "xx yy"×4 → repetitive_2gram
@@ -547,6 +549,7 @@ def test_quality_filter_crafted_reasons(spark):
     )
     got = {r["doc_id"]: r["reason"] for r in quality_filter(docs).collect()}
     assert got == {
+        0: "too_short",
         1: "too_short",
         2: "low_diversity",
         3: "repetitive_2gram",
