@@ -91,10 +91,18 @@ def asof_join(
 
     out = unioned.filter(F.col(_SIDE) == 1)
     if tolerance_seconds is not None:
+        # Epoch seconds via an explicit timestamp cast first: a no-op
+        # for TIMESTAMP inputs, and the only legal numeric route for
+        # TIMESTAMP_NTZ (direct NTZ→double casts are rejected). Both
+        # sides shift identically under the session tz, so the gap is
+        # timezone-invariant.
+        def _secs(c):
+            return c.cast("timestamp").cast("double")
+
         gap = (
-            F.col(ts).cast("double") - F.col(f"_r_{_RTS}").cast("double")
+            _secs(F.col(ts)) - _secs(F.col(f"_r_{_RTS}"))
             if direction == "backward"
-            else F.col(f"_r_{_RTS}").cast("double") - F.col(ts).cast("double")
+            else _secs(F.col(f"_r_{_RTS}")) - _secs(F.col(ts))
         )
         in_tol = F.col(f"_r_{_RTS}").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
         for v in values:
