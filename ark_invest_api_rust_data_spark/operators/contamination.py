@@ -1,0 +1,66 @@
+"""Benchmark decontamination — n-gram overlap between a training
+corpus and an eval/benchmark set (GPT-3 appendix C / Gopher §A2 style
+"dirty document" detection; driver north star: training-data pipeline
+operators at 100 TB).
+
+Shape: both sides are tokenized and shingled into DISTINCT word
+n-grams (one narrow map + explode each), then the corpus shingle
+stream is inner-joined against the benchmark shingle set. The
+benchmark side is the small one by construction (eval suites are MBs
+against a 100 TB corpus), so it is broadcast — the corpus side never
+shuffles, and the whole operator is scan → explode → broadcast-join →
+one partial+final aggregation on doc_id. For benchmark sets too big to
+broadcast, ``hashed=True`` shrinks shingles to int64 xxhash64 keys
+(8 bytes vs arbitrary-length strings) — the scale knob for a
+shuffle-join fallback; equivalence of the two keyings is pytest-proven
+(hash collisions at 64 bits are negligible and only ever create false
+POSITIVES, the safe direction for decontamination).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .text import tokens, word_ngrams
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, out_id: str) -> DataFrame:
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array_distinct(word_ngrams(toks, n))).alias("shingle"),
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-corpus-document contamination stats vs a benchmark set.
+
+    Returns only contaminated documents (the interesting minority):
+    ``(id_col, n_shingle_hits, n_bench_docs)`` — how many distinct
+    n-gram shingles of the document appear anywhere in the benchmark,
+    and how many distinct benchmark documents it overlaps. Callers
+    drop or flag the returned ids.
+
+    Documents shorter than ``n`` tokens produce no shingles and are
+    never flagged (``word_ngrams`` yields an empty array for them).
+    """
+    bench_id = bench_id_col or id_col
+    corp = _shingles(corpus, id_col, text_col, n, id_col)
+    ben = _shingles(benchmark, bench_id, text_col, n, "bench_id").distinct()
+    if hashed:
+        corp = corp.withColumn("shingle", F.xxhash64("shingle"))
+        ben = ben.withColumn("shingle", F.xxhash64("shingle"))
+    hits = corp.join(F.broadcast(ben), "shingle")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("n_shingle_hits"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )

@@ -287,3 +287,50 @@ def rolling_fingerprint(
         F.array_sort(F.array_distinct(hashes)).alias("fingerprints"),
         F.array_min(hashes).alias("min_fingerprint"),
     )
+
+
+# PII scrubbing ------------------------------------------------------
+
+# Ordered redaction cascade (order is part of the contract: each rule
+# counts + redacts on the output of the previous rule, so counts and
+# replacements always agree, and an SSN's digit runs can never be
+# re-matched by the later phone/IP rules). Patterns deliberately use
+# only the regex subset on which Java regex (Spark) and RE2 (DuckDB
+# oracle) agree exactly: literal classes, \d, \b, bounded repeats.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IPV4]"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII detection + redaction (training-corpus
+    prep: strip contact info before the corpus ships to a trainer).
+
+    Pure expression work — ``regexp_count`` + ``regexp_replace`` chained
+    per rule, JVM-side, no Python in the row path, no shuffle at all:
+    the operator is a narrow map and runs at scan speed on any corpus
+    size. Returns one row per document: per-category hit counts, the
+    total, and the redacted text.
+    """
+    from .dedup import _spread
+
+    out = _spread(df)
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        out = out.withColumn(f"_t_{name}", F.regexp_replace(cur, pat, repl))
+        cur = F.col(f"_t_{name}")
+        counts.append(F.col(f"n_{name}"))
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return out.select(
+        id_col,
+        *[f"n_{name}" for name, _, _ in PII_RULES],
+        total.alias("n_pii_total"),
+        cur.alias("clean_text"),
+    )

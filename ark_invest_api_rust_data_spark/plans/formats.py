@@ -1,0 +1,88 @@
+"""Source/sink format-breadth probes (SURVEY.md §2 S-family
+extension): CSV, JSON, and ORC round-trips.
+
+The reference ingests CSV and JSON over HTTP and persists parquet
+(SURVEY §2 S2-S5); a general engine must also round-trip the lake
+formats themselves. Each probe writes `orders` out in the format under
+test (distributed write, one file per partition — the 100 TB sink
+shape), reads it back with an explicit schema (no inference on the
+read path — schema drift is an error, not a guess), and aggregates.
+The oracle computes the same aggregate straight from the source
+parquet, so ANY loss in the round-trip — float formatting, timestamp
+precision, row loss, encoding — hash-mismatches. The min/max
+timestamps in the aggregate pin timestamp fidelity through the text
+formats specifically.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .base import Probe
+
+_RT_CACHE: dict[tuple[str, str, str], str] = {}
+
+_WRITE_OPTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true"},
+    "json": {},
+    "orc": {},
+}
+_READ_OPTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true"},
+    "json": {},
+    "orc": {},
+}
+
+
+def _roundtrip(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf, fmt)
+    path = _RT_CACHE.get(key)
+    orders = load_table(spark, sf, "orders")
+    if not (path and os.path.isdir(path)):
+        path = tempfile.mkdtemp(prefix=f"orders_rt_{fmt}_")
+        orders.write.format(fmt).mode("overwrite").options(**_WRITE_OPTS[fmt]).save(path)
+        _RT_CACHE[key] = path
+    back = (
+        spark.read.format(fmt)
+        .options(**_READ_OPTS[fmt])
+        .schema(orders.schema)
+        .load(path)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+def s03_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    return _roundtrip(spark, sf, "csv")
+
+
+def s04_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    return _roundtrip(spark, sf, "json")
+
+
+def s05_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    return _roundtrip(spark, sf, "orc")
+
+
+_RT_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       min(o_orderdate) AS first_date,
+       max(o_orderdate) AS last_date
+FROM orders GROUP BY 1
+"""
+
+PROBES = [
+    Probe("s03_csv_roundtrip", "S3-S5", s03_csv_roundtrip, _RT_SQL),
+    Probe("s04_json_roundtrip", "S3-S5", s04_json_roundtrip, _RT_SQL),
+    Probe("s05_orc_roundtrip", "S3-S5", s05_orc_roundtrip, _RT_SQL),
+]

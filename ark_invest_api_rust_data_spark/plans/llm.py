@@ -678,3 +678,125 @@ def llm_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 PROBES.append(Probe("llm_similarity_ivf", "B30", llm_similarity_ivf, LLM_SIMILARITY_SQL))
+
+
+# ------------------------------------------------ PII scrubbing
+def llm_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 (corpus prep) — PII detection + redaction
+    (operators/text.py pii_scrub). The synthetic corpus carries no
+    natural PII, so the probe plants deterministic doc_id-derived
+    emails / SSNs / phone numbers / IPs first — the SAME injection
+    expression runs in the oracle, so every count and every redacted
+    character is hash-checked. The operator itself is a narrow
+    expression-only map (no shuffle, no Python)."""
+    from ..operators.text import pii_scrub
+
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    four = F.lpad((did % 10000).cast("string"), 4, "0")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            did.cast("string"),
+            F.lit("@ex-mail.org"),
+            F.when(did % 3 == 0, F.concat(F.lit(" ssn 123-45-"), four)).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.concat(F.lit(" call 415-555-"), four)).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(injected)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+LLM_PII_SQL = (
+    """
+WITH inj AS (
+  SELECT doc_id,
+    text || ' reach user' || CAST(doc_id AS VARCHAR) || '@ex-mail.org'
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              ELSE '' END AS t0
+  FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '"""
+    + _PII_EMAIL
+    + """')) AS n_email,
+              regexp_replace(t0, '"""
+    + _PII_EMAIL
+    + """', '[EMAIL]', 'g') AS t1 FROM inj),
+s2 AS (SELECT *, len(regexp_extract_all(t1, '"""
+    + _PII_SSN
+    + """')) AS n_ssn,
+              regexp_replace(t1, '"""
+    + _PII_SSN
+    + """', '[SSN]', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, len(regexp_extract_all(t2, '"""
+    + _PII_PHONE
+    + """')) AS n_phone,
+              regexp_replace(t2, '"""
+    + _PII_PHONE
+    + """', '[PHONE]', 'g') AS t3 FROM s2),
+s4 AS (SELECT *, len(regexp_extract_all(t3, '"""
+    + _PII_IPV4
+    + """')) AS n_ipv4,
+              regexp_replace(t3, '"""
+    + _PII_IPV4
+    + """', '[IPV4]', 'g') AS t4 FROM s3)
+SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+       n_email + n_ssn + n_phone + n_ipv4 AS n_pii_total,
+       t4 AS clean_text
+FROM s4
+"""
+)
+
+PROBES.append(Probe("llm_pii_scrub", "B31", llm_pii_scrub, LLM_PII_SQL))
+
+
+# ------------------------------------------------ decontamination
+def llm_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 (corpus prep) — benchmark decontamination: flag corpus
+    documents sharing any word 3-gram with a held-out benchmark set
+    (deterministic doc_id % 97 slice stands in for the eval suite).
+    operators/contamination.py: corpus side never shuffles — shingles
+    stream into a broadcast join against the (small) benchmark shingle
+    set, then one aggregation on doc_id. GPT-3 appendix C shape."""
+    from ..operators.contamination import contamination_overlap
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(corpus, bench, n=3)
+
+
+LLM_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM t WHERE len(w) >= 3),
+b AS (SELECT DISTINCT shingle, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0),
+h AS (SELECT g.doc_id, g.shingle, b.bench_id
+      FROM g JOIN b USING (shingle) WHERE g.doc_id % 97 <> 0)
+SELECT doc_id, count(DISTINCT shingle) AS n_shingle_hits,
+       count(DISTINCT bench_id) AS n_bench_docs
+FROM h GROUP BY doc_id
+"""
+
+PROBES.append(Probe("llm_decontaminate", "B31", llm_decontaminate, LLM_DECONTAM_SQL))

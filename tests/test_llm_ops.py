@@ -584,3 +584,65 @@ def test_mixture_sample_rates_and_determinism(spark):
     # strata absent from the mixture are dropped entirely
     none_kept = mixture_sample(docs, {"src0": 50}, strata_col="lang")
     assert none_kept.count() == 0
+
+
+def test_pii_scrub_crafted_docs(spark):
+    """Counts, redaction, and cascade order on handcrafted PII: the
+    SSN rule fires before phone/IP, so its digits are never re-matched;
+    counts always agree with the replacements actually made."""
+    from ark_invest_api_rust_data_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "write to alice.b+tag@corp-mail.example.org today"),
+        (2, "ssn 987-65-4321 then phone 415-555-0100 then 192.168.1.254 end"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io c@d.net and twice 10.0.0.1 10.0.0.2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+
+    assert got[1]["n_email"] == 1 and got[1]["clean_text"] == "write to [EMAIL] today"
+    assert (got[2]["n_ssn"], got[2]["n_phone"], got[2]["n_ipv4"]) == (1, 1, 1)
+    assert got[2]["clean_text"] == "ssn [SSN] then phone [PHONE] then [IPV4] end"
+    assert got[3]["n_pii_total"] == 0 and got[3]["clean_text"] == rows[2][1]
+    assert got[4]["n_email"] == 2 and got[4]["n_ipv4"] == 2
+    # totals equal the sum of categories by construction
+    for r in got.values():
+        assert r["n_pii_total"] == r["n_email"] + r["n_ssn"] + r["n_phone"] + r["n_ipv4"]
+
+
+def test_contamination_hashed_tier_equals_string_tier(spark):
+    """xxhash64 shingle keying (the shrink-the-shuffle scale knob) must
+    produce identical per-doc stats to the plain string keying."""
+    from ark_invest_api_rust_data_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    plain = {
+        r["doc_id"]: (r["n_shingle_hits"], r["n_bench_docs"])
+        for r in contamination_overlap(corpus, bench, n=3).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["n_shingle_hits"], r["n_bench_docs"])
+        for r in contamination_overlap(corpus, bench, n=3, hashed=True).collect()
+    }
+    assert plain == hashed
+    assert len(plain) > 0
+
+
+def test_contamination_short_docs_never_flagged(spark):
+    """Documents with fewer than n tokens produce no shingles (empty
+    array, not a null-padded gram) and cannot be flagged."""
+    from ark_invest_api_rust_data_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three four")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, "one two three")], "doc_id long, text string")
+    got = {r["doc_id"] for r in contamination_overlap(corpus, bench, n=3).collect()}
+    assert got == {2}  # doc 1 is shorter than the shingle width
