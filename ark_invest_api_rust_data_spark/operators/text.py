@@ -177,6 +177,50 @@ def repetition_stats(
     )
 
 
+def _run_length_signals(grams: Column) -> Column:
+    """Doc-local repetition signals from a gram array WITHOUT exploding:
+    sort the grams, then a single ``aggregate`` fold over the sorted
+    array tracks the current run (gram, count) and finalizes each run
+    into (a) the best ``count·len(gram)`` cover seen and (b) the char
+    mass of runs with count>1. Returns
+    ``struct(top_cover long, dup_chars long)``.
+
+    Equivalent to the explode→groupBy formulation (pytest-proven on the
+    corpus) but a pure narrow map: no row multiplication, no shuffle —
+    at 100 TB the explode tier moves ~n_tokens× the corpus through two
+    shuffles; this moves nothing."""
+    sorted_grams = F.array_sort(grams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, g):
+        cover = acc["run"] * F.length(acc["prev"])
+        closed_top = F.greatest(acc["top"], cover)
+        closed_dup = acc["dup"] + F.when(acc["run"] > 1, cover).otherwise(F.lit(0))
+        same = acc["prev"].isNotNull() & (g == acc["prev"])
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["top"]).otherwise(closed_top).alias("top"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+        )
+
+    def finish(acc):
+        cover = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            F.greatest(acc["top"], F.coalesce(cover, F.lit(0))).alias("top_cover"),
+            (
+                acc["dup"] + F.when(acc["run"] > 1, cover).otherwise(F.lit(0))
+            ).alias("dup_chars"),
+        )
+
+    return F.aggregate(sorted_grams, init, step, finish)
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -185,6 +229,7 @@ def quality_filter(
     min_uniq_ratio: float = 0.35,
     max_top_2gram_frac: float = 0.12,
     max_dup_3gram_frac: float = 0.10,
+    tier: str = "expr",
 ) -> DataFrame:
     """Composite corpus quality verdict (Gopher-style filter cascade,
     Rae et al. 2021 §A1.1): combine the length/diversity signals from
@@ -193,15 +238,47 @@ def quality_filter(
     failing rule as the drop reason (rule order is part of the
     contract — the oracle evaluates the same CASE chain).
 
-    Shape: ONE corpus scan — the length/diversity stats ride through
-    the gram aggregation as doc-dependent grouping keys, so the whole
-    cascade costs the repetition pipeline's two linear map-side-combined
-    shuffles and nothing else (measured vs the scan-twice-and-join
-    formulation: ~2× less IO, one less shuffle).
+    Tiers (measured at sf0.1, see bench.py):
+
+    * ``tier="expr"`` (default) — repetition signals via the sorted-
+      array run-length fold (``_run_length_signals``): ONE narrow
+      projection over the corpus, zero shuffles, no row multiplication.
+      This is the 100 TB shape — the whole verdict is map-only.
+    * ``tier="fused"`` — the explode→groupBy formulation (one corpus
+      scan, two linear map-side-combined shuffles), kept as the
+      comparison tier; per-gram rows ride two shuffles.
+
+    Both tiers produce identical verdicts (pytest-proven on the
+    corpus); gram-less documents differ only in an internal NULL-vs-0
+    repetition stat that the ``too_short`` rule shadows.
     """
     from .dedup import _spread
 
     toks = tokens(F.col(text_col))
+    if tier == "expr":
+        sig2 = _run_length_signals(word_ngrams(toks, 2))
+        sig3 = _run_length_signals(word_ngrams(toks, 3))
+        nc = F.length(F.col(text_col))
+        rolled = _spread(df).select(
+            F.col(id_col),
+            F.size(toks).alias("_nt"),
+            (
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+            ).alias("_ur"),
+            (sig2["top_cover"].cast("double") / nc.cast("double")).alias("_top2"),
+            (sig3["dup_chars"].cast("double") / nc.cast("double")).alias("_dup3"),
+        )
+        reason = (
+            F.when(F.col("_nt") < min_tokens, "too_short")
+            .when(F.col("_ur") < min_uniq_ratio, "low_diversity")
+            .when(F.col("_top2") > max_top_2gram_frac, "repetitive_2gram")
+            .when(F.col("_dup3") > max_dup_3gram_frac, "repetitive_3gram")
+            .otherwise("ok")
+        )
+        return rolled.withColumn("reason", reason).select(
+            id_col, (F.col("reason") == "ok").alias("keep"), "reason"
+        )
+
     grams = F.concat(
         F.transform(word_ngrams(toks, 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
         F.transform(word_ngrams(toks, 3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),

@@ -646,3 +646,14 @@ def test_contamination_short_docs_never_flagged(spark):
     bench = spark.createDataFrame([(100, "one two three")], "doc_id long, text string")
     got = {r["doc_id"] for r in contamination_overlap(corpus, bench, n=3).collect()}
     assert got == {2}  # doc 1 is shorter than the shingle width
+
+
+def test_quality_filter_tiers_equivalent(spark):
+    """The zero-shuffle run-length-fold tier must produce the exact
+    verdict of the explode->groupBy tier on the real corpus."""
+    from ark_invest_api_rust_data_spark.operators.text import quality_filter
+
+    docs = load_table(spark, SF, "documents")
+    a = {r["doc_id"]: (r["keep"], r["reason"]) for r in quality_filter(docs, tier="expr").collect()}
+    b = {r["doc_id"]: (r["keep"], r["reason"]) for r in quality_filter(docs, tier="fused").collect()}
+    assert a == b and len(a) > 0
