@@ -230,19 +230,51 @@ SIMHASH_BITS = 32
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", tier: str = "expr"
 ) -> DataFrame:
     """SimHash-32 fingerprint per document over distinct tokens with
     unit weights: bit b is set iff Σ_tokens (±1 by token-hash bit b)
-    is positive. Pure integer pipeline: explode distinct tokens → one
-    groupBy(doc) with 32 conditional sums (map-side combined)."""
+    is positive. Pure integer pipeline either way; tiers:
+
+    * ``tier="expr"`` (default) — the signature is doc-local, so the
+      per-bit sums are 32 folds over the document's materialized
+      token-hash array: ONE narrow projection, zero shuffles. The
+      100 TB shape (nothing moves).
+    * ``tier="grouped"`` — explode distinct tokens → one groupBy(doc)
+      with 32 conditional sums (map-side combined); kept as the
+      comparison tier.
+
+    (Hashing the distinct vocabulary once + broadcast-joining back was
+    also measured and lost — the join overhead exceeds the integer
+    fold cost on short tokens.)"""
     from .text import token_hash32
 
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    if tier == "expr":
+        # token-hash array as its OWN column: 32 fold expressions
+        # reference it, and inlining would re-evaluate the char-fold
+        # per reference (cf. rolling_fingerprint)
+        base = _spread(df).select(
+            F.col(id_col).alias("_id"), F.transform(toks, token_hash32).alias("_th")
+        )
+        def _fold(b):
+            # closure factory, not a default arg — PySpark counts lambda
+            # parameters to type the HOF, so the merge must be 2-ary
+            return F.aggregate(
+                F.col("_th"),
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when((F.floor(h / F.lit(2**b)) % 2) == 1, 1).otherwise(-1),
+            )
+
+        bit_sum = [_fold(b) for b in range(SIMHASH_BITS)]
+        sim = None
+        for b in range(SIMHASH_BITS):
+            term = F.when(bit_sum[b] > 0, F.lit(2**b)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return base.select(F.col("_id").alias(id_col), sim.cast("long").alias("simhash"))
+
     exploded = _spread(df).select(F.col(id_col).alias("_id"), F.explode(toks).alias("_tok"))
-    # direct per-occurrence fold: measured FASTER than hashing the
-    # distinct vocabulary + broadcast-joining back (the join overhead
-    # exceeds the integer fold cost; short tokens are cheap)
     hashed = exploded.withColumn("_h", token_hash32(F.col("_tok")))
     bit_sums = hashed.groupBy("_id").agg(
         *[

@@ -131,49 +131,29 @@ def repetition_stats(
     length) keeps the signal deterministic across engines — no
     tie-breaking between equally-frequent grams.
 
-    Shape: explode grams of both orders in ONE pass → one partial+final
-    count aggregation keyed by (doc, order, gram) → one per-doc rollup.
-    Linear in corpus size, two shuffles, no Python in the row path."""
-    toks = tokens(F.col(text_col))
-    grams = F.concat(
-        F.transform(word_ngrams(toks, 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
-        F.transform(word_ngrams(toks, 3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
-    )
+    Shape: the signals are doc-local, so they are computed with the
+    sorted-array run-length fold (``_run_length_signals``) in ONE
+    narrow projection — zero shuffles, no row multiplication (the
+    earlier explode→groupBy formulation moved ~n_tokens× the corpus
+    through two shuffles; same outputs, oracle-verified)."""
     from .dedup import _spread
 
-    exploded = (
-        _spread(df)
-        .select(
-            F.col(id_col),
-            F.length(F.col(text_col)).alias("n_chars"),
-            F.explode(grams).alias("g"),
-        )
-        .select(id_col, "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    )
-    counted = exploded.groupBy(id_col, "n_chars", "n", "gram").agg(
-        F.count("*").alias("c")
-    )
-    cover = F.col("c") * F.length(F.col("gram"))
-    return (
-        counted.groupBy(id_col, "n_chars")
-        .agg(
-            F.max(F.when(F.col("n") == 2, cover)).alias("top_2gram_cover"),
-            F.coalesce(
-                F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), cover)), F.lit(0)
-            ).alias("dup_3gram_chars"),
-        )
-        .select(
-            id_col,
-            "n_chars",
-            "top_2gram_cover",
-            "dup_3gram_chars",
-            (F.col("top_2gram_cover").cast("double") / F.col("n_chars").cast("double")).alias(
-                "top_2gram_frac"
-            ),
-            (F.col("dup_3gram_chars").cast("double") / F.col("n_chars").cast("double")).alias(
-                "dup_3gram_frac"
-            ),
-        )
+    toks = tokens(F.col(text_col))
+    g2 = word_ngrams(toks, 2)
+    sig2 = _run_length_signals(g2)
+    sig3 = _run_length_signals(word_ngrams(toks, 3))
+    nc = F.length(F.col(text_col))
+    # gram-less docs: top cover is NULL (max over nothing), dup chars 0
+    # (empty sum coalesced) — matching the SQL oracle's aggregates
+    top_cover = F.when(F.size(g2) > 0, sig2["top_cover"])
+    dup_chars = sig3["dup_chars"]
+    return _spread(df).select(
+        F.col(id_col),
+        nc.alias("n_chars"),
+        top_cover.alias("top_2gram_cover"),
+        dup_chars.alias("dup_3gram_chars"),
+        (top_cover.cast("double") / nc.cast("double")).alias("top_2gram_frac"),
+        (dup_chars.cast("double") / nc.cast("double")).alias("dup_3gram_frac"),
     )
 
 
