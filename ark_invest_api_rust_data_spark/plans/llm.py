@@ -800,3 +800,81 @@ FROM h GROUP BY doc_id
 """
 
 PROBES.append(Probe("llm_decontaminate", "B31", llm_decontaminate, LLM_DECONTAM_SQL))
+
+
+# ------------------------------------------------ corpus vocabulary
+def llm_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — global corpus vocabulary: top-50 tokens by total count
+    (deterministic tie-break on the token). THE canonical corpus
+    shuffle: explode → partial+final count aggregation (map-side
+    combined, O(vocab) shuffle rows) → TakeOrderedAndProject. At
+    100 TB the shuffle is bounded by vocabulary size, not corpus
+    size."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(50)
+    )
+
+
+LLM_VOCAB_SQL = f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest({_W}) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 50
+"""
+
+PROBES.append(Probe("llm_vocab_topk", "B31", llm_vocab_topk, LLM_VOCAB_SQL))
+
+
+# ------------------------------------------------ TF-IDF top terms
+def llm_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — per-document top-3 terms by tf-idf. The idf factor is
+    QUANTIZED to exact integer math — ``(1_000_000 · N) div df`` — so
+    the score is a pure int64 product and Spark/DuckDB agree bit-for-
+    bit (a float ln() would be at the mercy of libm-vs-JVM last-ulp
+    differences). Monotone in N/df, so rankings match the float
+    formulation's. Shape: one explode → (doc,term) count → O(vocab)
+    df aggregation broadcast back — two linear map-side-combined
+    shuffles + one broadcast join, no row explosion past the gram
+    stream."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * ((1000000 * n) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+LLM_TFIDF_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({_W}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term, tf, df, tf * ((1000000 * n) // df) AS score
+      FROM tf JOIN dfx USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank FROM s)
+SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
+"""
+
+PROBES.append(Probe("llm_tfidf_topterms", "B31", llm_tfidf_topterms, LLM_TFIDF_SQL))

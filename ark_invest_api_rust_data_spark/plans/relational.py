@@ -1173,3 +1173,40 @@ FROM e JOIN a ON e.o_orderstatus = a.o_orderstatus
 PROBES.append(
     Probe("b08_approx_percentile", "B8", b08_approx_percentile, B08_APPROX_SQL)
 )
+
+
+# ------------------------------------------------ B12: interval RANGE frames
+def b12_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """B12 breadth — RANGE frames bounded by a TIME interval (trailing
+    30-day order count + revenue per customer), distinct from the ROWS
+    frames of b12_window_running: the frame is value-based, so peers
+    enter/leave by timestamp distance, not row position. Interval RANGE
+    bounds are SQL-only surface in Spark (DataFrame rangeBetween takes
+    long offsets), so the probe goes through spark.sql — same Catalyst
+    window operator underneath. The windowed SUM runs in DECIMAL so the
+    varying frame association order cannot produce FP drift vs the
+    oracle."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("_orders_ri")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          count(*) OVER w AS n_30d,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+            AS rev_30d
+        FROM _orders_ri
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+B12_RANGE_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  count(*) OVER w AS n_30d,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS rev_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+"""
+
+PROBES.append(Probe("b12_range_interval", "B12", b12_range_interval, B12_RANGE_SQL))

@@ -60,6 +60,8 @@ HEADLINE = [
     "llm_embedding_near_dup",
     "llm_sequence_pack",
     "llm_quality_filter",
+    "llm_pii_scrub",
+    "llm_decontaminate",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
