@@ -26,8 +26,10 @@ from .text import tokens, word_ngrams
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, out_id: str) -> DataFrame:
+    from .dedup import _spread
+
     toks = tokens(F.col(text_col))
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias(out_id),
         F.explode(F.array_distinct(word_ngrams(toks, n))).alias("shingle"),
     )
@@ -41,14 +43,26 @@ def contamination_overlap(
     text_col: str = "text",
     bench_id_col: str | None = None,
     hashed: bool = False,
+    count_bench_docs: bool = True,
 ) -> DataFrame:
     """Per-corpus-document contamination stats vs a benchmark set.
 
     Returns only contaminated documents (the interesting minority):
-    ``(id_col, n_shingle_hits, n_bench_docs)`` — how many distinct
+    ``(id_col, n_shingle_hits[, n_bench_docs])`` — how many distinct
     n-gram shingles of the document appear anywhere in the benchmark,
-    and how many distinct benchmark documents it overlaps. Callers
-    drop or flag the returned ids.
+    and (optionally) how many distinct benchmark documents it
+    overlaps. Callers drop or flag the returned ids.
+
+    ``count_bench_docs=False`` is the guaranteed-linear tier: the
+    benchmark side is pre-aggregated to its distinct shingle set, so
+    the join output is bounded by the corpus shingle stream no matter
+    how many benchmark documents share a shingle. The exact
+    ``n_bench_docs`` requires expanding (corpus shingle × matching
+    bench doc) pairs — harmless on realistic corpora where a shingle
+    appears in few benchmark docs, but on a saturated shingle space
+    (e.g. a tiny synthetic vocabulary where every possible n-gram
+    exists in the benchmark) the pair expansion is the dominant cost;
+    decontamination itself only needs the flag/hit count.
 
     Documents shorter than ``n`` tokens produce no shingles and are
     never flagged (``word_ngrams`` yields an empty array for them).
@@ -59,6 +73,11 @@ def contamination_overlap(
     if hashed:
         corp = corp.withColumn("shingle", F.xxhash64("shingle"))
         ben = ben.withColumn("shingle", F.xxhash64("shingle"))
+    if not count_bench_docs:
+        hits = corp.join(F.broadcast(ben.select("shingle").distinct()), "shingle")
+        return hits.groupBy(id_col).agg(
+            F.countDistinct("shingle").alias("n_shingle_hits")
+        )
     hits = corp.join(F.broadcast(ben), "shingle")
     return hits.groupBy(id_col).agg(
         F.countDistinct("shingle").alias("n_shingle_hits"),

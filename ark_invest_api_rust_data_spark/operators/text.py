@@ -140,16 +140,25 @@ def repetition_stats(
 
     toks = tokens(F.col(text_col))
     g2 = word_ngrams(toks, 2)
-    sig2 = _run_length_signals(g2)
-    sig3 = _run_length_signals(word_ngrams(toks, 3))
-    nc = F.length(F.col(text_col))
+    # fold results materialized as their OWN columns first: the cover /
+    # frac projections reference each signal twice, and CollapseProject
+    # would otherwise inline (and re-evaluate) the whole sort+fold per
+    # reference (measured 2× at sf0.1; cf. rolling_fingerprint's _th)
+    base = _spread(df).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(g2).alias("_ng2"),
+        _run_length_signals(g2).alias("_s2"),
+        _run_length_signals(word_ngrams(toks, 3)).alias("_s3"),
+    )
+    nc = F.col("n_chars")
     # gram-less docs: top cover is NULL (max over nothing), dup chars 0
     # (empty sum coalesced) — matching the SQL oracle's aggregates
-    top_cover = F.when(F.size(g2) > 0, sig2["top_cover"])
-    dup_chars = sig3["dup_chars"]
-    return _spread(df).select(
-        F.col(id_col),
-        nc.alias("n_chars"),
+    top_cover = F.when(F.col("_ng2") > 0, F.col("_s2")["top_cover"])
+    dup_chars = F.col("_s3")["dup_chars"]
+    return base.select(
+        id_col,
+        "n_chars",
         top_cover.alias("top_2gram_cover"),
         dup_chars.alias("dup_3gram_chars"),
         (top_cover.cast("double") / nc.cast("double")).alias("top_2gram_frac"),
