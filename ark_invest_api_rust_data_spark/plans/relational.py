@@ -1210,3 +1210,41 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 """
 
 PROBES.append(Probe("b12_range_interval", "B12", b12_range_interval, B12_RANGE_SQL))
+
+
+# ------------------------------------------------ B19: Variant type
+def b19_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """B19 modern tier — semi-structured data through Spark 4's VARIANT
+    type: ``parse_json`` once into the binary variant encoding, then
+    typed ``variant_get`` path extraction. At scale this is the
+    materialize-once / extract-many pattern for JSON event payloads
+    (variant decode is O(1) per path vs re-parsing the JSON string per
+    extraction). The oracle extracts the same path with DuckDB's JSON
+    operators — values must agree exactly."""
+    events = load_table(spark, sf, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+B19_VARIANT_SQL = """
+SELECT event_type, count(*) AS c,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+GROUP BY 1
+"""
+
+PROBES.append(Probe("b19_variant", "B19", b19_variant, B19_VARIANT_SQL))
