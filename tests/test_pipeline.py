@@ -394,3 +394,33 @@ def test_lake_compaction_reduces_files(spark, tmp_path):
     assert after < before
     rows_after = sorted(map(tuple, read_lake(spark, root).collect()))
     assert rows_after == rows_before
+
+
+def test_holdings_http_datasource(spark, tmp_path):
+    """S3/S6 as a Spark 4 Python Data Source: per-ticker InputPartition
+    fan-out, provider-agnostic (ticker, row_idx, fields-map) rows,
+    recorded-fixture mode (no network)."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.sources.http_source import HoldingsDataSource
+
+    for t in ("ARKK", "ARKW"):
+        (tmp_path / f"{t}.csv").write_text(ARK_CSV)
+    spark.dataSource.register(HoldingsDataSource)
+    df = (
+        spark.read.format("ark_holdings")
+        .option("tickers", "ARKK,ARKW")
+        .option("fixture_dir", str(tmp_path))
+        .load()
+    )
+    rows = df.collect()
+    # 14 data rows per fixture x 2 tickers; one partition per ticker
+    assert len(rows) == 28
+    assert df.rdd.getNumPartitions() == 2
+    assert {r["ticker"] for r in rows} == {"ARKK", "ARKW"}
+    first = df.filter((F.col("ticker") == "ARKK") & (F.col("row_idx") == 0)).first()
+    assert first["fields"]["company"] == "TESLA INC"
+    assert first["fields"]["market value ($)"] == "$1,234,567.89"
+    # parse order preserved within a partition (row_idx contract)
+    arkk = df.filter(F.col("ticker") == "ARKK").orderBy("row_idx").collect()
+    assert [r["row_idx"] for r in arkk] == list(range(14))
