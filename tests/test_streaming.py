@@ -425,3 +425,53 @@ def test_stateful_session_timeout_matches_native(spark, tmp_path):
     )
     assert _rows(got) == _rows(batch)
     assert got.count() > 100  # non-trivial corpus
+
+
+def test_transform_with_state_matches_batch(spark, event_dir, tmp_path):
+    """Spark 4 transformWithState (StatefulProcessor + ValueState,
+    RocksDB-backed): final per-user emission must equal the batch
+    groupBy twin — same contract as the applyInPandasWithState
+    operator it modernizes. Skips where pyspark's protobuf dependency
+    is absent (see streaming/tws.py ENVIRONMENT GATE)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState driver worker needs protobuf (not in this env)",
+    )
+    from ark_invest_api_rust_data_spark.streaming.reliability import (
+        rocksdb_state_store,
+    )
+    from ark_invest_api_rust_data_spark.streaming.tws import running_user_totals_tws
+
+    with rocksdb_state_store(spark):
+        stream = running_user_totals_tws(stream_events(spark, event_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql import Window
+
+    emitted = spark.table("t_tws")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = running_user_totals_tws(spark.read.parquet(event_dir))
+    assert _rows(final) == _rows(batch)
+
+
+def test_tws_batch_fallback_matches_stateful_twin(spark, event_dir):
+    """The TWS operator's batch branch must agree with the
+    applyInPandasWithState operator's batch branch (shared contract) —
+    executed coverage for streaming/tws.py in this environment."""
+    from ark_invest_api_rust_data_spark.streaming.stateful import running_user_totals
+    from ark_invest_api_rust_data_spark.streaming.tws import running_user_totals_tws
+
+    batch = spark.read.parquet(event_dir)
+    assert _rows(running_user_totals_tws(batch)) == _rows(running_user_totals(batch))
