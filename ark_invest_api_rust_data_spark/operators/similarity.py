@@ -367,3 +367,58 @@ class IvfIndex:
         probes = [int(c) for c in d.argsort()[:nprobe]]
         cand = self.assigned.filter(F.col("cluster").isin(probes)).drop("cluster")
         return cosine_topk(cand, list(query_vec), k, self.id_col, self.vec_col)
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Batch k-NN join: exact quantized-cosine top-k neighbors in
+    ``data`` for EVERY row of ``queries`` (the batch-inference /
+    retrieval shape, vs the single-vector ``cosine_topk``).
+
+    Scale shape: the query set is broadcast (inference batches are
+    small against a 100 TB corpus), scoring is a narrow map over data,
+    and the top-k reduction is a SALTED TWO-PHASE aggregation —
+    per-(query, salt) partial top-k via sorted-struct arrays, then a
+    final merge per query — so the shuffle carries at most
+    ``n_salts · k`` rows per query instead of |data| rows hammering
+    q hot keys (a row_number window over query_id would put the whole
+    scored corpus through a q-partition shuffle).
+
+    Ties break on ascending data id. Negated-cosine struct sort keeps
+    the ordering exact (sign flip is lossless); the rank is the final
+    array position.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _quantize(F.col(vec_col)).alias("_qq")
+    )
+    d = data.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_dq"))
+    pairs = d.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("_dq"), F.col("_qq")).cast("double") / (
+        F.sqrt(_norm2(F.col("_dq")).cast("double"))
+        * F.sqrt(_norm2(F.col("_qq")).cast("double"))
+    )
+    scored = pairs.select(
+        query_id_col,
+        F.struct((-cos).alias("neg_cos"), F.col(id_col).alias(id_col)).alias("_e"),
+        (F.pmod(F.hash(id_col), F.lit(n_salts))).alias("_salt"),
+    )
+    partial = scored.groupBy(query_id_col, "_salt").agg(
+        F.slice(F.array_sort(F.collect_list("_e")), 1, k).alias("_top")
+    )
+    merged = partial.groupBy(query_id_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias("_top")
+    )
+    ex = merged.select(query_id_col, F.posexplode("_top").alias("_pos", "_e"))
+    return ex.select(
+        query_id_col,
+        F.col(f"_e.{id_col}").alias(id_col),
+        (-F.col("_e.neg_cos")).alias("cosine"),
+        (F.col("_pos") + 1).alias("rank"),
+    )

@@ -878,3 +878,38 @@ SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3
 """
 
 PROBES.append(Probe("llm_tfidf_topterms", "B31", llm_tfidf_topterms, LLM_TFIDF_SQL))
+
+
+# ------------------------------------------------ k-NN join
+def llm_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — batch k-NN join (operators/similarity.py knn_join): top-5
+    neighbors for each of the first 5 vectors against the rest, via a
+    broadcast query batch + salted two-phase top-k (no per-query hot
+    keys, no driver collect). Exact on the μ-quantized grid, so the
+    O(q·n) SQL oracle matches bit-for-bit."""
+    from ..operators.similarity import knn_join
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    data = emb.filter(F.col("vec_id") >= 5)
+    return knn_join(data, queries, k=5)
+
+
+_QD = "CAST(floor(CAST(d.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+_QQ2 = "CAST(floor(CAST(q.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+LLM_KNN_SQL = f"""
+WITH sc AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+    CAST(list_sum(list_transform(generate_series(1, len(d.embedding)),
+         i -> {_QD} * {_QQ2})) AS DOUBLE)
+    / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(d.embedding)),
+              i -> {_QD} * {_QD})) AS DOUBLE))
+       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+              i -> {_QQ2} * {_QQ2})) AS DOUBLE))) AS cosine
+  FROM embeddings q JOIN embeddings d ON q.vec_id < 5 AND d.vec_id >= 5),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+"""
+
+PROBES.append(Probe("llm_knn_join", "B30", llm_knn_join, LLM_KNN_SQL))

@@ -186,3 +186,48 @@ def test_sampling_ops_shuffle_shape(spark):
     )
     assert pack_plan.count("Exchange") == 1, pack_plan[:2000]
     assert "hashpartitioning(source" in pack_plan
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Scan-side row-level pruning at scale: with a selective dimension
+    filter and a non-broadcastable build side, Catalyst injects a
+    runtime BLOOM FILTER on the fact scan (bloom_filter_agg on the
+    creation side, might_contain on the application side) — the
+    100 TB mechanism that keeps a fact scan from shipping rows a
+    selective dim filter will discard anyway. Thresholds are scoped:
+    broadcast disabled (forcing the shuffle-join regime where bloom
+    pays) and the app-side scan size floor dropped for test data.
+    NOTE: confs are set AFTER any load_table call — session.tune()
+    re-pins the broadcast threshold."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        sf = "/root/testdata/sf0.01"
+        lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
