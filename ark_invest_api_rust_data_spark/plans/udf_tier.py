@@ -209,3 +209,40 @@ WINDOW w AS (PARTITION BY event_type)
 """
 
 PROBES.append(Probe("b25_applyinpandas", "B25", b25_applyinpandas, B25_AIP_SQL))
+
+
+# ------------------------------------------------ B26: real Python UDTF
+def b26_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """B26 modern tier — an actual Python UDTF (Spark 4 ``@udtf``
+    class) invoked through SQL LATERAL, vs b26_udtf_split's
+    posexplode formulation: one eval call per input row fanning out to
+    (pos, word) rows executor-side. Bounded to the first 5 tokens per
+    document so the probe output stays O(docs). The oracle replicates
+    the fan-out with generate_series indexing."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, word: string")
+    class HeadTokens:
+        def eval(self, text: str):
+            toks = (text or "").strip().split()
+            for i, w in enumerate(toks[:5]):
+                yield (i, w)
+
+    spark.udtf.register("head_tokens", HeadTokens)
+    load_table(spark, sf, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM _docs_udtf d, LATERAL head_tokens(d.text) s
+        """
+    )
+
+
+B26_PYUDTF_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents)
+SELECT doc_id, i - 1 AS pos, w[i] AS word
+FROM t CROSS JOIN unnest(generate_series(1, least(len(w), 5))) AS g(i)
+"""
+
+PROBES.append(Probe("b26_python_udtf", "B26", b26_python_udtf, B26_PYUDTF_SQL))

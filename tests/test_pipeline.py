@@ -424,3 +424,24 @@ def test_holdings_http_datasource(spark, tmp_path):
     # parse order preserved within a partition (row_idx contract)
     arkk = df.filter(F.col("ticker") == "ARKK").orderBy("row_idx").collect()
     assert [r["row_idx"] for r in arkk] == list(range(14))
+
+
+def test_observe_quality_counters_ride_the_write(spark, tmp_path):
+    """Observation metrics accumulate on the existing action (no extra
+    scan): normalize the ARK fixture, write it, read the counters."""
+    from ark_invest_api_rust_data_spark.functions.observability import observe_quality
+    from ark_invest_api_rust_data_spark.operators.normalize import normalize
+
+    raw = csv_to_df(spark, ARK_CSV)
+    bad = raw.limit(1).withColumn("date", F.lit("not/a/date"))
+    frame = normalize(raw.unionByName(bad))
+    observed, obs = observe_quality(frame)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    # the unparseable date row is dropped by the null-date filter (P4),
+    # so the observed frame counts only clean rows with zero nulls
+    assert got["rows"] == 14
+    assert got["null_dates"] == 0
+    assert got["unidentified_rows"] == 0
+    assert got["negative_market_values"] == 0
+    assert got["max_weight"] > 0
