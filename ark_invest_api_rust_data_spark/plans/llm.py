@@ -913,3 +913,80 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 """
 
 PROBES.append(Probe("llm_knn_join", "B30", llm_knn_join, LLM_KNN_SQL))
+
+
+# ------------------------------------------------ end-to-end corpus prep
+def llm_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 capstone — the WHOLE training-corpus prep flow composed as
+    ONE lazy plan: quality filter (zero-shuffle verdict fold) → exact
+    near-dup removal (md5 fingerprint, keep smallest doc_id) → split
+    assignment (content-independent hash bucket) → sequence packing of
+    the surviving train split (one window shuffle on the shard key).
+    Every stage is individually oracle-verified elsewhere; this probe
+    proves they COMPOSE — one Catalyst plan, no materialization
+    between stages, the shape a real 100 TB prep job runs. The oracle
+    chains the same four stages as CTEs."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import pack_sequences, split_assign
+    from ..operators.text import quality_filter
+
+    docs = load_table(spark, sf, "documents")
+    verdicts = quality_filter(docs)
+    kept = docs.join(verdicts.filter(F.col("keep")).select("doc_id"), "doc_id")
+    fingerprinted = kept.withColumn("_fp", F.md5(F.col("text")))
+    deduped = exact_dedup(fingerprinted, ["_fp"], [F.asc("doc_id")]).drop("_fp")
+    train = split_assign(deduped).filter(F.col("split") == "train")
+    packed = pack_sequences(train, budget=512)
+    return packed.select("doc_id", "source", "n_tokens", "start_offset", "pack_id")
+
+
+LLM_PIPELINE_SQL = f"""
+WITH t AS (SELECT doc_id, text, source, {_W} AS w FROM documents),
+stats AS (
+  SELECT doc_id, len(w) AS n_tokens,
+    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS uniq_ratio
+  FROM t),
+g AS (
+  SELECT doc_id, length(text) AS n_chars, 2 AS n,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM t
+  UNION ALL
+  SELECT doc_id, length(text), 3,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+  FROM t),
+cnt AS (SELECT doc_id, n_chars, n, gram, count(*) AS c FROM g GROUP BY ALL),
+rep AS (
+  SELECT doc_id,
+    CAST(max(CASE WHEN n = 2 THEN c * length(gram) END) AS DOUBLE)
+      / CAST(n_chars AS DOUBLE) AS top2,
+    CAST(CAST(coalesce(sum(CASE WHEN n = 3 AND c > 1 THEN c * length(gram) END), 0)
+         AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup3
+  FROM cnt GROUP BY doc_id, n_chars),
+kept AS (
+  SELECT s.doc_id FROM stats s LEFT JOIN rep r ON s.doc_id = r.doc_id
+  WHERE NOT (s.n_tokens < 20) AND NOT (s.uniq_ratio < 0.35)
+    AND NOT (r.top2 > 0.12) AND NOT (r.dup3 > 0.10)),
+deduped AS (
+  SELECT doc_id, source, text FROM (
+    SELECT d.doc_id, d.source, d.text,
+           row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+    FROM documents d JOIN kept USING (doc_id))
+  WHERE rn = 1),
+train AS (
+  SELECT doc_id, source, text FROM deduped
+  WHERE ({_ID_HASH}) % 100 < 80),
+sized AS (
+  SELECT doc_id, source, len({_W}) AS n_tokens FROM train),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+  FROM sized)
+SELECT doc_id, source, n_tokens, start_offset,
+  CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id
+FROM packed
+"""
+
+PROBES.append(Probe("llm_corpus_pipeline", "B31", llm_corpus_pipeline, LLM_PIPELINE_SQL))
