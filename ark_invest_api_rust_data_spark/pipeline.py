@@ -64,9 +64,16 @@ def refresh_ticker(
     source: Source = Source.API_INCREMENTAL,
     root: str = DEFAULT_ROOT,
     fetcher: Fetcher = http_fetch,
+    quality_metrics: dict | None = None,
 ) -> DataFrame:
     """One ticker's full refresh (ark_plan minus the jitter): returns
-    the merged canonical frame after writing the cache."""
+    the merged canonical frame after writing the cache.
+
+    Pass a dict as ``quality_metrics`` to receive per-run data-quality
+    counters (row count, null dates, unidentified rows, …): they are
+    observed on the SAME action that writes the cache (zero extra
+    scans; functions/observability.py) — the engine-native upgrade of
+    the reference's diagnostic tail print (main.rs:18-25)."""
     cache = read_ticker(spark, root, ticker.name)
 
     if source is Source.READ:
@@ -85,7 +92,14 @@ def refresh_ticker(
     # cascades (see normalize.py docstring) take up to 3 passes to
     # reach their fixpoint; mirror that
     merged = normalize(normalize(merged))
-    write_ticker(merged, root, ticker.name)
+    if quality_metrics is not None:
+        from .functions.observability import observe_quality
+
+        merged, obs = observe_quality(merged, name=f"refresh_{ticker.name}")
+        write_ticker(merged, root, ticker.name)
+        quality_metrics.update(obs.get)
+    else:
+        write_ticker(merged, root, ticker.name)
     # return the parquet-backed cache, not the in-memory plan: same rows,
     # but callers get a narrow scan with working predicate pushdown.
     # Pushing a filter through the composed rule-chain projections makes

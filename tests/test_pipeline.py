@@ -445,3 +445,44 @@ def test_observe_quality_counters_ride_the_write(spark, tmp_path):
     assert got["unidentified_rows"] == 0
     assert got["negative_market_values"] == 0
     assert got["max_weight"] > 0
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    """PERMISSIVE CSV scan with corrupt-record quarantine: schema
+    violations are captured with their raw text, clean rows parse
+    fully, nothing is silently dropped."""
+    from ark_invest_api_rust_data_spark.sources.data_reader import (
+        csv_scan_with_quarantine,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "date,shares,weight\n"
+        "2024-01-02,100,9.5\n"
+        "2024-01-03,not_a_number,extra,columns,here\n"
+        "2024-01-04,200,1.25\n"
+    )
+    good, bad = csv_scan_with_quarantine(
+        spark, str(p), "date DATE, shares LONG, weight DOUBLE"
+    )
+    assert good.count() == 2
+    assert {r["shares"] for r in good.collect()} == {100, 200}
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(quarantined) == 1 and "not_a_number" in quarantined[0]
+
+
+def test_refresh_ticker_quality_metrics(spark, tmp_path):
+    """quality_metrics rides the cache write: counters filled with no
+    extra action."""
+    metrics = {}
+    refresh_ticker(
+        spark,
+        Ticker.ARKK,
+        source=Source.ARK,
+        root=str(tmp_path / "lake"),
+        fetcher=lambda url: ARK_CSV,
+        quality_metrics=metrics,
+    )
+    assert metrics["rows"] == 14
+    assert metrics["null_dates"] == 0
+    assert metrics["unidentified_rows"] == 0
