@@ -1248,3 +1248,126 @@ GROUP BY 1
 """
 
 PROBES.append(Probe("b19_variant", "B19", b19_variant, B19_VARIANT_SQL))
+
+
+# ------------------------------------------------ B14: EXCEPT ALL
+def b14_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """B14 breadth — bag (multiplicity-preserving) set difference:
+    EXCEPT ALL keeps surplus duplicate occurrences, unlike the set
+    variant already covered. Probe: order priorities of urgent orders
+    minus one occurrence per distinct priority appearing among
+    5-URGENT... priorities from low-key customers."""
+    orders = load_table(spark, sf, "orders")
+    left = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderpriority"
+    )
+    right = orders.filter(F.col("o_custkey") % 100 == 0).select("o_orderpriority")
+    return left.exceptAll(right).groupBy("o_orderpriority").agg(
+        F.count("*").alias("c")
+    )
+
+
+B14_EXCEPT_ALL_SQL = """
+SELECT o_orderpriority, count(*) AS c FROM (
+  SELECT o_orderpriority FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE o_custkey % 100 = 0)
+GROUP BY 1
+"""
+
+PROBES.append(Probe("b14_except_all", "B14", b14_except_all, B14_EXCEPT_ALL_SQL))
+
+
+# ------------------------------------------------ B10: unpivot / melt
+def b10_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """B10 breadth — unpivot (melt): lineitem's four value columns to
+    (measure, value) rows, aggregated per measure. The inverse surface
+    of the pivot probe; DECIMAL aggregation for cross-engine
+    exactness."""
+    lineitem = load_table(spark, sf, "lineitem")
+    melted = lineitem.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+
+
+B10_UNPIVOT_SQL = """
+SELECT measure, count(*) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+           FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE val)
+GROUP BY 1
+"""
+
+PROBES.append(Probe("b10_unpivot", "B10", b10_unpivot, B10_UNPIVOT_SQL))
+
+
+# ------------------------------------------------ B15: edit distance
+def b15_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """B15 breadth — Levenshtein distance (the classic DP, identical
+    in every engine): distance from each part name to its own brand
+    string, bucketed into a histogram. Fuzzy-matching surface for the
+    C6/C7-style canonicalization family."""
+    part = load_table(spark, sf, "part")
+    d = F.levenshtein(F.col("p_name"), F.col("p_brand"))
+    return part.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("c"))
+
+
+B15_EDIT_SQL = """
+SELECT levenshtein(p_name, p_brand) AS d, count(*) AS c
+FROM part GROUP BY 1
+"""
+
+PROBES.append(Probe("b15_edit_distance", "B15", b15_edit_distance, B15_EDIT_SQL))
+
+
+# ------------------------------------------------ B16: date spine gap fill
+def b16_date_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """B16 breadth — calendar gap fill: generate the full month spine
+    over the order date range (sequence + explode — no driver loop),
+    left-join monthly order counts, zero-fill the empty months. The
+    standard time-series densification every reporting pipeline needs;
+    proves months with NO orders appear with n=0."""
+    orders = load_table(spark, sf, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month")
+    )
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.count("*").alias("n_raw"))
+    return spine.join(monthly, "month", "left").select(
+        "month", F.coalesce(F.col("n_raw"), F.lit(0)).alias("n_orders")
+    )
+
+
+B16_SPINE_SQL = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+  FROM orders),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM bounds),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS n_raw
+  FROM orders GROUP BY 1)
+SELECT s.month, coalesce(m.n_raw, 0) AS n_orders
+FROM spine s LEFT JOIN monthly m ON s.month = m.month
+"""
+
+PROBES.append(Probe("b16_date_spine", "B16", b16_date_spine, B16_SPINE_SQL))
