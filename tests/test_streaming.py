@@ -475,3 +475,39 @@ def test_tws_batch_fallback_matches_stateful_twin(spark, event_dir):
 
     batch = spark.read.parquet(event_dir)
     assert _rows(running_user_totals_tws(batch)) == _rows(running_user_totals(batch))
+
+
+def test_corpus_prep_narrow_ops_stream(spark, tmp_path):
+    """The zero-shuffle corpus-prep ops (PII scrub, split assignment)
+    are pure narrow maps, so they run UNCHANGED over a stream of
+    arriving document shards — streaming output equals the batch run
+    row-for-row. This is the 'prep the corpus as it lands' shape."""
+    from ark_invest_api_rust_data_spark.operators.sampling import split_assign
+    from ark_invest_api_rust_data_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = tmp_path / "docs_stream"
+    docs.repartition(4).write.mode("overwrite").parquet(str(src))
+
+    def prep(df):
+        return split_assign(pii_scrub(df), id_col="doc_id").select(
+            "doc_id", "n_pii_total", "clean_text", "bucket", "split"
+        )
+
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        prep(stream_in)
+        .writeStream.format("memory")
+        .queryName("t_corpus_prep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(spark.table("t_corpus_prep")) == _rows(
+        prep(spark.read.parquet(str(src)))
+    )

@@ -26,7 +26,15 @@ from ark_invest_api_rust_data_spark.plans import all_probes  # noqa: E402
 from ark_invest_api_rust_data_spark.session import get_spark  # noqa: E402
 
 SFS = ["0.001", "0.01", "0.1"]
-EXTRA = ["llm_ngram_jaccard", "llm_repetition", "b21_hypertable_rollup"]
+EXTRA = [
+    "llm_ngram_jaccard",
+    "llm_repetition",
+    "b21_hypertable_rollup",
+    "llm_vocab_topk",
+    "llm_tfidf_topterms",
+    "llm_knn_join",
+    "llm_corpus_pipeline",
+]
 
 
 def main() -> None:
