@@ -13,8 +13,14 @@ Semantics match ``pandas.merge_asof`` (tested against it directly):
 * ``direction="backward"`` (default): latest right row at-or-before
   the left timestamp — DuckDB ``ASOF LEFT JOIN`` on ``l.ts >= r.ts``.
 * ``direction="forward"``: earliest right row at-or-after.
+* ``direction="nearest"``: whichever of the two is closer in time
+  (backward wins exact ties, like merge_asof) — computed by running
+  BOTH window folds over the same union in one pass, then choosing
+  per row; still one shuffle on the key.
 * ``tolerance_seconds``: matches further than the tolerance are
-  nulled, like merge_asof's ``tolerance``.
+  nulled, like merge_asof's ``tolerance`` (for ``nearest``, each side
+  is masked before the choice, so a too-far backward match never
+  shadows an in-range forward one).
 
 ``allow_exact_matches=True`` always: at equal timestamps the right row
 is visible to the left row (side ordering per direction).
@@ -41,8 +47,8 @@ def asof_join(
 ) -> DataFrame:
     """As-of left join; right ``values`` columns are appended to every
     left row (null when no right row qualifies)."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     ts = "_asof_ts"
     right_types = {f.name: f.dataType for f in right.schema.fields}
@@ -68,6 +74,51 @@ def asof_join(
     )
     unioned = l.unionByName(r)
 
+    def _secs(c):
+        # epoch seconds via an explicit timestamp cast first: a no-op
+        # for TIMESTAMP, the only legal numeric route for TIMESTAMP_NTZ
+        return c.cast("timestamp").cast("double")
+
+    if direction == "nearest":
+        # BOTH folds over the same union — one shuffle, then a per-row
+        # choice. Backward fold: right sorts before left at equal ts
+        # (exact matches visible); forward fold: after.
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc(ts), F.asc(_SIDE))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc(ts), F.desc(_SIDE))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        for v in carried:
+            unioned = unioned.withColumn(
+                f"_b_{v}", F.last(f"_r_{v}", ignorenulls=True).over(wb)
+            ).withColumn(f"_f_{v}", F.first(f"_r_{v}", ignorenulls=True).over(wf))
+        out = unioned.filter(F.col(_SIDE) == 1)
+        gb = _secs(F.col(ts)) - _secs(F.col(f"_b_{_RTS}"))
+        gf = _secs(F.col(f"_f_{_RTS}")) - _secs(F.col(ts))
+        b_ok = F.col(f"_b_{_RTS}").isNotNull()
+        f_ok = F.col(f"_f_{_RTS}").isNotNull()
+        if tolerance_seconds is not None:
+            tol = F.lit(float(tolerance_seconds))
+            b_ok = b_ok & (gb <= tol)
+            f_ok = f_ok & (gf <= tol)
+        take_backward = b_ok & (~f_ok | (gb <= gf))  # backward wins ties
+        for v in values:
+            out = out.withColumn(
+                f"_r_{v}",
+                F.when(take_backward, F.col(f"_b_{v}")).when(f_ok, F.col(f"_f_{v}")),
+            )
+        return out.select(
+            *keys,
+            F.col(ts).alias(left_ts),
+            *[F.col(c) for c in left_payload],
+            *[F.col(f"_r_{v}").alias(v) for v in values],
+        )
+
     if direction == "backward":
         # right (side=0) sorts BEFORE left at equal ts → exact matches
         # visible; take last non-null over the preceding frame
@@ -91,14 +142,6 @@ def asof_join(
 
     out = unioned.filter(F.col(_SIDE) == 1)
     if tolerance_seconds is not None:
-        # Epoch seconds via an explicit timestamp cast first: a no-op
-        # for TIMESTAMP inputs, and the only legal numeric route for
-        # TIMESTAMP_NTZ (direct NTZ→double casts are rejected). Both
-        # sides shift identically under the session tz, so the gap is
-        # timezone-invariant.
-        def _secs(c):
-            return c.cast("timestamp").cast("double")
-
         gap = (
             _secs(F.col(ts)) - _secs(F.col(f"_r_{_RTS}"))
             if direction == "backward"

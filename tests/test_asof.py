@@ -59,3 +59,45 @@ def test_asof_matches_pandas(spark, direction, tolerance_s):
         for r in got.itertuples()
     }
     assert act == exp
+
+
+@pytest.mark.parametrize("tolerance_s", [None, 3600])
+def test_asof_nearest_matches_pandas(spark, tolerance_s):
+    """direction='nearest': closer of backward/forward, backward wins
+    ties, tolerance masks each side before the choice — all per
+    pandas.merge_asof semantics."""
+    purchases_pd, clicks_pd = _pdf(spark)
+    expected = pd.merge_asof(
+        purchases_pd,
+        clicks_pd,
+        on="ts",
+        by="user_id",
+        direction="nearest",
+        tolerance=pd.Timedelta(seconds=tolerance_s) if tolerance_s else None,
+    )
+
+    ev = load_table(spark, SF, "events")
+    purchases = ev.filter(ev.event_type == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(ev.event_type == "click").select(
+        "user_id", "ts", ev.value.alias("click_value")
+    )
+    got = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        values=["click_value"],
+        direction="nearest",
+        tolerance_seconds=tolerance_s,
+    ).toPandas()
+
+    exp = {
+        (int(r.event_id), None if pd.isna(r.click_value) else round(float(r.click_value), 6))
+        for r in expected.itertuples()
+    }
+    act = {
+        (int(r.event_id), None if pd.isna(r.click_value) else round(float(r.click_value), 6))
+        for r in got.itertuples()
+    }
+    assert act == exp
