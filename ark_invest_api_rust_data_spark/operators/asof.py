@@ -54,7 +54,10 @@ def asof_join(
     right_types = {f.name: f.dataType for f in right.schema.fields}
     carried = list(values) + [_RTS]  # also carry the matched right ts
 
-    left_payload = [c for c in left.columns if c not in keys]
+    # left_ts is re-emitted under its own name in the output, so it is
+    # excluded from the payload — otherwise the result would carry two
+    # columns named left_ts (ambiguous for any by-name select)
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
     l = left.select(
         *keys,
         F.col(left_ts).alias(ts),

@@ -1371,3 +1371,63 @@ FROM spine s LEFT JOIN monthly m ON s.month = m.month
 """
 
 PROBES.append(Probe("b16_date_spine", "B16", b16_date_spine, B16_SPINE_SQL))
+
+
+# ------------------------------------------------ B6: nearest as-of
+def b06_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """B6 breadth — nearest-direction as-of join (operators/asof.py):
+    per purchase, the closer of the latest click at-or-before and the
+    earliest click at-or-after (backward wins ties). DuckDB's ASOF
+    JOIN has no nearest mode, so the oracle replicates the exact
+    union + two-window-fold formulation in SQL (IGNORE NULLS frames),
+    making the comparison a true cross-engine check of the operator's
+    semantics, not of a built-in."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(ev.event_type == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(ev.event_type == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        values=["click_value"],
+        direction="nearest",
+    ).select("user_id", "event_id", "ts", "click_value")
+
+
+B06_NEAREST_SQL = """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts AS rts, value AS click_value FROM events
+      WHERE event_type = 'click'),
+u AS (
+  SELECT user_id, ts, event_id,
+         CAST(NULL AS DOUBLE) AS cv, CAST(NULL AS TIMESTAMP) AS rts, 1 AS side
+  FROM l
+  UNION ALL
+  SELECT user_id, rts, NULL, click_value, rts, 0 FROM r),
+w AS (
+  SELECT *,
+    last_value(cv IGNORE NULLS) OVER wb AS b_cv,
+    last_value(rts IGNORE NULLS) OVER wb AS b_rts,
+    first_value(cv IGNORE NULLS) OVER wf AS f_cv,
+    first_value(rts IGNORE NULLS) OVER wf AS f_rts
+  FROM u
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ts, side DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, event_id, ts,
+  CASE WHEN b_rts IS NOT NULL
+            AND (f_rts IS NULL OR epoch(ts) - epoch(b_rts) <= epoch(f_rts) - epoch(ts))
+       THEN b_cv
+       WHEN f_rts IS NOT NULL THEN f_cv END AS click_value
+FROM w WHERE side = 1
+"""
+
+PROBES.append(Probe("b06_asof_nearest", "B6", b06_asof_nearest, B06_NEAREST_SQL))
