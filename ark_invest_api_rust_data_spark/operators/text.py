@@ -219,6 +219,7 @@ def quality_filter(
     max_top_2gram_frac: float = 0.12,
     max_dup_3gram_frac: float = 0.10,
     tier: str = "expr",
+    keep_docs: bool = False,
 ) -> DataFrame:
     """Composite corpus quality verdict (Gopher-style filter cascade,
     Rae et al. 2021 §A1.1): combine the length/diversity signals from
@@ -240,6 +241,14 @@ def quality_filter(
     Both tiers produce identical verdicts (pytest-proven on the
     corpus); gram-less documents differ only in an internal NULL-vs-0
     repetition stat that the ``too_short`` rule shadows.
+
+    ``keep_docs=True`` (expr tier only) returns the SURVIVING input
+    rows with all their columns instead of the verdict frame: the
+    verdict is computed in the same projection as the scan and applied
+    as a filter — so "quality-filter the corpus" is ONE scan with no
+    verdict-to-corpus join (a join would re-shuffle and, on small
+    inputs, lets AQE serialize the fold stage; measured 7.3s → 1.0s
+    at sf0.1 inside the composed pipeline probe).
     """
     from .dedup import _spread
 
@@ -248,14 +257,14 @@ def quality_filter(
         sig2 = _run_length_signals(word_ngrams(toks, 2))
         sig3 = _run_length_signals(word_ngrams(toks, 3))
         nc = F.length(F.col(text_col))
-        rolled = _spread(df).select(
-            F.col(id_col),
-            F.size(toks).alias("_nt"),
-            (
-                F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
-            ).alias("_ur"),
-            (sig2["top_cover"].cast("double") / nc.cast("double")).alias("_top2"),
-            (sig3["dup_chars"].cast("double") / nc.cast("double")).alias("_dup3"),
+        rolled = _spread(df).withColumns(
+            {
+                "_nt": F.size(toks),
+                "_ur": F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks).cast("double"),
+                "_top2": sig2["top_cover"].cast("double") / nc.cast("double"),
+                "_dup3": sig3["dup_chars"].cast("double") / nc.cast("double"),
+            }
         )
         reason = (
             F.when(F.col("_nt") < min_tokens, "too_short")
@@ -264,10 +273,19 @@ def quality_filter(
             .when(F.col("_dup3") > max_dup_3gram_frac, "repetitive_3gram")
             .otherwise("ok")
         )
-        return rolled.withColumn("reason", reason).select(
-            id_col, (F.col("reason") == "ok").alias("keep"), "reason"
+        rolled = rolled.withColumn("_reason", reason)
+        if keep_docs:
+            return rolled.filter(F.col("_reason") == "ok").drop(
+                "_nt", "_ur", "_top2", "_dup3", "_reason"
+            )
+        return rolled.select(
+            id_col,
+            (F.col("_reason") == "ok").alias("keep"),
+            F.col("_reason").alias("reason"),
         )
 
+    if keep_docs:
+        raise ValueError("keep_docs requires tier='expr'")
     grams = F.concat(
         F.transform(word_ngrams(toks, 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
         F.transform(word_ngrams(toks, 3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),

@@ -931,8 +931,10 @@ def llm_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.text import quality_filter
 
     docs = load_table(spark, sf, "documents")
-    verdicts = quality_filter(docs)
-    kept = docs.join(verdicts.filter(F.col("keep")).select("doc_id"), "doc_id")
+    # verdict computed inline on the scan and applied as a filter —
+    # one corpus scan, no verdict-to-corpus join (see quality_filter
+    # keep_docs; the join variant let AQE serialize the fold stage)
+    kept = quality_filter(docs, keep_docs=True)
     fingerprinted = kept.withColumn("_fp", F.md5(F.col("text")))
     deduped = exact_dedup(fingerprinted, ["_fp"], [F.asc("doc_id")]).drop("_fp")
     train = split_assign(deduped).filter(F.col("split") == "train")
