@@ -10,9 +10,12 @@ benchmark side is the small one by construction (eval suites are MBs
 against a 100 TB corpus), so it is broadcast — the corpus side never
 shuffles, and the whole operator is scan → explode → broadcast-join →
 one partial+final aggregation on doc_id. For benchmark sets too big to
-broadcast, ``hashed=True`` shrinks shingles to int64 xxhash64 keys
-(8 bytes vs arbitrary-length strings) — the scale knob for a
-shuffle-join fallback; equivalence of the two keyings is pytest-proven
+broadcast, ``hashed=True`` is the scale knob: it shrinks shingles to
+int64 xxhash64 keys (8 bytes vs arbitrary-length strings) AND drops
+the hard broadcast hint, so the planner (AQE runtime sizing) picks
+broadcast vs shuffle join from the actual benchmark size — a benchmark
+bigger than the executor heap degrades to a shuffle join instead of an
+OOM. Equivalence of the two keyings is pytest-proven
 (hash collisions at 64 bits are negligible and only ever create false
 POSITIVES, the safe direction for decontamination).
 """
@@ -70,15 +73,19 @@ def contamination_overlap(
     bench_id = bench_id_col or id_col
     corp = _shingles(corpus, id_col, text_col, n, id_col)
     ben = _shingles(benchmark, bench_id, text_col, n, "bench_id").distinct()
+    # hashed=True is the too-big-to-broadcast tier: no hard hint, AQE
+    # decides from the runtime size (a hinted broadcast would override
+    # the size check and OOM on an oversized benchmark — ADVICE r2).
+    _hint = (lambda d: d) if hashed else F.broadcast
     if hashed:
         corp = corp.withColumn("shingle", F.xxhash64("shingle"))
         ben = ben.withColumn("shingle", F.xxhash64("shingle"))
     if not count_bench_docs:
-        hits = corp.join(F.broadcast(ben.select("shingle").distinct()), "shingle")
+        hits = corp.join(_hint(ben.select("shingle").distinct()), "shingle")
         return hits.groupBy(id_col).agg(
             F.countDistinct("shingle").alias("n_shingle_hits")
         )
-    hits = corp.join(F.broadcast(ben), "shingle")
+    hits = corp.join(_hint(ben), "shingle")
     return hits.groupBy(id_col).agg(
         F.countDistinct("shingle").alias("n_shingle_hits"),
         F.countDistinct("bench_id").alias("n_bench_docs"),

@@ -3,11 +3,17 @@
 Media (image/audio/video) travels as opaque ``binary`` columns with a
 typed metadata struct. All the Spark-side machinery — schema, batch
 iteration, Arrow transfer shape, partition sizing — is real and tested.
-Image METADATA decode is real too: ``parse_image_dims`` reads
-width/height straight from PNG IHDR / JPEG SOFn / GIF headers in pure
-Python (no media libs needed). Only the pixel/feature codec is STUBBED
-behind ``decode_stub``: a deterministic fake that derives feature
-values from the bytes, or raises NotImplementedError in strict mode.
+Image METADATA decode is real: ``parse_image_dims`` reads width/height
+straight from PNG IHDR / JPEG SOFn / GIF / BMP / PPM headers in pure
+Python (no media libs needed). PIXEL decode is real for BMP (24-bit
+uncompressed, bottom-up or top-down) and PPM (P6 binary / P3 ascii) —
+``decode_image`` returns the row-major top-down RGB byte stream, and
+``pixel_features`` derives the feature vector from actual pixels. PIL
+is used for any other format when importable (it is not in this
+container). Only payloads NO codec recognizes fall through: strict
+mode (the default) raises NotImplementedError; non-strict substitutes
+a clearly-labeled deterministic fake (for plumbing tests over
+non-media payloads).
 
 Pattern: ``mapInPandas`` over Arrow batches so each Python worker sees
 a pandas iterator — the right shape for feeding a real decoder (PIL,
@@ -57,7 +63,10 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 8
-STRICT_DECODE = False  # flip to surface NotImplementedError instead of the fake
+# Strict by default: a payload no codec recognizes is an ERROR, not a
+# silently-faked feature vector. Plumbing tests over non-media payloads
+# opt out explicitly with extract_features(..., strict=False).
+STRICT_DECODE = True
 
 
 def attach_media(
@@ -156,38 +165,249 @@ def parse_image_dims(b: bytes) -> tuple[int, int] | None:
             int.from_bytes(b[6:8], "little"),
             int.from_bytes(b[8:10], "little"),
         )
+    # BMP: signed-le i32 pair in the DIB header (negative height =
+    # top-down row order; dims are the magnitudes)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return (abs(w), abs(h))
+    # PPM (P6 binary / P3 ascii): whitespace-separated header tokens
+    if b[:2] in (b"P6", b"P3"):
+        toks = _ppm_header_tokens(b)
+        if toks is not None:
+            return (toks[0], toks[1])
     return None
 
 
-def decode_stub(batch_rows, kind: str):
-    """STUB decoder — deterministic fake features from raw bytes.
+# ------------------------------------------------------ real pixel codecs
+#
+# BMP (24-bit uncompressed) and PPM (P6/P3) in pure Python — the two
+# formats fully decodable with just `int.from_bytes` and the spec. The
+# decode contract everywhere: row-major TOP-DOWN RGB byte stream
+# (len == w*h*3), i.e. the natural in-memory layout — decoders undo
+# BMP's bottom-up row order and BGR channel order.
 
-    Replace with a real codec (PIL/torchaudio/ffmpeg) per ``kind``; the
-    signature (pandas Series of bytes → list of float vectors) is what
-    a real implementation drops into."""
-    if STRICT_DECODE:
-        raise NotImplementedError(f"no codec for kind={kind} in this environment")
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit BMP writer. ``rgb`` is the
+    row-major top-down RGB stream (w*h*3 bytes). Used by tests and the
+    oracle probe to build REAL files whose decode provably inverts."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} rgb bytes, got {len(rgb)}")
+    row_sz = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    img_sz = row_sz * height
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + img_sz).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB, uncompressed
+        + img_sz.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    rows = []
+    pad = b"\x00" * (row_sz - width * 3)
+    for y in range(height - 1, -1, -1):  # file stores rows bottom-up
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            row += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR on disk
+        rows.append(bytes(row) + pad)
+    return header + b"".join(rows)
+
+
+def decode_bmp(b: bytes) -> tuple[int, int, bytes] | None:
+    """24-bit uncompressed BMP → (w, h, top-down RGB stream). Handles
+    bottom-up (positive height) and top-down (negative) files; returns
+    None for anything else (compressed, paletted, truncated)."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    dib = int.from_bytes(b[14:18], "little")
+    if dib < 40:  # BITMAPCOREHEADER etc. — not supported
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    height, bottom_up = abs(h), h > 0
+    row_sz = (w * 3 + 3) & ~3
+    if len(b) < off + row_sz * height:
+        return None
+    out = bytearray(w * height * 3)
+    for y_out in range(height):
+        y_file = (height - 1 - y_out) if bottom_up else y_out
+        base = off + y_file * row_sz
+        for x in range(w):
+            i = base + x * 3
+            o = (y_out * w + x) * 3
+            out[o] = b[i + 2]  # R  (disk order is BGR)
+            out[o + 1] = b[i + 1]
+            out[o + 2] = b[i]
+    return (w, height, bytes(out))
+
+
+def _ppm_header_tokens(b: bytes) -> tuple[int, int, int, int] | None:
+    """Parse 'P6'/'P3' + (width, height, maxval), honoring '#' comments.
+    Returns (w, h, maxval, data_offset) or None."""
+    i, toks = 2, []
+    n = len(b)
+    while len(toks) < 3 and i < n:
+        c = b[i]
+        if c == ord("#"):
+            while i < n and b[i] not in (10, 13):
+                i += 1
+        elif c in (32, 9, 10, 13, 11, 12):
+            i += 1
+        elif 48 <= c <= 57:
+            j = i
+            while j < n and 48 <= b[j] <= 57:
+                j += 1
+            toks.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(toks) < 3 or i >= n:
+        return None
+    return (toks[0], toks[1], toks[2], i + 1)  # single whitespace after maxval
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """P6 binary PPM writer (top-down RGB — PPM's native layout)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} rgb bytes, got {len(rgb)}")
+    return f"P6\n{width} {height}\n255\n".encode() + rgb
+
+
+def decode_ppm(b: bytes) -> tuple[int, int, bytes] | None:
+    """P6 (binary) or P3 (ascii) PPM → (w, h, top-down RGB stream)."""
+    if b[:2] not in (b"P6", b"P3"):
+        return None
+    hdr = _ppm_header_tokens(b)
+    if hdr is None:
+        return None
+    w, h, maxval, off = hdr
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    need = w * h * 3
+    if b[:2] == b"P6":
+        if len(b) < off + need:
+            return None
+        return (w, h, bytes(b[off : off + need]))
+    vals = b[off - 1 :].split()
+    if len(vals) < need:
+        return None
+    try:
+        return (w, h, bytes(int(v) for v in vals[:need]))
+    except ValueError:
+        return None
+
+
+def decode_image(b: bytes) -> tuple[int, int, bytes] | None:
+    """Full pixel decode: BMP and PPM natively; any other format via
+    PIL when importable (optional dep — absent in this container).
+    Returns (w, h, top-down RGB stream) or None."""
+    if b is None or len(b) < 2:
+        return None
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:2] in (b"P6", b"P3"):
+        return decode_ppm(b)
+    try:  # optional: real codec for PNG/JPEG/GIF/...
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+
+        with Image.open(io.BytesIO(bytes(b))) as im:
+            im = im.convert("RGB")
+            return (im.width, im.height, im.tobytes())
+    except Exception:
+        return None
+
+
+def pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
+    """FEATURE_DIM vector from REAL pixels: per-channel means, luma
+    mean/range, top-row mean (row-order sensitive — catches a decoder
+    that forgets BMP's bottom-up layout), and the dims."""
+    n_px = width * height
+    sr = sum(rgb[0::3])
+    sg = sum(rgb[1::3])
+    sb = sum(rgb[2::3])
+    lumas = [
+        0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]
+        for i in range(0, len(rgb), 3)
+    ]
+    row0 = rgb[: width * 3]
+    return [
+        float(width),
+        float(height),
+        sr / n_px,
+        sg / n_px,
+        sb / n_px,
+        sum(lumas) / n_px,
+        max(lumas) - min(lumas),
+        sum(row0) / len(row0),
+    ]
+
+
+def _fake_features(b: bytes) -> list[float]:
+    """Deterministic FAKE features from raw bytes — the labeled
+    substitute for payloads no codec recognizes when strict=False
+    (plumbing tests over non-media payloads). NOT a decode."""
+    b = b or b""
+    acc = [0.0] * FEATURE_DIM
+    for i, byte in enumerate(b):
+        acc[i % FEATURE_DIM] += byte
+    total = float(len(b)) or 1.0
+    return [v / total for v in acc]
+
+
+def decode_features(batch_rows, kind: str, strict: bool):
+    """Feature vectors per payload: REAL pixel decode (BMP/PPM native,
+    PIL if importable) whenever the payload is a decodable image;
+    otherwise strict mode raises and non-strict substitutes the
+    deterministic fake. Audio/video kinds have no in-container codec:
+    same strict/fake contract (torchaudio/ffmpeg drop into this
+    signature)."""
     out = []
     for payload in batch_rows:
-        b = payload or b""
-        acc = [0.0] * FEATURE_DIM
-        for i, byte in enumerate(b):
-            acc[i % FEATURE_DIM] += byte
-        total = float(len(b)) or 1.0
-        out.append([v / total for v in acc])
+        decoded = decode_image(payload) if kind == "image" else None
+        if decoded is not None:
+            out.append(pixel_features(*decoded))
+        elif strict:
+            raise NotImplementedError(
+                f"no codec decodes this {kind} payload in this environment"
+            )
+        else:
+            out.append(_fake_features(payload))
     return out
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, strict: bool | None = None) -> DataFrame:
     """The decode / feature-extract stage: mapInPandas over Arrow
     batches (narrow map, no shuffle); checksum is a plain sum of bytes
-    so tests can cross-check against an expression-only computation."""
+    so tests can cross-check against an expression-only computation.
+
+    ``strict`` defaults to the module flag (True): payloads that no
+    codec decodes raise instead of yielding fake features. Pass
+    strict=False for plumbing tests over non-media payloads."""
+    strict_eff = STRICT_DECODE if strict is None else strict
 
     def fn(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
-            feats = decode_stub(pdf["content"], kind=str(pdf["kind"].iloc[0]) if len(pdf) else "")
+            kind = str(pdf["kind"].iloc[0]) if len(pdf) else ""
+            feats = decode_features(pdf["content"], kind, strict_eff)
             dims = [parse_image_dims(b) for b in pdf["content"]]
             yield pd.DataFrame(
                 {

@@ -252,6 +252,8 @@ def quality_filter(
     """
     from .dedup import _spread
 
+    if tier not in ("expr", "fused"):  # a typo'd tier must not silently
+        raise ValueError(f"tier must be 'expr' or 'fused', got {tier!r}")
     toks = tokens(F.col(text_col))
     if tier == "expr":
         sig2 = _run_length_signals(word_ngrams(toks, 2))

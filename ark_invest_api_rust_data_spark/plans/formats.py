@@ -16,7 +16,9 @@ formats specifically.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -45,6 +47,7 @@ def _roundtrip(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     if not (path and os.path.isdir(path)):
         path = tempfile.mkdtemp(prefix=f"orders_rt_{fmt}_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         orders.write.format(fmt).mode("overwrite").options(**_WRITE_OPTS[fmt]).save(path)
         _RT_CACHE[key] = path
     back = (

@@ -303,7 +303,10 @@ def llm_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     media = attach_media(docs, "text", "image", id_col="doc_id")
-    return extract_features(media).select(
+    # strict=False: these payloads are TEXT fixtures exercising the
+    # Arrow-batch plumbing + header sniffing (width/height null) — the
+    # real-decode path is llm_multimodal_pixels below.
+    return extract_features(media, strict=False).select(
         "media_id", "kind", "n_bytes", "checksum", "width", "height"
     )
 
@@ -319,10 +322,88 @@ FROM documents
 """
 
 
+# ------------------------------------------- multimodal: REAL pixel decode
+def llm_multimodal_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 real-codec tier — end-to-end PIXEL decode, no stub anywhere:
+    each document's first 24 chars become a 4×2 24-bit BMP (real
+    header, bottom-up rows, BGR channel order, spec-compliant), the
+    pure-Python decoder (operators/multimodal.py:decode_bmp) recovers
+    the top-down RGB stream, and the probe emits per-channel and
+    top-row pixel sums. The oracle computes the SAME sums straight
+    from the characters — so a decoder that forgot BMP's BGR order or
+    bottom-up rows hash-mismatches (channel sums / row0 diverge).
+    Matched encoder+decoder errors are additionally pinned by a
+    hand-written golden BMP byte literal in tests/test_llm_ops.py.
+
+    Scale shape: 2-col pruned scan → narrow mapInPandas — no shuffle."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image, encode_bmp
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 24)
+        .select("doc_id", F.substring("text", 1, 24).alias("t24"))
+    )
+    schema = (
+        "doc_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long, row0_sum long"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t24"]):
+                rgb = bytes(ord(c) % 256 for c in t)
+                decoded = decode_image(encode_bmp(4, 2, rgb))
+                if decoded is None:  # impossible for a spec BMP
+                    raise ValueError(f"BMP decode failed for doc {doc_id}")
+                w, h, back = decoded
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        sum(back[0::3]),
+                        sum(back[1::3]),
+                        sum(back[2::3]),
+                        sum(back[: w * 3]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "row0_sum",
+                ],
+            )
+
+    return docs.mapInPandas(fn, schema)
+
+
+LLM_MULTIMODAL_PIXELS_SQL = """
+WITH t AS (
+  SELECT doc_id, substring(text, 1, 24) AS t24
+  FROM documents WHERE length(text) >= 24)
+SELECT doc_id,
+  CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+  CAST(list_sum(list_transform(generate_series(0, 7),
+       k -> ascii(substring(t24, k * 3 + 1, 1)) % 256)) AS BIGINT) AS sum_r,
+  CAST(list_sum(list_transform(generate_series(0, 7),
+       k -> ascii(substring(t24, k * 3 + 2, 1)) % 256)) AS BIGINT) AS sum_g,
+  CAST(list_sum(list_transform(generate_series(0, 7),
+       k -> ascii(substring(t24, k * 3 + 3, 1)) % 256)) AS BIGINT) AS sum_b,
+  CAST(list_sum(list_transform(generate_series(1, 12),
+       k -> ascii(substring(t24, k, 1)) % 256)) AS BIGINT) AS row0_sum
+FROM t
+"""
+
+
 PROBES.extend(
     [
         Probe("llm_embedding_near_dup", "B29", llm_embedding_near_dup, LLM_EMB_NEAR_DUP_SQL),
         Probe("llm_multimodal_features", "B32", llm_multimodal_features, LLM_MULTIMODAL_SQL),
+        Probe("llm_multimodal_pixels", "B32", llm_multimodal_pixels, LLM_MULTIMODAL_PIXELS_SQL),
     ]
 )
 
@@ -358,7 +439,12 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     the sparse near-dup graph)."""
     from ..operators.dedup import dedup_clusters
 
-    pairs = minhash_lsh_pairs(load_table(spark, sf, "documents"), threshold=0.5)
+    # materialize=True: dedup_clusters consumes the pair frame twice
+    # (both edge directions) and iterates — the eager checkpoint tier
+    # computes the LSH pipeline once instead of per consumer.
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), threshold=0.5, materialize=True
+    )
     return dedup_clusters(pairs).select(
         F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
     )

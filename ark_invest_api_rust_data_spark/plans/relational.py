@@ -76,10 +76,12 @@ def b02_star_join(spark: SparkSession, sf: str) -> DataFrame:
         lineitem.join(
             orders.filter(year_1997), F.col("l_orderkey") == F.col("o_orderkey")
         )
-        # customer is unbounded (grows with SF): no hard broadcast hint —
-        # AQE picks broadcast vs shuffle from its runtime size estimate.
+        # customer/supplier are unbounded (grow with SF): no hard
+        # broadcast hint — AQE picks broadcast vs shuffle from its
+        # runtime size estimate. Hints stay only on fixed-size dims
+        # (nation=25, region=5 rows at every SF).
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(nation),
             (F.col("c_nationkey") == F.col("n_nationkey"))
@@ -1239,7 +1241,10 @@ def b19_variant(spark: SparkSession, sf: str) -> DataFrame:
 
 B19_VARIANT_SQL = """
 SELECT event_type, count(*) AS c,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       -- CAST the SUM itself: DuckDB widens SUM(BIGINT) to HUGEINT
+       -- (int128), and the driver's value-hash is typing-sensitive even
+       -- when the numeric values agree (CORRECTNESS_r02 b19_variant).
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max
 FROM events

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
@@ -54,8 +55,12 @@ class RunningTotalsProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             # exact integer cents — a running float would drift vs the
-            # batch twin's single aggregation
-            cents += int(pdf["value"].mul(100).round().sum())
+            # batch twin's single aggregation. Half-AWAY-from-zero to
+            # match the batch twin's F.round (HALF_UP) semantics —
+            # pandas .round() is banker's half-to-even and diverges on
+            # exact .5 cents (ADVICE r2).
+            v = pdf["value"].mul(100)
+            cents += int((v.abs().add(0.5).pipe(np.floor) * np.sign(v)).sum())
         self._totals.update((n, cents))
         total = float(cents) / 100.0
         yield pd.DataFrame(

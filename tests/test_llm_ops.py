@@ -157,9 +157,105 @@ def test_image_header_decode_real_bytes(spark):
     df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
     got = {
         r["media_id"]: (r["width"], r["height"])
-        for r in extract_features(df).collect()
+        for r in extract_features(df, strict=False).collect()
     }
     assert got == {1: (640, 480), 2: (1024, 768), 3: (320, 200), 4: (None, None)}
+
+
+def test_bmp_ppm_pixel_codec_roundtrip():
+    """REAL pixel decode (B32): BMP and PPM encoders/decoders invert on
+    arbitrary pixel streams, including non-4-multiple widths (BMP row
+    padding) and P3 ascii."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        parse_image_dims,
+    )
+
+    for w, h in [(4, 2), (3, 3), (5, 1), (1, 7)]:  # w=3,5: rows pad
+        rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+        bmp, ppm = encode_bmp(w, h, rgb), encode_ppm(w, h, rgb)
+        assert decode_bmp(bmp) == (w, h, rgb)
+        assert decode_ppm(ppm) == (w, h, rgb)
+        assert decode_image(bmp) == (w, h, rgb)  # dispatch by magic
+        assert decode_image(ppm) == (w, h, rgb)
+        assert parse_image_dims(bmp) == (w, h)
+        assert parse_image_dims(ppm) == (w, h)
+
+    # P3 ascii variant with a comment line
+    p3 = b"P3\n# a comment\n2 1\n255\n255 0 0  0 0 255\n"
+    assert decode_ppm(p3) == (2, 1, bytes([255, 0, 0, 0, 0, 255]))
+
+    # non-images and malformed payloads refuse, not crash
+    assert decode_image(b"not an image") is None
+    assert decode_image(b"BMxx") is None
+    assert decode_image(b"P6\n2 1\n255\n\x00") is None  # truncated pixels
+    assert decode_image(b"") is None
+    assert decode_image(None) is None
+
+
+def test_bmp_decode_golden_bytes():
+    """Hand-written BMP byte literal (NOT produced by encode_bmp) pins
+    the spec independently: 2x2 24-bit, bottom-up rows, BGR channels,
+    2-byte row padding (2*3=6 -> row size 8). Pixels (top-down RGB):
+    (255,0,0) (0,255,0) / (0,0,255) (10,20,30)."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import decode_bmp
+
+    header = (
+        b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (16).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    # file rows bottom-up, BGR + 2 pad bytes each:
+    bottom_row = bytes([255, 0, 0]) + bytes([30, 20, 10]) + b"\x00\x00"
+    top_row = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"
+    expected_rgb = bytes(
+        [255, 0, 0, 0, 255, 0] + [0, 0, 255, 10, 20, 30]
+    )
+    assert decode_bmp(header + bottom_row + top_row) == (2, 2, expected_rgb)
+
+
+def test_extract_features_real_pixels_and_strict(spark):
+    """extract_features: real BMP/PPM payloads produce PIXEL-derived
+    features (channel means, top-row mean) under strict=True; payloads
+    no codec recognizes raise in strict mode and fake-fall-back only
+    when strict=False."""
+    import pytest
+
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+    )
+
+    # 2x1: left pixel pure red, right pure blue
+    rgb = bytes([200, 0, 0, 0, 0, 100])
+    rows = [(1, "image", encode_bmp(2, 1, rgb)), (2, "image", encode_ppm(2, 1, rgb))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {r["media_id"]: r for r in extract_features(df, strict=True).collect()}
+    for mid in (1, 2):
+        r = got[mid]
+        assert (r["width"], r["height"]) == (2, 1)
+        f = r["feature"]
+        assert f[0] == 2.0 and f[1] == 1.0  # dims
+        assert f[2] == 100.0 and f[3] == 0.0 and f[4] == 50.0  # channel means
+        assert abs(f[7] - 50.0) < 1e-6  # top-row mean = 300/6
+
+    text_df = spark.createDataFrame(
+        [(9, "image", b"definitely not an image")],
+        "media_id long, kind string, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        extract_features(text_df, strict=True).collect()
+    # non-strict: labeled fake, still 8-dim
+    fk = extract_features(text_df, strict=False).first()
+    assert len(fk["feature"]) == 8
 
 
 def test_multimodal_roundtrip_and_features(spark, tmp_path):
@@ -176,7 +272,7 @@ def test_multimodal_roundtrip_and_features(spark, tmp_path):
     assert back.dtypes == media.dtypes
     assert back.count() == 50
 
-    feats = extract_features(back)
+    feats = extract_features(back, strict=False)  # text payloads
     rows = feats.collect()
     assert len(rows) == 50
     assert all(len(r["feature"]) == 8 for r in rows)
@@ -227,7 +323,7 @@ def test_binaryfile_ingest_path(spark, tmp_path):
         "meta",
     ]
 
-    feats = extract_features(media)
+    feats = extract_features(media, strict=False)  # PNG: no pixel codec in-container
     got = sorted((r["width"], r["height"]) for r in feats.collect())
     assert got == sorted(dims.values())
 
@@ -312,8 +408,10 @@ def test_dedup_ops_release_executor_storage(spark):
 
     base = n_persistent()
     docs = load_table(spark, SF, "documents")
-    for _ in range(2):
-        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    # materialize=True: persist+checkpoint tier must release its cache.
+    # materialize=False (default): fully lazy — nothing may be cached.
+    for mat in (True, False):
+        pairs = minhash_lsh_pairs(docs, threshold=0.5, materialize=mat)
         assert pairs.count() >= 0
         # signature frame released; only the result checkpoint lives
         assert n_persistent() <= base + 1

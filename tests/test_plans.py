@@ -2,11 +2,15 @@
 
 The star joins must NOT hard-hint broadcast on unbounded (SF-proportional)
 tables: a hard ``F.broadcast`` overrides AQE's size estimate and would OOM
-the driver when customer/part are multi-GB. Bounded dims (region, nation,
-supplier) keep their hints. We verify by setting the broadcast thresholds
-to -1 *after* plan construction (load_table's tune() re-applies the default
-threshold during construction): hinted tables still broadcast (hints
-override thresholds), while unhinted ones must fall back to a shuffle join.
+the executors when customer/part/supplier are multi-GB (supplier is
+SF×10k rows — its 7 hard hints were dropped in round 3). Only FIXED-size
+dims (region=5, nation=25 rows at every SF) keep their hints. We verify by
+setting the broadcast thresholds to -1 *after* plan construction
+(load_table's tune() re-applies the default threshold during
+construction): hinted tables still broadcast (hints override thresholds),
+while unhinted ones must fall back to a shuffle join — and, separately,
+that WITH the default 64 MB threshold AQE still picks broadcast for the
+small-at-this-SF sides on its own.
 """
 
 from __future__ import annotations
@@ -49,11 +53,31 @@ def test_star_join_customer_not_hard_broadcast(spark):
 
     df = b02_star_join(spark, SF)
     plan = _plan_without_auto_broadcast(spark, df)
-    # bounded dims are hinted → broadcast survives threshold=-1
+    # bounded dims (nation/region) are hinted → broadcast survives
+    # threshold=-1
     assert "BroadcastHashJoin" in plan
-    # customer (and the fact-fact join) are unhinted → with thresholds off
-    # they must NOT broadcast
+    # customer/supplier (and the fact-fact join) are unhinted → with
+    # thresholds off they must NOT broadcast
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_star_join_unhinted_sides_broadcast_via_size_estimate(spark):
+    """The flip side of dropping the hard supplier hint (round-3 verdict
+    item 2): with the DEFAULT 64 MB threshold, the planner must still
+    choose broadcast for customer/supplier at this SF from their size
+    estimates alone — every join in the executed star plan is a
+    BroadcastHashJoin except none at all should need a sort-merge."""
+    from ark_invest_api_rust_data_spark.plans.relational import b02_star_join
+
+    df = b02_star_join(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # all five joins (orders, customer, supplier, nation, region sides)
+    # resolve to broadcast at sf0.001 under the default threshold — a
+    # surviving SortMergeJoin would mean the size estimate no longer
+    # reaches the unhinted sides
+    assert "SortMergeJoin" not in plan
 
 
 def test_lake_read_partition_prunes(spark):
