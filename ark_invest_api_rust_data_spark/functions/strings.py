@@ -187,6 +187,8 @@ def clean_company_df(df, colname: str = "company", tier: str = "expr"):
     ``tier="fused"`` — single-pass Arrow pandas UDF; measured ~2.5×
     faster at corpus scale (see company_chain_fused). Identical output
     (oracle-verified both ways)."""
+    if tier not in ("expr", "fused"):  # typo'd tier must not silently
+        raise ValueError(f"tier must be 'expr' or 'fused', got {tier!r}")
     if tier == "fused":
         return df.withColumn(colname, company_chain_fused(F.col(colname)))
     return apply_rules_to_column(df, colname, COMPANY_RULES)

@@ -75,6 +75,76 @@ def test_normalize_converges_within_three(rows):
     assert _rows(three) == _rows(four)
 
 
+# ---------------------------------------------------------------- C7 chain
+#
+# Adversarial fragments for the company rule chain: rule patterns that
+# CONTAIN other rule patterns (" CO" inside "CORPORATION", "DR" inside
+# " ADR"), pattern prefixes ("Space Exploration Technologies Co" is a
+# prefix of "...Corp"), case variants, replacement text that re-creates
+# patterns ("COINBASE GLOBAL" → "COINBASE" while " GLOBAL" also strips),
+# separators the late rules eat ("-", ",", "."), and non-ascii to pin
+# character (not byte) semantics in locate/substr.
+_C7_FRAGMENTS = st.sampled_from(
+    [
+        " CO", "CORP", "CORPORATION", "ORATION", " CORPORATI",
+        "INC", "inc", "Inc", "incorporated",
+        "HOLDINGS", "Holdings", "HLDGS", " HOLDIN",
+        " ADR", "DR", " AG", " SA", " SE", " NV", " PLC",
+        "-A", "- A", "- C", " CL C", "CL A", "CLASS A",
+        "COINBASE GLOBAL", "Coinbase Global", " GLOBAL",
+        "Space Exploration Technologies Co",
+        "Space Exploration Technologies Corp", "Space Investment",
+        "DISCOVERY", "Blackdaemon",
+        " &", " &CURITY", "-", ",", ".", " ", "  ",
+        "X", "A", "C", "É…ΩCO", "CO", "RATION",
+    ]
+)
+_C7_STRINGS = st.lists(_C7_FRAGMENTS, min_size=0, max_size=8).map("".join)
+
+
+def _company_chain_python(x: str | None) -> str | None:
+    """Independent Python reference for the C7 chain semantics (the
+    spec, written against Polars' documented behavior — NOT a call
+    into the implementation): ordered rules; replace-all is
+    left-to-right non-overlapping (Python/Polars/Spark agree);
+    first_only replaces exactly the first occurrence; trailing
+    spaces stripped at the end."""
+    if x is None:
+        return None
+    from ark_invest_api_rust_data_spark.functions.strings import COMPANY_RULES
+
+    for pat, rep, first in COMPANY_RULES:
+        x = x.replace(pat, rep, 1) if first else x.replace(pat, rep)
+    return x.rstrip(" ")
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(strings=st.lists(_C7_STRINGS, min_size=1, max_size=24))
+def test_c7_chain_tiers_match_python_reference(strings):
+    """C7 first-occurrence chain, property-tested on adversarial
+    inputs (verdict r2 item 8): the expression tier (locate/substr/
+    concat built-ins) and the fused pandas-UDF tier must both equal
+    the independent Python reference — chain ORDER and first-vs-all
+    flavor are load-bearing, and patterns overlapping their own
+    replacements are exactly where a wrong fold shows."""
+    from ark_invest_api_rust_data_spark.functions.strings import clean_company_df
+
+    spark = _get_spark()
+    rows = [(i, s) for i, s in enumerate(strings)] + [(len(strings), None)]
+    df = spark.createDataFrame(rows, "id long, company string")
+    expected = {i: _company_chain_python(s) for i, s in rows}
+    for tier in ("expr", "fused"):
+        got = {
+            r["id"]: r["company"]
+            for r in clean_company_df(df, tier=tier).collect()
+        }
+        assert got == expected, f"tier={tier} diverges from Python reference"
+
+
 @settings(
     max_examples=8,
     deadline=None,

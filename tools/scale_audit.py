@@ -10,6 +10,12 @@ Method: one session, untimed warmup per scale (parquet footers +
 codegen), two timed passes per (probe, sf), min kept (steady-state;
 see bench.py for why min-of-2 is honest now that operators release
 their caches). Shuffle bytes via the status REST API per job group.
+
+Scales: pass ``--sfs 0.01,0.1,1`` to select. Driver testdata covers
+0.001-0.1; sf1 resolves to /tmp/testdata/sf1, generated one decade up
+by tools/make_sf.py. The explicitly-quadratic tiers (the O(n^2)
+exact-Jaccard oracle, the all-pairs knn-join probe) are skipped at
+sf1 — their scale path is LSH banding / ANN, already audited.
 """
 
 from __future__ import annotations
@@ -26,6 +32,9 @@ from ark_invest_api_rust_data_spark.plans import all_probes  # noqa: E402
 from ark_invest_api_rust_data_spark.session import get_spark  # noqa: E402
 
 SFS = ["0.001", "0.01", "0.1"]
+SF_DIRS = {"1": "/tmp/testdata/sf1"}  # beyond driver testdata (make_sf.py)
+# quadratic-by-design probes (labeled oracle/verifier tiers): skip at sf>=1
+QUADRATIC = {"llm_ngram_jaccard", "llm_knn_join"}
 EXTRA = [
     "llm_ngram_jaccard",
     "llm_repetition",
@@ -38,7 +47,13 @@ EXTRA = [
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_audit.json"
+    argv = sys.argv[1:]
+    sfs = list(SFS)
+    if "--sfs" in argv:
+        i = argv.index("--sfs")
+        sfs = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    out_path = argv[0] if argv else "/tmp/scale_audit.json"
     spark = get_spark(
         app_name="scale_audit",
         extra_conf={
@@ -52,14 +67,16 @@ def main() -> None:
     names = HEADLINE + EXTRA
 
     results: dict[str, dict[str, dict]] = {}
-    for sf in SFS:
-        sf_dir = f"/root/testdata/sf{sf}"
+    for sf in sfs:
+        sf_dir = SF_DIRS.get(sf, f"/root/testdata/sf{sf}")
         # warmup: footers + codegen for this scale's files
         probes["b07_agg_q1"].spark(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         for _pass in range(2):
             for name in names:
+                if float(sf) >= 1 and name in QUADRATIC:
+                    continue
                 sc.setJobGroup(f"{name}@sf{sf}@p{_pass}", name)
                 t0 = time.perf_counter()
                 probes[name].spark(spark, sf_dir).write.format("noop").mode(
@@ -72,7 +89,9 @@ def main() -> None:
 
     by_group = shuffle_bytes_by_group(spark)
     for name in names:
-        for sf in SFS:
+        for sf in sfs:
+            if sf not in results.get(name, {}):
+                continue
             g = by_group.get(f"{name}@sf{sf}@p1") or by_group.get(f"{name}@sf{sf}@p0")
             if g:
                 results[name][sf]["shuffle_read"] = g["read"]
