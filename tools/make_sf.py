@@ -42,16 +42,21 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from ark_invest_api_rust_data_spark.session import get_spark  # noqa: E402
 
-# key column → needs offset; per table: (offset_keys, n_output_files)
-KEYED: dict[str, tuple[list[str], int]] = {
-    "customer": (["c_custkey"], 2),
-    "supplier": (["s_suppkey"], 1),
-    "part": (["p_partkey"], 1),
-    "orders": (["o_orderkey", "o_custkey"], 4),
-    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], 8),
-    "events": (["event_id", "user_id"], 4),
-    "documents": (["doc_id"], 2),
-    "embeddings": (["vec_id"], 2),
+# key column → needs offset; per table: (offset_keys, n_output_files,
+# sorted). `sorted` mirrors the SOURCE layout (driver testdata is
+# key-ordered for every table EXCEPT lineitem, which is shuffled —
+# verified by inversion counts); replicating the layout matters because
+# row order drives shuffle-block compressibility, and the audit compares
+# shuffle bytes across scales.
+KEYED: dict[str, tuple[list[str], int, bool]] = {
+    "customer": (["c_custkey"], 2, True),
+    "supplier": (["s_suppkey"], 1, True),
+    "part": (["p_partkey"], 1, True),
+    "orders": (["o_orderkey", "o_custkey"], 4, True),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], 8, False),
+    "events": (["event_id", "user_id"], 4, True),
+    "documents": (["doc_id"], 2, True),
+    "embeddings": (["vec_id"], 2, True),
 }
 FIXED = ["region", "nation"]
 
@@ -67,7 +72,7 @@ def main() -> None:
         df = spark.read.parquet(f"{src}/{t}.parquet")
         df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
-    for t, (keys, n_files) in KEYED.items():
+    for t, (keys, n_files, key_sorted) in KEYED.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
         # per-copy key offset: larger than any key in the source
         span = {
@@ -106,7 +111,12 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionAll(p)
-        out.repartition(n_files).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        pk = keys[0]
+        if key_sorted:
+            out = out.repartitionByRange(n_files, F.col(pk)).sortWithinPartitions(pk)
+        else:
+            out = out.repartition(n_files)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         print(f"{t}: {copies}x -> {dst}/{t}.parquet ({n_files} files)")
 
     print("done")
