@@ -4,17 +4,20 @@ Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet file each under ``{sf_dir}/``.
 
 All loads are lazy parquet scans (predicate/projection pushdown engages
-naturally). The only shim is ``events.ts``, whose physical type has
-varied across testdata generations:
+naturally — the normalizing projection below is a thin alias/cast layer
+Catalyst pushes through).
 
-* TIMESTAMP(NANOS) — Spark's reader rejects it, so we read the raw
-  int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and rebuild a
-  microsecond timestamp;
-* timestamp[us] with isAdjustedToUTC=false — Spark 4 infers
-  TIMESTAMP_NTZ, which cannot be cast to numeric types and would
-  diverge from the rest of the engine; we cast to the session-TZ
-  TIMESTAMP (session tz is pinned UTC, so the wall-clock values are
-  unchanged and DuckDB oracles agree).
+Type normalization: the driver REGENERATES testdata between rounds and
+the physical parquet types are NOT stable across generations —
+``events.ts`` has shipped as TIMESTAMP(NANOS) (round 1: Spark's reader
+rejects it, so the nanosAsLong shim reads raw int64) and as
+timestamp[us] with isAdjustedToUTC=false (round 2+: Spark 4 infers
+TIMESTAMP_NTZ, which can't be cast to numerics). Rather than shim each
+break as it happens, every temporal column is normalized to a CANONICAL
+type on load (``_CANONICAL_TS``); the session tz is pinned UTC, so
+NTZ↔session-TZ casts preserve wall-clock values and the DuckDB oracles
+agree. A future flip of any listed column to date / NTZ / UTC-instant /
+int64-nanos lands in the same normalizer instead of breaking plans.
 """
 
 from __future__ import annotations
@@ -36,21 +39,39 @@ TPCH_TABLES = (
 ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
 
 
+# (table, column) → canonical Spark type the plans are written against.
+# events.ts is session-TZ TIMESTAMP (epoch arithmetic / numeric casts);
+# the TPC-H dates are TIMESTAMP_NTZ (plans compare them to timestamp_ntz
+# literals on purpose — that is what the driver data has shipped as).
+_CANONICAL_TS: dict[tuple[str, str], str] = {
+    ("events", "ts"): "timestamp",
+    ("orders", "o_orderdate"): "timestamp_ntz",
+    ("lineitem", "l_shipdate"): "timestamp_ntz",
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # int64 nanos → timestamp (μs). DuckDB returns μs-precision
-            # timestamps for the same file, so oracles agree.
+    dtypes = dict(df.dtypes)
+    for (tbl, col), want in _CANONICAL_TS.items():
+        if tbl != name or col not in dtypes or dtypes[col] == want:
+            continue
+        have = dtypes[col]
+        if have == "bigint":
+            # int64 nanos (TIMESTAMP(NANOS) via nanosAsLong) → μs.
+            # DuckDB returns μs-precision for the same file: oracles agree.
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+                col,
+                F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long")).cast(
+                    want
+                ),
             )
-        elif ts_type == "timestamp_ntz":
-            # NTZ → session-TZ timestamp (UTC): same wall-clock values,
-            # but numeric casts / epoch arithmetic become legal again.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            # date / timestamp_ntz / UTC-instant timestamp → canonical.
+            # Session tz is pinned UTC, so NTZ↔TZ casts keep wall-clock
+            # values and DuckDB (also reading UTC) stays in agreement.
+            df = df.withColumn(col, F.col(col).cast(want))
     return df
 
 
