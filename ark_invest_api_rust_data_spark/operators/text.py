@@ -277,6 +277,19 @@ def quality_filter(
         )
         rolled = rolled.withColumn("_reason", reason)
         if keep_docs:
+            # The verdict filter must NOT be pushed below the _spread
+            # exchange: Catalyst's predicate pushdown would inline the
+            # ENTIRE fold expression into the filter and sink it into
+            # the scan stage, serializing the heavy per-doc folds onto
+            # however few splits the file has (measured at sf1: 40 s on
+            # 2 scan tasks vs ~4 s post-exchange on 32). Wrapping the
+            # verdict in an always-true non-deterministic guard blocks
+            # the pushdown (filters cannot cross non-deterministic
+            # projections) while changing no values.
+            nd_guard = F.monotonically_increasing_id() >= F.lit(0)  # always true
+            rolled = rolled.withColumn(
+                "_reason", F.when(nd_guard, F.col("_reason"))
+            )
             return rolled.filter(F.col("_reason") == "ok").drop(
                 "_nt", "_ur", "_top2", "_dup3", "_reason"
             )

@@ -130,6 +130,16 @@ def compact_lake(
     rewrites every partition through a shuffle-free coalescing pass:
     read → write with maxRecordsPerFile, partition layout preserved.
 
+    Rows are sorted by (ticker, date, cusip) WITHIN each task before
+    the partitioned write — still narrow (no shuffle: partitionBy
+    splits each task's run into per-partition files, and the sort
+    makes every written file cusip-ordered). Row order is load-bearing
+    at scale twice over: ordered files compress better AND parquet
+    row-group min/max stats on cusip become selective, so
+    security-centric point reads prune row groups, not just partition
+    dirs (measured in SCALE.md finding 4: random layout inflated
+    downstream shuffle bytes ~2.4×).
+
     Crash safety: the rewrite lands in a SIBLING directory and is
     swapped in only on success (old data kept as ``holdings_pre_compact``
     until the swap completes) — an in-place dynamic overwrite has a
@@ -143,7 +153,8 @@ def compact_lake(
     shutil.rmtree(staged, ignore_errors=True)
     df = spark.read.parquet(path)
     (
-        df.write.mode("overwrite")
+        df.sortWithinPartitions("ticker", "date", "cusip")
+        .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("ticker", "date")
         .parquet(staged)

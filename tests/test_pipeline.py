@@ -395,6 +395,14 @@ def test_lake_compaction_reduces_files(spark, tmp_path):
     rows_after = sorted(map(tuple, read_lake(spark, root).collect()))
     assert rows_after == rows_before
 
+    # compacted files are cusip-sorted WITHIN each file (row-group
+    # min/max pruning + compression; SCALE.md finding 4)
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{root}/holdings/*/*/*.parquet"):
+        cusips = pq.read_table(f, columns=["cusip"])["cusip"].to_pylist()
+        assert cusips == sorted(cusips), f
+
 
 def test_holdings_http_datasource(spark, tmp_path):
     """S3/S6 as a Spark 4 Python Data Source: per-ticker InputPartition
