@@ -134,6 +134,70 @@ def minhash_signature(base_hash_arr: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def _signature_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """(_id, _sh, _sig): shingle array + MinHash signature per doc —
+    the shared front of the batch LSH, the band store builder, and the
+    incremental path."""
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+        # separate projection: _base is referenced 16× by the signature,
+        # and multi-referenced non-trivial columns are NOT inlined by
+        # CollapseProject — so the char-fold runs once per shingle.
+        .withColumn("_base", F.transform(F.col("_sh"), shingle_base_hash))
+        .withColumn("_sig", minhash_signature(F.col("_base"), num_hashes))
+        .drop("_base")
+    )
+
+
+def _band_explode(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """(_id, _band, _bkey) from a signature frame: one row per (doc,
+    band), the LSH bucketing unit. Narrow — shingles stay behind."""
+    num_bands = num_hashes // rows_per_band
+    return sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("_sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("_band", "_bkey"),
+    )
+
+
+def band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The PERSISTABLE corpus signature index: (doc_id, band, band_key),
+    one row per (doc, band). At warehouse scale this is written ONCE to
+    the lake (sorted/bucketed by band_key so per-batch probes prune row
+    groups instead of scanning the corpus) and appended per ingest
+    batch — the precondition for incremental_near_dup_pairs."""
+    bands = _band_explode(
+        _signature_frame(df, id_col, text_col, n, num_hashes), num_hashes, rows_per_band
+    )
+    return bands.select(
+        F.col("_id").alias(id_col),
+        F.col("_band").alias("band"),
+        F.col("_bkey").alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -172,39 +236,13 @@ def minhash_lsh_pairs(
       signature frame to the lake and band-join from there, so the
       reuse survives executor loss and doesn't occupy block-manager
       memory."""
-    num_bands = num_hashes // rows_per_band
-    base = (
-        _spread(df)
-        .select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
-        # separate projection: _base is referenced 16× by the signature,
-        # and multi-referenced non-trivial columns are NOT inlined by
-        # CollapseProject — so the char-fold runs once per shingle.
-        .withColumn("_base", F.transform(F.col("_sh"), shingle_base_hash))
-        .withColumn("_sig", minhash_signature(F.col("_base"), num_hashes))
-        .drop("_base")
-    )
+    base = _signature_frame(df, id_col, text_col, n, num_hashes)
     if materialize:
         base = base.persist()
 
     # narrow band table: (id, band, key) only — shingle arrays stay in
     # `base` and are joined back just for candidate verification
-    bands = base.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at("_sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("_band", "_bkey"),
-    )
+    bands = _band_explode(base, num_hashes, rows_per_band)
 
     cand = (
         bands.select(F.col("_id").alias("doc_a"), "_band", "_bkey")
@@ -232,6 +270,102 @@ def minhash_lsh_pairs(
     finally:
         base.unpersist()
     return result
+
+
+def incremental_near_dup_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    band_store: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs INVOLVING a new ingest batch — the
+    production dedup shape at 100 TB: the corpus has already been
+    deduped once, its band table is persisted (``band_table`` written
+    to the lake), and each arriving batch must answer "is this new doc
+    a near-dup of ANYTHING seen before, or of another doc in this
+    batch?" without re-running LSH over the corpus.
+
+    Returns (doc_a, doc_b, jc), doc_a < doc_b, jc ≥ threshold, where
+    at least one side is a new doc — exactly the full-corpus
+    ``minhash_lsh_pairs`` restricted to pairs touching the batch
+    (equivalence pytest-proven; corpus-internal pairs are excluded by
+    construction, they were resolved when the corpus was deduped).
+
+    Shuffle shape per batch (new ≪ corpus by construction):
+    * the batch's signatures/bands are computed narrowly (batch-sized);
+    * batch bands join the STORE on (band, band_key) — the store scan
+      is the only corpus-sized input, and a lake store sorted/bucketed
+      by band_key turns it into a pruned probe; the corpus TEXT is
+      touched only for verification candidates (semi-join on the
+      candidate ids — batch-bounded);
+    * exact-Jaccard verify runs on candidates only, never all-pairs.
+    AQE picks broadcast for the batch-sized sides from runtime sizes
+    (no hard hints — same policy as the star joins).
+
+    ``band_store=None`` derives the store from ``corpus`` lazily —
+    semantically identical, but then the corpus IS rescanned; passing
+    the persisted table is the point of the API.
+    """
+    if band_store is None:
+        band_store = band_table(corpus, id_col, text_col, n, num_hashes, rows_per_band)
+    store = band_store.select(
+        F.col(id_col).alias("_cid"), F.col("band").alias("_band"), F.col("band_key").alias("_bkey")
+    )
+
+    new_sig = _signature_frame(new_docs, id_col, text_col, n, num_hashes)
+    new_bands = _band_explode(new_sig, num_hashes, rows_per_band)
+
+    # candidates: new×corpus (store probe) ∪ new×new (batch self-join)
+    nc = (
+        new_bands.select(F.col("_id").alias("_nid"), "_band", "_bkey")
+        .join(store, ["_band", "_bkey"])
+        .select(
+            F.least("_cid", "_nid").alias("doc_a"),
+            F.greatest("_cid", "_nid").alias("doc_b"),
+        )
+    )
+    nn = (
+        new_bands.select(F.col("_id").alias("doc_a"), "_band", "_bkey")
+        .join(
+            new_bands.select(F.col("_id").alias("doc_b"), "_band", "_bkey"),
+            ["_band", "_bkey"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = nc.union(nn).filter(F.col("doc_a") != F.col("doc_b")).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+
+    # shingles for verification: the batch computes its own; the corpus
+    # contributes ONLY candidate docs (semi-join keeps the scan pruned)
+    cand_corpus_ids = (
+        cand.select(F.col("doc_a").alias("_id"))
+        .union(cand.select(F.col("doc_b").alias("_id")))
+        .join(new_sig.select("_id"), "_id", "leftanti")  # ids not in batch
+        .distinct()
+    )
+    corpus_sh = (
+        corpus.join(
+            cand_corpus_ids.withColumnRenamed("_id", id_col), id_col, "leftsemi"
+        )
+        .select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+    )
+    all_sh = new_sig.select("_id", "_sh").union(corpus_sh)
+    sh_a = all_sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    sh_b = all_sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jc", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jc") >= threshold)
+        .select("doc_a", "doc_b", "jc")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -145,6 +145,39 @@ WHERE jc >= 0.5
 """
 
 
+# ------------------------------------------------- incremental near-dup
+def llm_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 production shape — the corpus (80% of docs by id-hash) has a
+    PERSISTED band table; the remaining 20% arrive as an ingest batch
+    and are near-dup-checked against the store + within the batch,
+    without re-running LSH over the corpus
+    (operators/dedup.py:incremental_near_dup_pairs). The oracle is the
+    O(n²) exact-Jaccard pair set restricted to pairs touching the
+    batch — equality also proves the incremental path finds exactly
+    what the full batch run finds (corpus-internal pairs excluded by
+    construction)."""
+    from ..operators.dedup import band_table, incremental_near_dup_pairs
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    store = band_table(corpus)
+    return incremental_near_dup_pairs(corpus, batch, band_store=store, threshold=0.5)
+
+
+LLM_INCREMENTAL_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(3)} AS s
+  FROM (SELECT doc_id, {_W} AS w FROM documents))
+SELECT doc_a, doc_b, jc FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jc >= 0.5 AND (doc_a % 10 >= 8 OR doc_b % 10 >= 8)
+"""
+
+
 # ------------------------------------------------------------ 2-gram exact
 def llm_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """B29 baseline — exact 2-gram Jaccard pairs ≥ 0.5 (O(n²))."""
@@ -248,6 +281,7 @@ PROBES = [
     Probe("llm_lang_id", "B31", llm_lang_id, LLM_LANG_ID_SQL),
     Probe("llm_exact_dedup", "B28", llm_exact_dedup, LLM_EXACT_DEDUP_SQL),
     Probe("llm_minhash_lsh", "B29", llm_minhash_lsh, LLM_MINHASH_SQL),
+    Probe("llm_incremental_dedup", "B29", llm_incremental_dedup, LLM_INCREMENTAL_SQL),
     Probe("llm_ngram_jaccard", "B29", llm_ngram_jaccard, LLM_NGRAM_SQL),
     Probe("llm_simhash", "B29", llm_simhash, _simhash_sql()),
     Probe("llm_fingerprint", "B29", llm_fingerprint, LLM_FINGERPRINT_SQL),

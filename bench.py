@@ -55,6 +55,7 @@ HEADLINE = [
     "llm_text_stats",
     "llm_simhash",
     "llm_minhash_lsh",
+    "llm_incremental_dedup",
     "llm_fingerprint",
     "llm_similarity_topk",
     "llm_embedding_near_dup",

@@ -42,6 +42,64 @@ def test_lsh_recall_equals_exact(spark):
     assert len(exact) > 0  # planted near-dups exist at sf0.001
 
 
+def test_incremental_near_dup_equals_full_restricted(spark, tmp_path):
+    """incremental_near_dup_pairs(corpus, batch, store) must equal the
+    FULL-corpus LSH pair set restricted to pairs touching the batch —
+    including when the band store round-trips through parquet (the
+    lake shape). Also: batch-internal pairs found, corpus-internal
+    pairs excluded."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.dedup import (
+        band_table,
+        incremental_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    new_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert expected, "sf0.001 must contain planted near-dups touching the batch"
+    # at least one corpus-internal pair must exist for the exclusion check
+    assert full - expected, "need corpus-internal pairs to prove exclusion"
+
+    # store passed as an in-memory frame
+    store = band_table(corpus)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_near_dup_pairs(
+            corpus, batch, band_store=store, threshold=0.5
+        ).collect()
+    }
+    assert got == expected
+
+    # store round-tripped through parquet, sorted by band_key (the lake
+    # layout that makes per-batch probes prunable)
+    path = str(tmp_path / "band_store")
+    store.sortWithinPartitions("band_key").write.mode("overwrite").parquet(path)
+    store2 = spark.read.parquet(path)
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_near_dup_pairs(
+            corpus, batch, band_store=store2, threshold=0.5
+        ).collect()
+    }
+    assert got2 == expected
+
+    # derived-store fallback (band_store=None) agrees too
+    got3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_near_dup_pairs(corpus, batch, threshold=0.5).collect()
+    }
+    assert got3 == expected
+
+
 def test_exact_dedup_keeps_first(spark):
     df = spark.createDataFrame(
         [("k", 2, "b"), ("k", 1, "a"), ("k", 3, "c"), ("j", 9, "z")],

@@ -43,6 +43,7 @@ EXTRA = [
     "llm_tfidf_topterms",
     "llm_knn_join",
     "llm_corpus_pipeline",
+    "llm_similarity_ann",
 ]
 
 
