@@ -1,0 +1,141 @@
+"""Streaming corpus ingest with incremental near-dup dedup (B24×B29 —
+the production loop a training-data pipeline actually runs: documents
+arrive continuously, each must be near-dup-checked against EVERYTHING
+seen before, and the signature index must grow with the stream).
+
+Policy: FIRST-SEEN-CANONICAL. A new doc is dropped iff it is a
+near-dup of (a) anything in the seed corpus, (b) anything streamed in
+an earlier micro-batch, or (c) a smaller-id doc in its own micro-batch.
+Bands of ALL ingested docs — kept or dropped — are appended to the
+store, so "near-dup of a dropped dup" still drops (conservative: the
+survivor set never contains a near-dup pair member whose canonical was
+seen first; the alternative greedy-vs-kept policy can chain-admit
+near-dups across batches). With arrivals ordered by doc id this is
+EXACTLY the batch rule "drop d iff ∃ near-dup x with x seen-before d"
+— the equivalence the test pins.
+
+Layout under ``store_root`` (all idempotent per micro-batch —
+overwrite into ``src=b<batch_id>`` partition dirs, so a post-crash
+replay of batch N replaces rather than duplicates it):
+
+* ``bands/src=corpus/`` — seed index (``seed_band_store``);
+  ``bands/src=b<N>/`` — per-batch appends. The at-scale layout sorts
+  each file by band_key (row-group pruning on probe).
+* ``docs/src=b<N>/`` — every ingested doc + ``kept`` flag (the raw
+  archive a real pipeline retains anyway; also the shingle source for
+  verifying candidates against earlier non-corpus docs).
+
+Shuffle shape per micro-batch: the batch side is micro-batch-sized
+(narrow signature compute + band join probe of the store scan); the
+store scan is the only corpus-sized input and never shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import band_table, incremental_near_dup_pairs
+
+
+def seed_band_store(corpus: DataFrame, store_root: str, **lsh_kwargs) -> None:
+    """Write the seed corpus band index (one-time; sorted by band_key
+    so per-batch probes prune row groups)."""
+    (
+        band_table(corpus, **lsh_kwargs)
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite")
+        .parquet(f"{store_root}/bands/src=corpus")
+    )
+
+
+def start_incremental_dedup_stream(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    store_root: str,
+    checkpoint: str,
+    query_name: str = "incremental_dedup",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Start the ingest-dedup stream. Requires ``seed_band_store`` to
+    have been run for ``corpus`` under ``store_root``."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)  # cut the source lineage;
+        # the batch frame is consumed 4× below (pairs, flags, docs, bands)
+
+        store = spark.read.parquet(f"{store_root}/bands")
+        docs_dir = f"{store_root}/docs"
+        seen = corpus.select(F.col(id_col), F.col(text_col))
+        if os.path.isdir(docs_dir):
+            prev = spark.read.parquet(docs_dir).select(F.col(id_col), F.col(text_col))
+            seen = seen.unionByName(prev)
+
+        pairs = incremental_near_dup_pairs(
+            seen,
+            batch,
+            band_store=store,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+        )
+        # classify pair sides: batch-vs-seen → drop the batch side;
+        # batch-vs-batch → drop the larger id (first-seen-canonical)
+        b_ids = batch.select(F.col(id_col).alias("_bid"))
+        flagged = (
+            pairs.join(
+                b_ids.select(F.col("_bid").alias("doc_a"), F.lit(True).alias("_a_new")),
+                "doc_a",
+                "left",
+            )
+            .join(
+                b_ids.select(F.col("_bid").alias("doc_b"), F.lit(True).alias("_b_new")),
+                "doc_b",
+                "left",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.coalesce("_a_new", F.lit(False)).alias("_a_new"),
+                F.coalesce("_b_new", F.lit(False)).alias("_b_new"),
+            )
+        )
+        drop_ids = (
+            flagged.filter(F.col("_b_new")).select(F.col("doc_b").alias(id_col))
+            .union(
+                flagged.filter(F.col("_a_new") & ~F.col("_b_new")).select(
+                    F.col("doc_a").alias(id_col)
+                )
+            )
+            .distinct()
+        )
+        out = batch.join(drop_ids, id_col, "left_anti").withColumn(
+            "kept", F.lit(True)
+        ).unionByName(
+            batch.join(drop_ids, id_col, "left_semi").withColumn("kept", F.lit(False))
+        )
+        # idempotent per-batch writes: replays overwrite in place
+        out.write.mode("overwrite").parquet(f"{docs_dir}/src=b{batch_id}")
+        (
+            band_table(batch, id_col=id_col, text_col=text_col)
+            .sortWithinPartitions("band_key")
+            .write.mode("overwrite")
+            .parquet(f"{store_root}/bands/src=b{batch_id}")
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(process_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -477,6 +477,82 @@ def test_tws_batch_fallback_matches_stateful_twin(spark, event_dir):
     assert _rows(running_user_totals_tws(batch)) == _rows(running_user_totals(batch))
 
 
+def test_incremental_dedup_stream_equals_batch_policy(spark, tmp_path):
+    """B24×B29 — streaming ingest with incremental near-dup dedup
+    against a growing band store equals the batch first-seen-canonical
+    rule: a streamed doc is dropped iff it near-dups the seed corpus
+    or ANY smaller-id streamed doc (kept or dropped). Streams in three
+    id-ordered micro-batches; the store grows per batch."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.dedup import minhash_lsh_pairs
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        seed_band_store,
+        start_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    streamed = docs.filter(F.col("doc_id") % 10 >= 8).orderBy("doc_id")
+    corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    stream_rows = streamed.collect()
+    stream_ids = {r["doc_id"] for r in stream_rows}
+
+    # batch twin of the policy, from the full-corpus pair set
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    dropped = set()
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]  # a < b
+        if b in stream_ids and (a in corpus_ids or a in stream_ids):
+            dropped.add(b)
+        if a in stream_ids and b in corpus_ids:
+            dropped.add(a)
+    expected_kept = stream_ids - dropped
+    assert dropped and expected_kept  # both outcomes must be exercised
+
+    # three id-ordered micro-batches (file mtimes force arrival order)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    ordered = sorted(stream_rows, key=lambda r: r["doc_id"])
+    k = len(ordered) // 3
+    chunks = [ordered[:k], ordered[k : 2 * k], ordered[2 * k :]]
+    for i, chunk in enumerate(chunks):
+        p = str(src / f"part{i}.parquet")
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+
+    store_root = str(tmp_path / "store")
+    seed_band_store(corpus, store_root)
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet")
+    )
+    q = start_incremental_dedup_stream(
+        spark,
+        stream_in,
+        corpus,
+        store_root,
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(f"{store_root}/docs")
+    got_kept = {r["doc_id"] for r in out.filter(F.col("kept")).collect()}
+    got_all = {r["doc_id"] for r in out.collect()}
+    assert got_all == stream_ids  # every arrival archived exactly once
+    assert got_kept == expected_kept
+    # the band store grew: corpus seed + one partition per micro-batch
+    srcs = {r["src"] for r in spark.read.parquet(f"{store_root}/bands").select("src").distinct().collect()}
+    assert "corpus" in srcs and len(srcs) >= 3
+
+
 def test_corpus_prep_narrow_ops_stream(spark, tmp_path):
     """The zero-shuffle corpus-prep ops (PII scrub, split assignment)
     are pure narrow maps, so they run UNCHANGED over a stream of
