@@ -341,6 +341,15 @@ def incremental_near_dup_pairs(
     cand = nc.union(nn).filter(F.col("doc_a") != F.col("doc_b")).dropDuplicates(
         ["doc_a", "doc_b"]
     )
+    # cand is referenced by FOUR downstream subtrees (both id-side
+    # unions and the two verify joins) — without a cut, the store-probe
+    # band join would re-run per subtree, i.e. 4 corpus-store scans per
+    # batch at warehouse scale. cand is batch-bounded (pairs touching
+    # the batch), so the eager local materialization is cheap. (At
+    # sf0.1 wall time is stage-scheduling-bound either way — ~3s over
+    # ~10 stages — and the cut is timing-neutral; it's the 100 TB
+    # store-scan multiplicity it removes.)
+    cand = cand.localCheckpoint(eager=True)
 
     # shingles for verification: the batch computes its own; the corpus
     # contributes ONLY candidate docs (semi-join keeps the scan pruned)
