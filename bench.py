@@ -165,12 +165,17 @@ def main() -> None:
             shuffle[name] = g
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
+    # the headline SET has grown round over round (r01: 18 queries,
+    # r02: 23, r03: 24 with llm_incremental_dedup) — cross-round totals
+    # are only comparable on the shared-query subset, so emit the count
+    # alongside the total.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(HEADLINE),
                 "queries": {n: timings[n] for n in HEADLINE},
                 "side_experiments": {n: timings[n] for n in SIDE},
                 "shuffle_bytes": shuffle,
