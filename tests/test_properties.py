@@ -145,6 +145,54 @@ def test_c7_chain_tiers_match_python_reference(strings):
         assert got == expected, f"tier={tier} diverges from Python reference"
 
 
+# ------------------------------------------------------------- B32 codecs
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_pixel_codecs_roundtrip_property(w, h, data):
+    """BMP and PPM codecs invert on ANY pixel stream and dims (row
+    padding at every width mod 4, single-row/column shapes); dims
+    parse agrees. Pure Python — no Spark session needed."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        parse_image_dims,
+    )
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    for enc in (encode_bmp, encode_ppm):
+        blob = enc(w, h, rgb)
+        assert decode_image(blob) == (w, h, rgb)
+        assert parse_image_dims(blob) == (w, h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.binary(max_size=64))
+def test_pixel_codecs_reject_junk_property(junk):
+    """Arbitrary bytes never crash the decoders — they decode to None
+    unless they happen to be a VALID image (hypothesis can't stumble
+    into a full valid BMP/PPM under 64 bytes unless tiny-but-real, in
+    which case decoding is correct behavior, not a failure)."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import decode_image
+
+    out = decode_image(junk)
+    if out is not None:
+        wj, hj, rgbj = out
+        assert wj >= 1 and hj >= 1 and len(rgbj) == wj * hj * 3
+
+
 @settings(
     max_examples=8,
     deadline=None,

@@ -70,6 +70,9 @@ def main() -> None:
     results: dict[str, dict[str, dict]] = {}
     for sf in sfs:
         sf_dir = SF_DIRS.get(sf, f"/root/testdata/sf{sf}")
+        if not os.path.isdir(sf_dir):
+            print(f"skip sf{sf}: {sf_dir} missing (sf1: run tools/make_sf.py first)")
+            continue
         # warmup: footers + codegen for this scale's files
         probes["b07_agg_q1"].spark(spark, sf_dir).write.format("noop").mode(
             "overwrite"
