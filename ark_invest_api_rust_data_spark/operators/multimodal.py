@@ -165,17 +165,54 @@ def parse_image_dims(b: bytes) -> tuple[int, int] | None:
             int.from_bytes(b[6:8], "little"),
             int.from_bytes(b[8:10], "little"),
         )
-    # BMP: signed-le i32 pair in the DIB header (negative height =
-    # top-down row order; dims are the magnitudes)
-    if b[:2] == b"BM" and len(b) >= 26:
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        h = int.from_bytes(b[22:26], "little", signed=True)
-        return (abs(w), abs(h))
-    # PPM (P6 binary / P3 ascii): whitespace-separated header tokens
+    # BMP: validate the DIB header shape, not just the 2-byte magic —
+    # arbitrary text starting with "BM" must NOT sniff as an image
+    # (the metadata probe's oracle pins NULL dims for text payloads).
+    if b[:2] == b"BM":
+        if len(b) >= 54:
+            dib = int.from_bytes(b[14:18], "little")
+            planes = int.from_bytes(b[26:28], "little")
+            bpp = int.from_bytes(b[28:30], "little")
+            comp = int.from_bytes(b[30:34], "little")
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = int.from_bytes(b[22:26], "little", signed=True)
+            if (
+                dib in (40, 52, 56, 64, 108, 124)
+                and planes == 1
+                and bpp in (1, 2, 4, 8, 16, 24, 32)
+                and comp <= 13
+                and 0 < w < 1 << 24
+                and h != 0
+                and abs(h) < 1 << 24
+            ):
+                return (w, abs(h))  # negative height = top-down rows
+        if len(b) >= 26 and int.from_bytes(b[14:18], "little") == 12:
+            # BITMAPCOREHEADER: u16 dims at 18/20, planes/bpp at 22/24
+            w = int.from_bytes(b[18:20], "little")
+            h = int.from_bytes(b[20:22], "little")
+            planes = int.from_bytes(b[22:24], "little")
+            bpp = int.from_bytes(b[24:26], "little")
+            if planes == 1 and bpp in (1, 4, 8, 24) and w > 0 and h > 0:
+                return (w, h)
+        return None
+    # PPM (P6 binary / P3 ascii): header must parse AND the payload
+    # must actually be pixel data of the declared size — "P3 12 9 255
+    # some text" is text, not a 12×9 image
     if b[:2] in (b"P6", b"P3"):
-        toks = _ppm_header_tokens(b)
-        if toks is not None:
-            return (toks[0], toks[1])
+        hdr = _ppm_header_tokens(b)
+        if hdr is not None:
+            w, h, maxval, off = hdr
+            if w > 0 and h > 0 and 0 < maxval < 65536:
+                if b[:2] == b"P6":
+                    px = 3 * (2 if maxval > 255 else 1)
+                    if len(b) >= off + w * h * px:
+                        return (w, h)
+                else:
+                    vals = b[off - 1 :].split()
+                    need = w * h * 3
+                    if len(vals) >= need and all(v.isdigit() for v in vals[:need]):
+                        return (w, h)
+        return None
     return None
 
 
@@ -258,7 +295,10 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes] | None:
 
 def _ppm_header_tokens(b: bytes) -> tuple[int, int, int, int] | None:
     """Parse 'P6'/'P3' + (width, height, maxval), honoring '#' comments.
-    Returns (w, h, maxval, data_offset) or None."""
+    Returns (w, h, maxval, data_offset) or None. The byte after the
+    magic MUST be whitespace or a comment ('P312 9' is not a PPM)."""
+    if len(b) < 3 or b[2] not in (32, 9, 10, 13, 11, 12, ord("#")):
+        return None
     i, toks = 2, []
     n = len(b)
     while len(toks) < 3 and i < n:

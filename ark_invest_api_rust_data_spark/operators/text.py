@@ -285,8 +285,11 @@ def quality_filter(
             # 2 scan tasks vs ~4 s post-exchange on 32). Wrapping the
             # verdict in an always-true non-deterministic guard blocks
             # the pushdown (filters cannot cross non-deterministic
-            # projections) while changing no values.
-            nd_guard = F.monotonically_increasing_id() >= F.lit(0)  # always true
+            # projections) while changing no values. rand(), not
+            # monotonically_increasing_id(): the latter is rejected by
+            # the streaming UnsupportedOperationChecker, and this op
+            # must keep running over streams (corpus-prep-as-it-lands).
+            nd_guard = F.rand(seed=0) >= F.lit(-1.0)  # always true
             rolled = rolled.withColumn(
                 "_reason", F.when(nd_guard, F.col("_reason"))
             )

@@ -62,9 +62,16 @@ def start_incremental_dedup_stream(
     text_col: str = "text",
     threshold: float = 0.5,
     available_now: bool = True,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
 ):
     """Start the ingest-dedup stream. Requires ``seed_band_store`` to
-    have been run for ``corpus`` under ``store_root``."""
+    have been run for ``corpus`` under ``store_root`` **with the same
+    LSH parameters** (n / num_hashes / rows_per_band) — band keys from
+    different parameterizations never match, so a mismatch would
+    silently admit every duplicate. Pass the kwargs to both."""
+    lsh = dict(n=n, num_hashes=num_hashes, rows_per_band=rows_per_band)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -72,11 +79,21 @@ def start_incremental_dedup_stream(
         batch = batch.localCheckpoint(eager=True)  # cut the source lineage;
         # the batch frame is consumed 4× below (pairs, flags, docs, bands)
 
-        store = spark.read.parquet(f"{store_root}/bands")
+        me = f"b{batch_id}"
+        # CRASH-REPLAY SAFETY: a replay of batch N must not read the
+        # crashed attempt's own src=bN partitions — they are both stale
+        # input AND the overwrite target, and Spark's self-overwrite
+        # check does not catch parent-dir reads feeding a child-dir
+        # write (the job would delete its own input files mid-scan).
+        store = spark.read.parquet(f"{store_root}/bands").filter(F.col("src") != me)
         docs_dir = f"{store_root}/docs"
         seen = corpus.select(F.col(id_col), F.col(text_col))
         if os.path.isdir(docs_dir):
-            prev = spark.read.parquet(docs_dir).select(F.col(id_col), F.col(text_col))
+            prev = (
+                spark.read.parquet(docs_dir)
+                .filter(F.col("src") != me)
+                .select(F.col(id_col), F.col(text_col))
+            )
             seen = seen.unionByName(prev)
 
         pairs = incremental_near_dup_pairs(
@@ -86,6 +103,7 @@ def start_incremental_dedup_stream(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
+            **lsh,
         )
         # classify pair sides: batch-vs-seen → drop the batch side;
         # batch-vs-batch → drop the larger id (first-seen-canonical)
@@ -123,12 +141,12 @@ def start_incremental_dedup_stream(
             batch.join(drop_ids, id_col, "left_semi").withColumn("kept", F.lit(False))
         )
         # idempotent per-batch writes: replays overwrite in place
-        out.write.mode("overwrite").parquet(f"{docs_dir}/src=b{batch_id}")
+        out.write.mode("overwrite").parquet(f"{docs_dir}/src={me}")
         (
-            band_table(batch, id_col=id_col, text_col=text_col)
+            band_table(batch, id_col=id_col, text_col=text_col, **lsh)
             .sortWithinPartitions("band_key")
             .write.mode("overwrite")
-            .parquet(f"{store_root}/bands/src=b{batch_id}")
+            .parquet(f"{store_root}/bands/src={me}")
         )
 
     writer = (

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -39,8 +40,12 @@ def _update_user_state(
     for pdf in pdfs:
         n += len(pdf)
         # state accumulates in exact integer CENTS — a running float
-        # would drift vs the batch twin's single division
-        cents += int(pdf["value"].mul(100).round().sum())
+        # would drift vs the batch twin's single division. Half-AWAY-
+        # from-zero to match the batch twin's F.round (HALF_UP): pandas
+        # .round() is banker's half-to-even and diverges on exact .5
+        # cents (same fix as tws.py, ADVICE r2).
+        v = pdf["value"].mul(100)
+        cents += int((v.abs().add(0.5).pipe(np.floor) * np.sign(v)).sum())
     state.update((n, cents))
     total = float(cents) / 100.0
     yield pd.DataFrame(

@@ -559,14 +559,18 @@ def test_corpus_prep_narrow_ops_stream(spark, tmp_path):
     arriving document shards — streaming output equals the batch run
     row-for-row. This is the 'prep the corpus as it lands' shape."""
     from ark_invest_api_rust_data_spark.operators.sampling import split_assign
-    from ark_invest_api_rust_data_spark.operators.text import pii_scrub
+    from ark_invest_api_rust_data_spark.operators.text import pii_scrub, quality_filter
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     src = tmp_path / "docs_stream"
     docs.repartition(4).write.mode("overwrite").parquet(str(src))
 
     def prep(df):
-        return split_assign(pii_scrub(df), id_col="doc_id").select(
+        # quality_filter(keep_docs=True) first: its pushdown-blocking
+        # guard must stay streaming-legal (rand, not
+        # monotonically_increasing_id — r3 review finding)
+        kept = quality_filter(df, keep_docs=True)
+        return split_assign(pii_scrub(kept), id_col="doc_id").select(
             "doc_id", "n_pii_total", "clean_text", "bucket", "split"
         )
 

@@ -60,6 +60,26 @@ KEYED: dict[str, tuple[list[str], int, bool]] = {
 }
 FIXED = ["region", "nation"]
 
+# every key column, FK or PK, must shift by the span of the ENTITY it
+# references — an FK offset by its own table's max instead of the
+# referenced dimension's silently breaks cross-copy referential
+# integrity whenever some dimension rows have no facts (e.g. customers
+# without orders). Span source of truth: (table, pk_column).
+KEY_ENTITY: dict[str, tuple[str, str]] = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -72,12 +92,20 @@ def main() -> None:
         df = spark.read.parquet(f"{src}/{t}.parquet")
         df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
+    # per-copy key offsets, computed ONCE from each entity's own table
+    # so PKs and the FKs referencing them shift identically
+    span: dict[str, int] = {}
+    for k, (ref_t, ref_col) in KEY_ENTITY.items():
+        if ref_col not in span:
+            ref = spark.read.parquet(f"{src}/{ref_t}.parquet")
+            span[ref_col] = int(ref.agg(F.max(F.col(ref_col))).first()[0]) + 1
+        span[k] = span[ref_col]
+
     for t, (keys, n_files, key_sorted) in KEYED.items():
         df = spark.read.parquet(f"{src}/{t}.parquet")
-        # per-copy key offset: larger than any key in the source
-        span = {
-            k: int(df.agg(F.max(F.col(k))).first()[0]) + 1 for k in keys
-        }
+        # loop-invariant: embedding dimensionality (one lookup, not one
+        # job per copy)
+        dim = len(df.select("embedding").first()[0]) if t == "embeddings" else 0
         parts = []
         for c in range(copies):
             cp = df
@@ -98,7 +126,6 @@ def main() -> None:
             if t == "embeddings" and c > 0:
                 # cyclic coordinate rotation by c: within-copy geometry
                 # preserved exactly, cross-copy cosine decorrelated
-                dim = len(df.select("embedding").first()[0])
                 rot = c % dim
                 cp = cp.withColumn(
                     "embedding",
