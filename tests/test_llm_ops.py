@@ -100,6 +100,42 @@ def test_incremental_near_dup_equals_full_restricted(spark, tmp_path):
     assert got3 == expected
 
 
+def test_incremental_near_dup_nondefault_lsh_params(spark):
+    """The incremental path must honor non-default LSH parameters end
+    to end: a store built with (num_hashes=8, n=2) probed with the same
+    params equals the full-corpus run at those params (a silent
+    parameter mismatch would produce non-matching band keys and an
+    empty candidate set — r3 review finding)."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.dedup import (
+        band_table,
+        incremental_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    new_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    kw = dict(n=2, num_hashes=8, rows_per_band=2)
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5, **kw).collect()
+    }
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert expected  # 2-gram shingles at sf0.001 must produce pairs
+
+    store = band_table(corpus, **kw)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_near_dup_pairs(
+            corpus, batch, band_store=store, threshold=0.5, **kw
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_exact_dedup_keeps_first(spark):
     df = spark.createDataFrame(
         [("k", 2, "b"), ("k", 1, "a"), ("k", 3, "c"), ("j", 9, "z")],

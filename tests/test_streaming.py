@@ -553,6 +553,60 @@ def test_incremental_dedup_stream_equals_batch_policy(spark, tmp_path):
     assert "corpus" in srcs and len(srcs) >= 3
 
 
+def test_incremental_dedup_stream_replay_over_stale_partitions(spark, tmp_path):
+    """Crash-replay safety (r3 review finding): when batch 0 re-runs
+    over partitions left by a crashed prior attempt (stale docs/src=b0
+    and bands/src=b0 on disk), the replay must OVERWRITE them — not
+    read them as its own lineage input (which would make the write
+    delete its own input files mid-scan) and not double-count them in
+    the seen set."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        seed_band_store,
+        start_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    streamed = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    streamed.coalesce(1).write.mode("overwrite").parquet(str(src / "part0.parquet"))
+
+    store_root = str(tmp_path / "store")
+    seed_band_store(corpus, store_root)
+    # simulate the crashed attempt: stale (and WRONG — all-kept) batch-0
+    # partitions already on disk before the stream starts
+    streamed.withColumn("kept", F.lit(True)).write.mode("overwrite").parquet(
+        f"{store_root}/docs/src=b0"
+    )
+    from ark_invest_api_rust_data_spark.operators.dedup import band_table
+
+    band_table(streamed).write.mode("overwrite").parquet(f"{store_root}/bands/src=b0")
+
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet")
+    )
+    q = start_incremental_dedup_stream(
+        spark, stream_in, corpus, store_root,
+        checkpoint=str(tmp_path / "ckpt"), threshold=0.5,
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(f"{store_root}/docs")
+    stream_ids = {r["doc_id"] for r in streamed.select("doc_id").collect()}
+    # exactly-once: the stale all-kept rows were replaced, not appended
+    assert out.count() == len(stream_ids)
+    # and the replay actually deduped (the stale attempt kept everything)
+    assert out.filter(~F.col("kept")).count() > 0
+
+
 def test_corpus_prep_narrow_ops_stream(spark, tmp_path):
     """The zero-shuffle corpus-prep ops (PII scrub, split assignment)
     are pure narrow maps, so they run UNCHANGED over a stream of
