@@ -1,0 +1,183 @@
+"""Distributed clustering over embedding columns (SURVEY.md §2 B30/B29
+extensions): exact-arithmetic Lloyd's k-means and SemDeDup-style
+semantic deduplication (Abbas et al. 2023 — cluster the corpus, then
+drop all-but-one of every within-cluster pair whose cosine exceeds a
+threshold).
+
+Scale shape (the 100 TB argument):
+
+* k-means: per iteration, ONE narrow assignment map (centroids enter
+  the plan as literals — no join, no shuffle) plus ONE O(k) shuffle
+  (groupBy cluster with map-side partial aggregation collapses each
+  partition to k rows before the exchange). The k-row centroid state
+  crosses the driver once per iteration — the same bounded pattern as
+  the IVF index's sampled k-means (similarity.py), except here the
+  SUMS are computed over the full corpus distributedly, so the result
+  is the exact Lloyd's update, not a sample approximation. Literal
+  centroids bound k to the low thousands (codegen size); beyond that,
+  use the IVF index path.
+
+* semantic dedup: the pairwise stage is confined within clusters — a
+  self-equi-join on the cluster id, O(Σ n_c²) work instead of O(n²).
+  At warehouse scale k grows with the corpus so cluster sizes stay
+  bounded (the SemDeDup paper runs k≈100k on 5B embeddings); the join
+  shuffles each side once on the cluster key.
+
+Determinism contract (for the DuckDB oracles): vectors are μ-quantized
+to int64 (floor(x·10⁶) — similarity.py's grid); centroid sums are
+exact int64 (order-independent); each centroid coordinate is ONE
+int/int double division; squared-distance folds run left-to-right over
+the dimension index in IEEE doubles (F.aggregate over F.sequence ==
+DuckDB list_reduce — identical grouping, identical bits); argmin
+tie-breaks on the lower cluster id (struct ordering). Every step is
+bit-reproducible in any IEEE-754 engine, so full Lloyd's iterations
+hash-match a DuckDB oracle that unrolls the same iterations in CTEs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .similarity import _dot, _norm2, _quantize
+
+
+def _centroid_literal(coords: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in coords])
+
+
+def _sq_dist(q: F.Column, coords: list[float]) -> F.Column:
+    """Left-to-right fold of (q_i − c_i)² over the dimension index —
+    the order the oracle's list_reduce uses, so doubles agree bitwise."""
+    carr = _centroid_literal(coords)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(coords))),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at(q, i).cast("double") - F.element_at(carr, i))
+        * (F.element_at(q, i).cast("double") - F.element_at(carr, i)),
+    )
+
+
+def _assign_expr(centroids: dict[int, list[float]]) -> F.Column:
+    """Nearest-centroid id as a narrow expression: array_min over
+    struct(dist, cid) — struct ordering compares dist first, then cid,
+    giving the deterministic lowest-id tie-break."""
+    q = F.col("_q")
+    choices = F.array(
+        *[
+            F.struct(_sq_dist(q, coords).alias("d"), F.lit(cid).alias("cid"))
+            for cid, coords in sorted(centroids.items())
+        ]
+    )
+    return F.array_min(choices)["cid"]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact distributed Lloyd's: deterministic seeding (the k rows
+    with the smallest ids), then ``iters`` assignment passes with
+    exact-arithmetic centroid updates between them (the final pass is
+    an assignment, not an update — the returned frame is (id, cluster)
+    for every input row).
+
+    Empty clusters carry their previous centroid forward (mirrored in
+    the oracle's LEFT JOIN + coalesce), so cluster ids are stable
+    across iterations.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from .dedup import _spread
+
+    base = _spread(df).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("_q")
+    )
+
+    # seed: the k lowest-id vectors, coords = their quantized ints as
+    # doubles (cnt=1 — the division is exact)
+    seed_rows = base.orderBy(id_col).limit(k).collect()
+    centroids: dict[int, list[float]] = {
+        cid: [float(v) for v in row["_q"]] for cid, row in enumerate(seed_rows)
+    }
+    dim = len(next(iter(centroids.values())))
+
+    for it in range(1, iters + 1):
+        assigned = base.withColumn("cluster", _assign_expr(centroids))
+        if it == iters:
+            return assigned.select(id_col, "cluster")
+        # exact update: int64 per-dim sums + count, collapsed map-side
+        # to k rows per partition; k rows cross the driver
+        sums = assigned.groupBy("cluster").agg(
+            F.count("*").alias("cnt"),
+            *[
+                F.sum(F.element_at("_q", i)).alias(f"s{i}")
+                for i in range(1, dim + 1)
+            ],
+        )
+        for row in sums.collect():
+            cnt = row["cnt"]
+            centroids[row["cluster"]] = [
+                row[f"s{i}"] / cnt for i in range(1, dim + 1)
+            ]
+    raise AssertionError("unreachable")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings, then within each
+    cluster drop every row that has a higher-priority (lower-id)
+    neighbor at quantized cosine ≥ ``threshold``. Keep-first is the
+    same deterministic policy as exact_dedup/minhash keep-first.
+
+    Returns every input id with its cluster and a ``kept`` flag —
+    callers filter ``kept`` to materialize the surviving corpus, and
+    the flag (rather than a dropped-rows frame) keeps the probe
+    hash-comparable row-for-row.
+
+    Pass ``assignments`` (id, cluster) to reuse an existing clustering
+    (or a different one — e.g. IVF centroids at warehouse k).
+    """
+    if assignments is None:
+        assignments = kmeans_assign(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    vec = df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_q"))
+    side = assignments.join(vec, id_col).select(id_col, "cluster", "_q")
+
+    a = side.alias("a")
+    b = side.alias("b")
+    # exact int64 dot/norms on the quantized grid; ONE double divide +
+    # IEEE sqrts — the same cross-engine-deterministic cosine as
+    # similarity.cosine_scores
+    cos = _dot(F.col("a._q"), F.col("b._q")).cast("double") / (
+        F.sqrt(_norm2(F.col("a._q")).cast("double"))
+        * F.sqrt(_norm2(F.col("b._q")).cast("double"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .where(cos >= F.lit(threshold))
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assignments.join(dropped.withColumn("_dropped", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -436,3 +436,54 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         total.alias("n_pii_total"),
         cur.alias("clean_text"),
     )
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a corpus-trained
+    unigram LM (Wenzek et al. 2020 train KenLM and filter on doc
+    perplexity; the unigram factorization keeps the model a pure
+    aggregation): every document is scored by how typical its tokens
+    are of the corpus.
+
+    Outputs per document:
+
+    * ``n_tokens``, ``sum_token_df`` (Σ corpus count of each token,
+      exact int64), ``min_token_df`` (the rarest token's corpus count)
+      — exact-integer signals, plus ``mean_token_df`` (one int/int
+      double division). Rare-token-heavy docs (OCR noise, codes,
+      mojibake) score low; boilerplate scores high.
+    * ``avg_logprob`` — the unigram LM log-likelihood
+      mean(ln(count_t / total_tokens)), the direct perplexity analog
+      (perplexity = exp(−avg_logprob)). Float-summed, so it is NOT in
+      the hash-exact oracle contract (ln + order-dependent sum);
+      verified against a Python reference in pytest instead.
+
+    Scale shape: ONE O(vocab) shuffle (explode → partial-aggregated
+    token counts), then the count table joins back to the exploded
+    corpus (AQE broadcasts it while it fits — vocabulary grows
+    ~Heaps-law ∝ √corpus, so the build side stays millions of rows at
+    100 TB) and the per-document aggregation's map-side combine
+    collapses to O(docs) rows before the exchange because a document's
+    exploded tokens are partition-local.
+    """
+    from .dedup import _spread
+
+    toks_df = _spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks_df.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    scored = toks_df.join(counts, "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("cnt").alias("sum_token_df"),
+        F.min("cnt").alias("min_token_df"),
+        (F.sum("cnt").cast("double") / F.count("*").cast("double")).alias(
+            "mean_token_df"
+        ),
+        F.avg(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+        ).alias("avg_logprob"),
+    )

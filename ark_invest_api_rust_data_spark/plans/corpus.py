@@ -1,0 +1,176 @@
+"""Corpus-prep probes added in round 3 (SURVEY.md §2 B29–B31
+extensions): sliding-window chunking, unigram-LM quality scoring,
+exact distributed k-means, and SemDeDup semantic deduplication — each
+hash-compared against a DuckDB oracle that recomputes the identical
+deterministic math (exact-integer token/centroid sums, single int/int
+double divisions, left-to-right IEEE folds; see the operator
+docstrings for the contracts).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.chunking import chunk_documents
+from ..operators.clustering import kmeans_assign, semantic_dedup
+from ..operators.text import unigram_lm_score
+from .base import Probe
+
+_W = "string_split_regex(trim(text), '\\s+')"
+
+
+# ------------------------------------------------------------- chunking
+def llm_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — sliding-window chunker (W=32, S=24): every token covered,
+    HF return_overflowing_tokens chunk-count contract, md5 fingerprint
+    per chunk so the hash compare covers the exact chunk text."""
+    chunks = chunk_documents(load_table(spark, sf, "documents"), window=32, stride=24)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+LLM_DOC_CHUNK_SQL = f"""
+WITH d AS (SELECT doc_id, {_W} AS w FROM documents),
+n AS (SELECT doc_id, w, len(w) AS n FROM d),
+m AS (SELECT doc_id, w,
+      1 + CAST(floor((greatest(n - 32, 0) + 23) / 24) AS BIGINT) AS n_chunks FROM n)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(w, 1 + (i-1)*24, (i-1)*24 + 32)) AS BIGINT) AS chunk_tokens,
+  md5(array_to_string(list_slice(w, 1 + (i-1)*24, (i-1)*24 + 32), ' ')) AS chunk_md5
+FROM m, unnest(generate_series(1, n_chunks)) AS t(i)
+"""
+
+
+# ------------------------------------------------------- unigram LM
+def llm_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — unigram-LM document scoring; the probe emits only the
+    hash-exact columns (exact-int document-frequency signals + the
+    single-division mean). avg_logprob (float-summed ln) is verified
+    in tests/test_llm_ops.py against a Python reference."""
+    scored = unigram_lm_score(load_table(spark, sf, "documents"))
+    return scored.select(
+        "doc_id", "n_tokens", "sum_token_df", "min_token_df", "mean_token_df"
+    )
+
+
+LLM_LM_SCORE_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({_W}) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(cnt) AS BIGINT) AS sum_token_df,
+  CAST(min(cnt) AS BIGINT) AS min_token_df,
+  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_token_df
+FROM t JOIN c USING (tok) GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------- k-means
+_K, _DIM, _ITERS = 8, 64, 3
+
+_DIST = (
+    f"list_reduce(list_transform(generate_series(1, {_DIM}), "
+    "i -> (CAST(q[i] AS DOUBLE) - coords[i]) * (CAST(q[i] AS DOUBLE) - coords[i])), "
+    "(a, b) -> a + b)"
+)
+
+
+def _assign_cte(prev_c: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT vec_id, q, cid AS cluster FROM (
+    SELECT e.vec_id, e.q, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {_DIST}, c.cid) AS rn
+    FROM e CROSS JOIN {prev_c} c) WHERE rn = 1)"""
+
+
+def _update_cte(a: str, prev_c: str, out: str) -> str:
+    return f"""{out}_s AS (
+  SELECT cluster AS cid, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS cnt
+  FROM {a}, unnest(generate_series(1, {_DIM})) AS t(i) GROUP BY cluster, i),
+{out}_new AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS coords
+  FROM {out}_s GROUP BY cid),
+{out} AS (
+  SELECT p.cid, coalesce(n.coords, p.coords) AS coords
+  FROM {prev_c} p LEFT JOIN {out}_new n ON p.cid = n.cid)"""
+
+
+def _kmeans_ctes() -> str:
+    """Unrolled Lloyd's (k=8, 3 assignment passes, exact update math)
+    ending in assignment CTE ``a{ITERS}`` — shared by the k-means and
+    semantic-dedup oracles; mirrors operators/clustering.kmeans_assign
+    step for step."""
+    parts = [
+        """e AS (SELECT vec_id, list_transform(embedding,
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM embeddings)""",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+  list_transform(q, x -> CAST(x AS DOUBLE)) AS coords
+  FROM e ORDER BY vec_id LIMIT {_K})""",
+    ]
+    for it in range(1, _ITERS + 1):
+        parts.append(_assign_cte(f"c{it - 1}", f"a{it}"))
+        if it < _ITERS:
+            parts.append(_update_cte(f"a{it}", f"c{it - 1}", f"c{it}"))
+    return "WITH " + ",\n".join(parts)
+
+
+def llm_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — exact distributed Lloyd's k-means (k=8, 3 iterations):
+    deterministic lowest-id seeding, int64 centroid sums, one double
+    division per coordinate, left-to-right distance folds — the full
+    iterative algorithm hash-matches an oracle that unrolls the same
+    iterations in SQL (no rows-only concession needed)."""
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_assign(emb, k=_K, iters=_ITERS).withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+
+
+LLM_KMEANS_SQL = (
+    _kmeans_ctes() + f"\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{_ITERS}"
+)
+
+
+# ------------------------------------------------------ semantic dedup
+def llm_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — SemDeDup: within each k-means cluster, drop every vector
+    with a lower-id neighbor at quantized cosine ≥ 0.45 (the corpus's
+    planted near-dup threshold). Emits every id with cluster + kept
+    flag, so the hash compare pins both the clustering and the
+    keep/drop decisions."""
+    emb = load_table(spark, sf, "embeddings")
+    out = semantic_dedup(emb, k=_K, iters=_ITERS, threshold=0.45)
+    return out.withColumn("cluster", F.col("cluster").cast("int"))
+
+
+_QXA = "CAST(a.q[i] AS DOUBLE)"
+LLM_SEMANTIC_DEDUP_SQL = (
+    _kmeans_ctes()
+    + f""",
+pairs AS (
+  SELECT a.vec_id AS drop_id FROM a{_ITERS} a JOIN a{_ITERS} b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  WHERE CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+          i -> a.q[i] * b.q[i])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+              i -> a.q[i] * a.q[i])) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+              i -> b.q[i] * b.q[i])) AS DOUBLE))) >= 0.45)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+  vec_id NOT IN (SELECT drop_id FROM pairs) AS kept
+FROM a{_ITERS}
+"""
+)
+
+
+PROBES = [
+    Probe("llm_doc_chunk", "B31", llm_doc_chunk, LLM_DOC_CHUNK_SQL),
+    Probe("llm_lm_score", "B31", llm_lm_score, LLM_LM_SCORE_SQL),
+    Probe("llm_kmeans", "B30", llm_kmeans, LLM_KMEANS_SQL),
+    Probe("llm_semantic_dedup", "B29", llm_semantic_dedup, LLM_SEMANTIC_DEDUP_SQL),
+]

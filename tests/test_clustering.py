@@ -1,0 +1,174 @@
+"""Operator-level tests for round-3 corpus-prep additions: sliding-
+window chunking, unigram-LM scoring, exact distributed k-means, and
+SemDeDup semantic dedup (SURVEY §2 B29–B31 extensions). The
+hash-exact halves are covered by the DuckDB oracles; these tests pin
+the SEMANTIC contracts the oracles can't see (coverage/reconstruction,
+float log-prob math, partitioning-invariance, brute-force dedup
+equivalence)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from ark_invest_api_rust_data_spark.catalog import load_table
+from ark_invest_api_rust_data_spark.operators.chunking import chunk_documents
+from ark_invest_api_rust_data_spark.operators.clustering import (
+    kmeans_assign,
+    semantic_dedup,
+)
+from ark_invest_api_rust_data_spark.operators.text import unigram_lm_score
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- chunking
+def test_chunk_covers_every_token_and_reconstructs(spark):
+    """Chunk-count contract: m = 1 + ceil(max(n-W,0)/S); stitching
+    chunk 0 plus the tail W-S.. of each later chunk reproduces the
+    document token stream exactly (no token lost or duplicated)."""
+    W, S = 32, 24
+    docs = load_table(spark, SF, "documents")
+    chunks = chunk_documents(docs, window=W, stride=S).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        toks = texts[doc_id].strip().split()
+        n = len(toks)
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert len(rows) == 1 + (max(n - W, 0) + S - 1) // S
+        rebuilt = rows[0]["chunk_text"].split()
+        for r in rows[1:]:
+            rebuilt += r["chunk_text"].split()[W - S :]
+        assert rebuilt == toks
+        for r in rows:
+            assert r["chunk_tokens"] == len(r["chunk_text"].split())
+            assert r["chunk_tokens"] <= W
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only three tokens")], "doc_id long, text string")
+    rows = chunk_documents(df, window=32, stride=24).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "only three tokens"
+    assert rows[0]["chunk_tokens"] == 3
+
+
+def test_chunk_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=8, stride=9)  # stride > window drops tokens
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=0, stride=1)
+
+
+# ------------------------------------------------------- unigram LM
+def test_unigram_lm_avg_logprob_matches_python(spark):
+    """avg_logprob (the float-summed half the oracle can't hash) vs an
+    independent Python unigram LM over the same corpus."""
+    docs = load_table(spark, SF, "documents")
+    got = {r["doc_id"]: r for r in unigram_lm_score(docs).collect()}
+    texts = {r["doc_id"]: r["text"].strip().split() for r in docs.collect()}
+    counts: dict[str, int] = {}
+    for toks in texts.values():
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    for doc_id, toks in texts.items():
+        want = sum(math.log(counts[t] / total) for t in toks) / len(toks)
+        assert got[doc_id]["avg_logprob"] == pytest.approx(want, rel=1e-12)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["min_token_df"] == min(counts[t] for t in toks)
+    # perplexity sanity: exp(-avg_logprob) ≥ 1 everywhere
+    assert all(math.exp(-r["avg_logprob"]) >= 1.0 for r in got.values())
+
+
+# ---------------------------------------------------------- k-means
+def test_kmeans_partitioning_invariant(spark):
+    """The determinism claim that makes the oracle valid: int64 sums
+    are order-independent, so the assignment must be IDENTICAL under
+    any input partitioning."""
+    emb = load_table(spark, SF, "embeddings")
+    a = {(r["vec_id"], r["cluster"]) for r in kmeans_assign(emb, k=4, iters=2).collect()}
+    b = {
+        (r["vec_id"], r["cluster"])
+        for r in kmeans_assign(emb.repartition(17, "label"), k=4, iters=2).collect()
+    }
+    assert a == b
+    assert {c for _, c in a} == set(range(4))  # all clusters populated
+
+
+def test_kmeans_iterations_reduce_inertia(spark):
+    """Lloyd's must not increase total within-cluster variance when it
+    runs longer (verified on the quantized grid with a Python reference
+    recomputation of inertia from the returned assignments)."""
+    emb = load_table(spark, SF, "embeddings")
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def inertia(assign: dict[int, int]) -> float:
+        groups: dict[int, list] = {}
+        for vid, cid in assign.items():
+            groups.setdefault(cid, []).append(vecs[vid])
+        tot = 0.0
+        for members in groups.values():
+            dim = len(members[0])
+            cent = [sum(m[i] for m in members) / len(members) for i in range(dim)]
+            tot += sum(sum((m[i] - cent[i]) ** 2 for i in range(dim)) for m in members)
+        return tot
+
+    a1 = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=4, iters=1).collect()}
+    a3 = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=4, iters=3).collect()}
+    assert inertia(a3) <= inertia(a1)
+
+
+def test_kmeans_rejects_bad_iters(spark):
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, k=4, iters=0)
+
+
+# ------------------------------------------------------ semantic dedup
+def test_semantic_dedup_matches_bruteforce(spark):
+    """keep/drop decisions == a Python brute force over the SAME
+    clustering: drop x iff some same-cluster y<x has cosine ≥ τ."""
+    emb = load_table(spark, SF, "embeddings")
+    out = semantic_dedup(emb, k=8, iters=3, threshold=0.45).collect()
+    assign = {r["vec_id"]: r["cluster"] for r in out}
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(float(sum(x * x for x in a)))
+        nb = math.sqrt(float(sum(y * y for y in b)))
+        return float(d) / (na * nb)
+
+    for x in vecs:
+        want_drop = any(
+            assign[y] == assign[x] and cos(vecs[x], vecs[y]) >= 0.45
+            for y in vecs
+            if y < x
+        )
+        assert kept[x] == (not want_drop), f"vec {x}"
+    assert not all(kept.values())  # planted near-dups actually dropped
+
+
+def test_semantic_dedup_external_assignments(spark):
+    """assignments= reuses a caller clustering (here: the label column
+    itself) instead of re-running k-means; τ→1.01 keeps everything."""
+    emb = load_table(spark, SF, "embeddings")
+    ext = emb.select("vec_id", F.col("label").alias("cluster"))
+    out = semantic_dedup(emb, threshold=1.01, assignments=ext).collect()
+    assert all(r["kept"] for r in out)
+    assert {r["cluster"] for r in out} == {r["label"] for r in emb.collect()}
