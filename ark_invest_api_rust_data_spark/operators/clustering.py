@@ -42,35 +42,40 @@ from pyspark.sql import DataFrame
 from .similarity import _dot, _norm2, _quantize
 
 
-def _centroid_literal(coords: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(v)) for v in coords])
+def _assign_expr(centroids: dict[int, list[float]], dim: int) -> F.Column:
+    """Nearest-centroid id as a narrow expression. The centroids enter
+    as ONE flattened literal array (coords of cid c at c·dim+1 ..
+    (c+1)·dim) and both loops — over centroids and over dimensions —
+    run in EXPRESSION space (transform / aggregate over sequences), so
+    the expression tree is O(k·dim) simple literal leaves plus a
+    fixed-size fold: cheap to analyze and codegen at any k, instead of
+    an unrolled ~k·dim-node tree recompiled per iteration.
 
-
-def _sq_dist(q: F.Column, coords: list[float]) -> F.Column:
-    """Left-to-right fold of (q_i − c_i)² over the dimension index —
-    the order the oracle's list_reduce uses, so doubles agree bitwise."""
-    carr = _centroid_literal(coords)
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(len(coords))),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + (F.element_at(q, i).cast("double") - F.element_at(carr, i))
-        * (F.element_at(q, i).cast("double") - F.element_at(carr, i)),
-    )
-
-
-def _assign_expr(centroids: dict[int, list[float]]) -> F.Column:
-    """Nearest-centroid id as a narrow expression: array_min over
-    struct(dist, cid) — struct ordering compares dist first, then cid,
-    giving the deterministic lowest-id tie-break."""
-    q = F.col("_q")
-    choices = F.array(
+    The distance fold is left-to-right over the dimension index (the
+    order the oracle's list_reduce uses — doubles agree bitwise);
+    argmin = array_position of the array_min, whose first-occurrence
+    semantics give the deterministic lowest-cid tie-break."""
+    k = len(centroids)
+    flat = F.array(
         *[
-            F.struct(_sq_dist(q, coords).alias("d"), F.lit(cid).alias("cid"))
-            for cid, coords in sorted(centroids.items())
+            F.lit(float(v))
+            for cid in range(k)
+            for v in centroids[cid]
         ]
     )
-    return F.array_min(choices)["cid"]
+    q = F.col("_q")
+
+    def dist(c: F.Column) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(q, i).cast("double") - F.element_at(flat, c * F.lit(dim) + i))
+            * (F.element_at(q, i).cast("double") - F.element_at(flat, c * F.lit(dim) + i)),
+        )
+
+    dists = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist)
+    return (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
 
 
 def kmeans_assign(
@@ -105,9 +110,10 @@ def kmeans_assign(
         cid: [float(v) for v in row["_q"]] for cid, row in enumerate(seed_rows)
     }
     dim = len(next(iter(centroids.values())))
+    k = len(centroids)  # degenerate tiny inputs: fewer rows than k
 
     for it in range(1, iters + 1):
-        assigned = base.withColumn("cluster", _assign_expr(centroids))
+        assigned = base.withColumn("cluster", _assign_expr(centroids, dim))
         if it == iters:
             return assigned.select(id_col, "cluster")
         # exact update: int64 per-dim sums + count, collapsed map-side

@@ -10,10 +10,13 @@ uncompressed, bottom-up or top-down) and PPM (P6 binary / P3 ascii) —
 ``decode_image`` returns the row-major top-down RGB byte stream, and
 ``pixel_features`` derives the feature vector from actual pixels. PIL
 is used for any other format when importable (it is not in this
-container). Only payloads NO codec recognizes fall through: strict
-mode (the default) raises NotImplementedError; non-strict substitutes
-a clearly-labeled deterministic fake (for plumbing tests over
-non-media payloads).
+container). AUDIO decode is real for PCM16 WAV — ``decode_wav`` walks
+the RIFF chunk list and recovers the interleaved int16 samples, and
+``audio_features`` derives RMS/peak/zero-crossing-rate from actual
+samples. Only payloads NO codec recognizes fall through: strict mode
+(the default) raises NotImplementedError; non-strict substitutes a
+clearly-labeled deterministic fake (for plumbing tests over non-media
+payloads; video stays on this contract — no ffmpeg in container).
 
 Pattern: ``mapInPandas`` over Arrow batches so each Python worker sees
 a pandas iterator — the right shape for feeding a real decoder (PIL,
@@ -374,6 +377,102 @@ def decode_image(b: bytes) -> tuple[int, int, bytes] | None:
         return None
 
 
+# ------------------------------------------------------- real audio codec
+#
+# WAV (RIFF, PCM16LE) in pure Python — like BMP/PPM for images, the
+# audio container fully decodable from the spec with `int.from_bytes`.
+# Decode contract: interleaved int16 samples exactly as stored; frame
+# count = samples / channels.
+
+
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE PCM16LE writer. ``samples`` are interleaved
+    int16 values (len must divide by channels). Used by tests and the
+    audio probe to build REAL files whose decode provably inverts."""
+    if channels < 1 or len(samples) % channels:
+        raise ValueError(f"{len(samples)} samples not divisible by {channels} channels")
+    data = b"".join(int(s).to_bytes(2, "little", signed=True) for s in samples)
+    block = channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")  # byte rate
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")  # bits per sample
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(b: bytes) -> tuple[int, int, list[int]] | None:
+    """RIFF/WAVE PCM16 → (sample_rate, channels, interleaved int16
+    samples), walking the chunk list (fmt may be preceded by LIST/JUNK
+    chunks; chunks pad to even offsets). None for anything that is not
+    an uncompressed 16-bit PCM WAV."""
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    rate = channels = None
+    data = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        sz = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + sz]
+        if cid == b"fmt " and sz >= 16:
+            codec = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if codec != 1 or bits != 16:
+                return None
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks pad to even boundaries
+    if rate is None or channels is None or channels < 1 or data is None:
+        return None
+    if len(data) % (2 * channels):
+        return None
+    samples = [
+        int.from_bytes(data[j : j + 2], "little", signed=True)
+        for j in range(0, len(data), 2)
+    ]
+    return (rate, channels, samples)
+
+
+def parse_audio_meta(b: bytes) -> tuple[int, int, int] | None:
+    """Header-only audio metadata: (sample_rate, channels, n_frames)
+    for PCM16 WAV payloads, None otherwise."""
+    decoded = decode_wav(b)
+    if decoded is None:
+        return None
+    rate, channels, samples = decoded
+    return (rate, channels, len(samples) // channels)
+
+
+def audio_features(sample_rate: int, channels: int, samples: list[int]) -> list[float]:
+    """FEATURE_DIM vector from REAL samples: duration, rate, RMS, peak,
+    zero-crossing rate (sign flips / frames — order-sensitive, catches
+    an endianness- or sign-confused decoder), DC mean, channels,
+    frames."""
+    n = len(samples)
+    n_frames = n // channels
+    flips = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    return [
+        n_frames / sample_rate,  # duration sec
+        float(sample_rate),
+        (sum(s * s for s in samples) / n) ** 0.5,  # RMS
+        float(max(abs(s) for s in samples)),
+        flips / n,
+        sum(samples) / n,  # DC offset
+        float(channels),
+        float(n_frames),
+    ]
+
+
 def pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
     """FEATURE_DIM vector from REAL pixels: per-channel means, luma
     mean/range, top-row mean (row-order sensitive — catches a decoder
@@ -412,17 +511,25 @@ def _fake_features(b: bytes) -> list[float]:
 
 
 def decode_features(batch_rows, kind: str, strict: bool):
-    """Feature vectors per payload: REAL pixel decode (BMP/PPM native,
-    PIL if importable) whenever the payload is a decodable image;
-    otherwise strict mode raises and non-strict substitutes the
-    deterministic fake. Audio/video kinds have no in-container codec:
-    same strict/fake contract (torchaudio/ffmpeg drop into this
-    signature)."""
+    """Feature vectors per payload: REAL decode whenever a codec
+    recognizes the payload — images via BMP/PPM native (PIL if
+    importable), audio via the pure-Python PCM16 WAV codec; otherwise
+    strict mode raises and non-strict substitutes the deterministic
+    fake. Video has no in-container codec: same strict/fake contract
+    (ffmpeg drops into this signature)."""
     out = []
     for payload in batch_rows:
-        decoded = decode_image(payload) if kind == "image" else None
-        if decoded is not None:
-            out.append(pixel_features(*decoded))
+        feats = None
+        if kind == "image":
+            decoded = decode_image(payload)
+            if decoded is not None:
+                feats = pixel_features(*decoded)
+        elif kind == "audio":
+            decoded = decode_wav(payload)
+            if decoded is not None:
+                feats = audio_features(*decoded)
+        if feats is not None:
+            out.append(feats)
         elif strict:
             raise NotImplementedError(
                 f"no codec decodes this {kind} payload in this environment"

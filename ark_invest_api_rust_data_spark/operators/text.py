@@ -473,7 +473,15 @@ def unigram_lm_score(
     toks_df = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    counts = toks_df.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # materialize the vocab-bounded count table ONCE (eager checkpoint
+    # cuts lineage): without it, the total-tokens branch and the score
+    # join would each re-scan and re-explode the whole corpus — three
+    # corpus passes instead of the two a count-then-score LM needs
+    counts = (
+        toks_df.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("cnt").alias("total"))
     scored = toks_df.join(counts, "tok").crossJoin(F.broadcast(total))
     return scored.groupBy(id_col).agg(

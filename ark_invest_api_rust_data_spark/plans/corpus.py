@@ -168,9 +168,93 @@ FROM a{_ITERS}
 )
 
 
+# ------------------------------------------------------ real audio tier
+def llm_multimodal_audio(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 real-codec tier (audio) — end-to-end PCM16 WAV decode, no
+    stub anywhere: each document's first 32 chars become int16 samples
+    ((ascii·997 mod 256 − 128)·256 — sign-mixing so zero crossings are
+    non-trivial), written as a REAL RIFF/WAVE file
+    (operators/multimodal.py:encode_wav), decoded back by the
+    pure-Python chunk walker (decode_wav), and the probe emits exact
+    integer sample statistics. The oracle computes the SAME stats
+    straight from the characters — an endianness- or sign-confused
+    decoder hash-mismatches on every column.
+
+    Scale shape: 2-col pruned scan → narrow mapInPandas — no shuffle."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_wav, encode_wav
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 32)
+        .select("doc_id", F.substring("text", 1, 32).alias("t32"))
+    )
+    schema = (
+        "doc_id long, sample_rate int, n_frames int, "
+        "sum_abs long, peak long, sum_sq long, zero_cross long"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t32"]):
+                samples = [(ord(c) * 997 % 256 - 128) * 256 for c in t]
+                decoded = decode_wav(encode_wav(8000, 1, samples))
+                if decoded is None:  # impossible for a spec WAV
+                    raise ValueError(f"WAV decode failed for doc {doc_id}")
+                rate, channels, s = decoded
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        len(s) // channels,
+                        sum(abs(x) for x in s),
+                        max(abs(x) for x in s),
+                        sum(x * x for x in s),
+                        sum(
+                            1
+                            for i in range(1, len(s))
+                            if (s[i - 1] < 0) != (s[i] < 0)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_frames",
+                    "sum_abs", "peak", "sum_sq", "zero_cross",
+                ],
+            )
+
+    return docs.mapInPandas(fn, schema)
+
+
+_SAMPLE = "(ascii(substring(t32, k, 1)) * 997 % 256 - 128) * 256"
+LLM_MULTIMODAL_AUDIO_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substring(text, 1, 32) AS t32
+  FROM documents WHERE length(text) >= 32),
+s AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, 32), k -> {_SAMPLE}) AS smp
+  FROM t)
+SELECT doc_id,
+  CAST(8000 AS INTEGER) AS sample_rate, CAST(32 AS INTEGER) AS n_frames,
+  CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+  CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq,
+  CAST(list_sum(list_transform(generate_series(2, 32),
+    k -> CASE WHEN (smp[k-1] < 0) != (smp[k] < 0) THEN 1 ELSE 0 END))
+    AS BIGINT) AS zero_cross
+FROM s
+"""
+
+
 PROBES = [
     Probe("llm_doc_chunk", "B31", llm_doc_chunk, LLM_DOC_CHUNK_SQL),
     Probe("llm_lm_score", "B31", llm_lm_score, LLM_LM_SCORE_SQL),
     Probe("llm_kmeans", "B30", llm_kmeans, LLM_KMEANS_SQL),
     Probe("llm_semantic_dedup", "B29", llm_semantic_dedup, LLM_SEMANTIC_DEDUP_SQL),
+    Probe("llm_multimodal_audio", "B32", llm_multimodal_audio, LLM_MULTIMODAL_AUDIO_SQL),
 ]

@@ -63,6 +63,10 @@ HEADLINE = [
     "llm_quality_filter",
     "llm_pii_scrub",
     "llm_decontaminate",
+    # round-3 session-2 additions (n_queries tracks the growing set)
+    "llm_doc_chunk",
+    "llm_lm_score",
+    "llm_kmeans",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

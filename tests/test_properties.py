@@ -178,6 +178,47 @@ def test_pixel_codecs_roundtrip_property(w, h, data):
         assert parse_image_dims(blob) == (w, h)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_wav_codec_roundtrip_property(rate, channels, data):
+    """The PCM16 WAV codec inverts on ANY sample stream, rate, and
+    channel count; header-only metadata agrees. Pure Python."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        parse_audio_meta,
+    )
+
+    n_frames = data.draw(st.integers(min_value=1, max_value=16))
+    samples = data.draw(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=n_frames * channels,
+            max_size=n_frames * channels,
+        )
+    )
+    blob = encode_wav(rate, channels, samples)
+    assert decode_wav(blob) == (rate, channels, samples)
+    assert parse_audio_meta(blob) == (rate, channels, n_frames)
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.binary(max_size=64))
+def test_wav_codec_rejects_junk_property(junk):
+    """Arbitrary bytes never crash decode_wav; anything it does accept
+    must satisfy the PCM16 shape invariants."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import decode_wav
+
+    out = decode_wav(junk)
+    if out is not None:
+        rate, channels, samples = out
+        assert rate >= 0 and channels >= 1 and len(samples) % channels == 0
+
+
 @settings(max_examples=40, deadline=None)
 @given(junk=st.binary(max_size=64))
 def test_pixel_codecs_reject_junk_property(junk):

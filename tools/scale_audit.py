@@ -33,8 +33,13 @@ from ark_invest_api_rust_data_spark.session import get_spark  # noqa: E402
 
 SFS = ["0.001", "0.01", "0.1"]
 SF_DIRS = {"1": "/tmp/testdata/sf1"}  # beyond driver testdata (make_sf.py)
-# quadratic-by-design probes (labeled oracle/verifier tiers): skip at sf>=1
-QUADRATIC = {"llm_ngram_jaccard", "llm_knn_join"}
+# quadratic-by-design probes (labeled oracle/verifier tiers): skip at
+# sf>=1. llm_semantic_dedup's pairwise stage is O(n_cluster^2) at the
+# probe's FIXED k=8 (the oracle needs unrolled CTEs); production scales
+# k with the corpus so cluster sizes stay bounded (SemDeDup runs
+# k~100k), which keeps the real deployment linear-ish — audited to
+# sf0.1 where fixed-k is still representative.
+QUADRATIC = {"llm_ngram_jaccard", "llm_knn_join", "llm_semantic_dedup"}
 EXTRA = [
     "llm_ngram_jaccard",
     "llm_repetition",
@@ -44,6 +49,7 @@ EXTRA = [
     "llm_knn_join",
     "llm_corpus_pipeline",
     "llm_similarity_ann",
+    "llm_semantic_dedup",
 ]
 
 
