@@ -645,3 +645,78 @@ def test_corpus_prep_narrow_ops_stream(spark, tmp_path):
     assert _rows(spark.table("t_corpus_prep")) == _rows(
         prep(spark.read.parquet(str(src)))
     )
+
+
+def test_stream_static_lm_scoring_equals_batch(spark, tmp_path):
+    """B23×B31 — stream-static join scoring: documents streamed in two
+    micro-batches against a STATIC corpus-trained vocab. (a) The direct
+    stream-static inner join (stateless, no watermark) emits exactly
+    the batch explode-join rows; (b) the foreachBatch scoring loop
+    produces exactly score_batch's per-doc rows, with OOV tokens
+    exercised (a streamed-only token the corpus never saw)."""
+    import os
+
+    from ark_invest_api_rust_data_spark.streaming.scoring import (
+        enrich_stream,
+        score_batch,
+        start_scored_stream,
+        train_vocab,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    streamed = docs.filter(F.col("doc_id") % 10 >= 8).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzqunseen"))  # force OOV
+    )
+    vocab = train_vocab(corpus)
+
+    # two id-ordered micro-batches on disk
+    rows = sorted(streamed.collect(), key=lambda r: r["doc_id"])
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        p = str(src / f"part{i}.parquet")
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet")
+    )
+
+    # (a) direct stream-static join — stateless append
+    got = run_append_to_completion(
+        enrich_stream(stream_in, vocab), "lm_enrich"
+    ).collect()
+    want = enrich_stream(streamed, vocab).collect()  # same fn, batch frame
+    as_set = lambda rs: {(r["doc_id"], r["tok"], r["cnt"], r["total"]) for r in rs}
+    assert as_set(got) == as_set(want)
+    assert len(got) == len(want)  # multiset equality (dup tokens per doc)
+
+    # (b) foreachBatch per-doc exact scores, idempotent layout
+    out_root = str(tmp_path / "scored")
+    q = start_scored_stream(
+        spark, stream_in, vocab, out_root, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got_scores = {
+        r["doc_id"]: r for r in spark.read.parquet(f"{out_root}/scores").collect()
+    }
+    want_scores = {r["doc_id"]: r for r in score_batch(streamed, vocab).collect()}
+    assert set(got_scores) == set(want_scores)
+    for doc_id, w in want_scores.items():
+        g = got_scores[doc_id]
+        assert (
+            g["n_tokens"], g["n_oov"], g["sum_token_df"],
+            g["min_token_df"], g["mean_token_df"],
+        ) == (
+            w["n_tokens"], w["n_oov"], w["sum_token_df"],
+            w["min_token_df"], w["mean_token_df"],
+        )
+    assert all(r["n_oov"] >= 1 for r in want_scores.values())  # OOV real
+    assert all(r["min_token_df"] == 0 for r in want_scores.values())
