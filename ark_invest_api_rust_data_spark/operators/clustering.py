@@ -99,38 +99,50 @@ def kmeans_assign(
         raise ValueError(f"iters must be >= 1, got {iters}")
     from .dedup import _spread
 
-    base = _spread(df).select(
-        F.col(id_col), _quantize(F.col(vec_col)).alias("_q")
+    # cache the quantized working set across the iteration scans (the
+    # standard Lloyd's practice — every assignment/update pass reads
+    # it; without the cache each of the 2·iters−1 passes re-scans and
+    # re-quantizes the corpus); released before returning
+    base = (
+        _spread(df)
+        .select(F.col(id_col), _quantize(F.col(vec_col)).alias("_q"))
+        .persist()
     )
+    try:
+        # seed: the k lowest-id vectors, coords = their quantized ints
+        # as doubles (cnt=1 — the division is exact)
+        seed_rows = base.orderBy(id_col).limit(k).collect()
+        centroids: dict[int, list[float]] = {
+            cid: [float(v) for v in row["_q"]] for cid, row in enumerate(seed_rows)
+        }
+        dim = len(next(iter(centroids.values())))
+        k = len(centroids)  # degenerate tiny inputs: fewer rows than k
 
-    # seed: the k lowest-id vectors, coords = their quantized ints as
-    # doubles (cnt=1 — the division is exact)
-    seed_rows = base.orderBy(id_col).limit(k).collect()
-    centroids: dict[int, list[float]] = {
-        cid: [float(v) for v in row["_q"]] for cid, row in enumerate(seed_rows)
-    }
-    dim = len(next(iter(centroids.values())))
-    k = len(centroids)  # degenerate tiny inputs: fewer rows than k
-
-    for it in range(1, iters + 1):
-        assigned = base.withColumn("cluster", _assign_expr(centroids, dim))
-        if it == iters:
-            return assigned.select(id_col, "cluster")
-        # exact update: int64 per-dim sums + count, collapsed map-side
-        # to k rows per partition; k rows cross the driver
-        sums = assigned.groupBy("cluster").agg(
-            F.count("*").alias("cnt"),
-            *[
-                F.sum(F.element_at("_q", i)).alias(f"s{i}")
-                for i in range(1, dim + 1)
-            ],
-        )
-        for row in sums.collect():
-            cnt = row["cnt"]
-            centroids[row["cluster"]] = [
-                row[f"s{i}"] / cnt for i in range(1, dim + 1)
-            ]
-    raise AssertionError("unreachable")
+        for it in range(1, iters + 1):
+            assigned = base.withColumn("cluster", _assign_expr(centroids, dim))
+            if it == iters:
+                # materialize the (id, cluster) result — two longs per
+                # row — so the working-set cache can be released now
+                return assigned.select(id_col, "cluster").localCheckpoint(
+                    eager=True
+                )
+            # exact update: int64 per-dim sums + count, collapsed
+            # map-side to k rows per partition; k rows cross the driver
+            sums = assigned.groupBy("cluster").agg(
+                F.count("*").alias("cnt"),
+                *[
+                    F.sum(F.element_at("_q", i)).alias(f"s{i}")
+                    for i in range(1, dim + 1)
+                ],
+            )
+            for row in sums.collect():
+                cnt = row["cnt"]
+                centroids[row["cluster"]] = [
+                    row[f"s{i}"] / cnt for i in range(1, dim + 1)
+                ]
+        raise AssertionError("unreachable")
+    finally:
+        base.unpersist()
 
 
 def semantic_dedup(
