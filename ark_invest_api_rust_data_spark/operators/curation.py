@@ -1,0 +1,296 @@
+"""Corpus-curation operators (SURVEY.md §2 B29/B31 extensions): exact
+cross-document substring deduplication, model-based quality scoring via
+a hashing-trick linear classifier, per-domain document caps, and
+deterministic shard assignment for training export.
+
+These are the remaining stages of a production pretraining-data
+pipeline (Lee et al. 2022 "Deduplicating Training Data Makes Language
+Models Better" for substring dedup; CCNet / fastText-style linear
+classifiers for quality scoring; per-domain caps and shard export are
+the standard Common-Crawl curation steps) re-expressed as Spark
+DataFrame plans with exact-arithmetic semantics so every operator
+hash-matches a DuckDB oracle.
+
+Scale shapes (the 100 TB argument):
+
+* substring dedup: ONE shuffle groups k-gram occurrences (map-side
+  partial min/max collapses each partition to one row per gram before
+  the exchange), ONE shuffle joins the duplicated-gram set back to the
+  occurrence stream, ONE small shuffle regroups only the *duplicated*
+  positions per document (bounded by tokens-per-doc, the same per-doc
+  bound every doc-local fold already has). No all-pairs stage anywhere
+  — cost is linear in corpus tokens, like the banded MinHash plan.
+  `hashed=True` swaps the gram string for xxhash64(gram) as the
+  group/join key (8-byte keys instead of ~k·word bytes; 64-bit
+  collisions are the same accepted risk as Lee et al.'s suffix-array
+  fingerprints). The probe path keeps exact strings.
+
+* classifier scoring: zero shuffle — the token hash, bucket weight and
+  document sum are one narrow fold per row (the oracle unnests tokens
+  and regroups, which is the same math in shuffle form).
+
+* domain cap / shard assignment: one hash-partitioned window each
+  (row_number over the domain / shard key); the per-key ordering hash
+  is content-derived, so reruns and retries are deterministic — no RNG
+  state, the same contract as sampling.split_sample.
+
+Determinism contract: all hashes are integer folds (token_hash32's
+31-fold, Knuth multiplicative mixing) or md5 hex strings — identical
+in any engine; the only floating-point op per row is ONE int/int
+double division (safe per the oracle contract in plans/base.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from .dedup import _spread
+from .text import token_hash32, tokens
+
+# Knuth multiplicative constants — public-domain mixing, no RNG object.
+_KNUTH = 2654435761
+_LCG_A, _LCG_C = 1103515245, 12345
+
+
+# ------------------------------------------------------------------
+# exact cross-document substring dedup (Lee et al. 2022)
+# ------------------------------------------------------------------
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+    max_frac: float = 0.5,
+) -> DataFrame:
+    """Per-document duplicated-substring accounting: a token position
+    is *duplicated* when the k-token gram starting there also occurs in
+    some OTHER document. Returns every input id with
+
+    - ``n_tokens``   document length in tokens
+    - ``dup_grams``  number of duplicated k-gram start positions
+    - ``covered_tokens``  tokens under the union of the duplicated
+      [pos, pos+k) spans (the quantity Lee et al. cut at 50%)
+    - ``dup_frac``   covered_tokens / n_tokens
+    - ``kept``       covered_tokens < max_frac · n_tokens (integer
+      compare — hash-exact)
+
+    Cross-doc occurrence is detected with min(doc) != max(doc) per
+    gram — no countDistinct, so the gram aggregation keeps full
+    map-side partial collapse. The union-of-spans length folds over
+    the SORTED duplicated positions: intervals share length k, so each
+    position adds min(k, gap-to-predecessor) — pure integer math,
+    mirrored by the oracle's list_transform over consecutive pairs.
+    """
+    if not 0.0 < max_frac <= 1.0:
+        raise ValueError(f"max_frac must be in (0, 1], got {max_frac}")
+    base = (
+        _spread(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_w"))
+        .withColumn("_n", F.size("_w"))
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.col("_n") >= k,
+                F.expr(
+                    f"transform(sequence(1, _n - {k - 1}), "
+                    f"i -> array_join(slice(_w, i, {k}), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    if hashed:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("gram")
+    )
+    # per-doc sorted duplicated positions -> covered span length
+    per_doc = (
+        grams.join(dup_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_ps"))
+        .select(
+            F.col(id_col),
+            F.size("_ps").alias("dup_grams"),
+            F.when(
+                F.size("_ps") >= 2,
+                F.expr(
+                    f"aggregate(sequence(2, size(_ps)), cast({k} as bigint), "
+                    f"(acc, j) -> acc + least(cast({k} as bigint), "
+                    f"cast(element_at(_ps, j) - element_at(_ps, j - 1) as bigint)))"
+                ),
+            )
+            .otherwise(F.lit(k).cast("long"))
+            .alias("covered_tokens"),
+        )
+    )
+    thr_num, thr_den = _frac_ratio(max_frac)
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias("dup_grams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("covered_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn(
+            "kept",
+            F.col("covered_tokens") * F.lit(thr_den) < F.col("n_tokens") * F.lit(thr_num),
+        )
+    )
+
+
+def _frac_ratio(frac: float) -> tuple[int, int]:
+    """Exact small-ratio form of a threshold fraction so the keep
+    decision is an integer compare (covered·den < n·num) on both
+    engines — no float threshold in the hashed columns."""
+    den = 1 << 20
+    return round(frac * den), den
+
+
+# ------------------------------------------------------------------
+# hashing-trick linear classifier (fastText-style quality scoring)
+# ------------------------------------------------------------------
+def classifier_score(
+    df: DataFrame,
+    buckets: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring with a hashed linear classifier:
+    each token maps to a weight bucket via token_hash32, the document
+    score is the exact int64 sum of bucket weights, and ``kept`` is
+    score >= 0 — the standard fastText/CCNet filtering shape with the
+    model weights replaced by a deterministic public mixing function
+    (production swaps in trained weights as a broadcast array; the
+    plan shape — ONE narrow fold per document, zero shuffle — is
+    unchanged).
+
+    Weight function: w(tok) = ((h·1103515245 + 12345) mod buckets) −
+    buckets/2, h = token_hash32(tok) — integers end to end, so the
+    score hash-matches the oracle exactly.
+    """
+    if buckets < 2 or buckets % 2:
+        raise ValueError(f"buckets must be even and >= 2, got {buckets}")
+    half = buckets // 2
+
+    def weight(tok: Column) -> Column:
+        h = token_hash32(tok)
+        return (h * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(buckets) - F.lit(half)
+
+    toks = tokens(F.col(text_col))
+    out = _spread(df).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, weight),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        ).alias("score_int"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "score_int",
+        (F.col("score_int").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "mean_weight"
+        ),
+        (F.col("score_int") >= 0).alias("kept"),
+    )
+
+
+# ------------------------------------------------------------------
+# per-domain cap (Common-Crawl-style domain balancing)
+# ------------------------------------------------------------------
+def domain_cap(
+    df: DataFrame,
+    cap: int = 10,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, chosen by a
+    content-free deterministic order (md5 of the id — uniform,
+    engine-portable, no RNG state): the row_number window is one
+    hash-partitioned shuffle on the domain key, the same shape at any
+    scale. Returns every id with its rank and kept flag so the probe
+    pins the full decision, not just the survivors.
+
+    Skewed domains (one giant host) concentrate a partition; at
+    warehouse scale pre-aggregate with the skew.salted_join pattern or
+    cap per (domain, md5-prefix) shard first — the window itself is
+    already the minimal one-shuffle plan.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).withColumn("kept", F.col("rk") <= cap)
+
+
+# ------------------------------------------------------------------
+# deterministic shard assignment (training export)
+# ------------------------------------------------------------------
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global deterministic shuffle for training export: shard =
+    Knuth-mixed id mod n_shards (uniform, reproducible, join-free),
+    position within shard = row_number over a SECOND independent mix —
+    the reader streams shards in a content-derived pseudo-random
+    order, the property a training run needs from its data loader.
+
+    One window shuffle on the shard key. ids must fit 32 bits for the
+    exact-overflow-free mix (the testdata contract); wider ids would
+    mix on xxhash64 instead and drop the SQL oracle to rows-only.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = (F.col(id_col) * F.lit(_KNUTH)) % F.lit(1 << 32) % F.lit(n_shards)
+    mix = (F.col(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(1 << 31)
+    w = Window.partitionBy("shard").orderBy("_mix", id_col)
+    return (
+        df.select(F.col(id_col), shard.cast("long").alias("shard"), mix.alias("_mix"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_mix")
+    )
+
+
+def shard_export(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the shard assignment as a hive-partitioned parquet
+    lake (shard=N directories, rows in shard-position order inside
+    each file): repartition ON the shard column so each shard is one
+    task's output, sortWithinPartitions on position so downstream
+    sequential readers see the deterministic order without re-sorting.
+    """
+    out = shard_assign(df, n_shards=n_shards, id_col=id_col).join(df, id_col)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

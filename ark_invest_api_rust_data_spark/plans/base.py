@@ -29,10 +29,30 @@ class Probe:
 
 def all_probes() -> dict[str, Probe]:
     """Full registry, keyed by probe name (stable across rounds)."""
-    from . import corpus, formats, lake, llm, parity, relational, tpch_extra, udf_tier
+    from . import (
+        corpus,
+        curation,
+        formats,
+        lake,
+        llm,
+        parity,
+        relational,
+        tpch_extra,
+        udf_tier,
+    )
 
     out: dict[str, Probe] = {}
-    for mod in (relational, tpch_extra, parity, llm, udf_tier, lake, formats, corpus):
+    for mod in (
+        relational,
+        tpch_extra,
+        parity,
+        llm,
+        udf_tier,
+        lake,
+        formats,
+        corpus,
+        curation,
+    ):
         for p in mod.PROBES:
             if p.name in out:
                 raise ValueError(f"duplicate probe name: {p.name}")

@@ -1,0 +1,127 @@
+"""Curation-operator probes (SURVEY.md §2 B29/B31 extensions): exact
+cross-document substring dedup (Lee et al. 2022), hashed linear
+classifier quality scoring, per-domain caps, and deterministic shard
+assignment — each hash-compared against a DuckDB oracle recomputing
+the identical integer math (see operators/curation.py for the
+determinism contracts and 100 TB shuffle shapes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.curation import (
+    classifier_score,
+    domain_cap,
+    duplicated_spans,
+    shard_assign,
+)
+from .base import Probe
+from .llm import _sql_hash
+
+_W = "string_split_regex(trim(text), '\\s+')"
+
+
+# ------------------------------------------------- substring dedup
+def llm_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — exact cross-doc substring dedup (k=8 token grams): gram
+    occurrence min/max detects cross-doc repeats without countDistinct,
+    the union of duplicated [pos, pos+k) spans folds over sorted
+    positions (equal-length intervals: each adds min(k, gap)), and the
+    keep decision is the Lee-et-al 50% coverage cut as an integer
+    compare."""
+    return duplicated_spans(load_table(spark, sf, "documents"), k=8, max_frac=0.5)
+
+
+LLM_SUBSTRING_DEDUP_SQL = f"""
+WITH n AS (SELECT doc_id, {_W} AS w, len({_W}) AS n FROM documents),
+g AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+      FROM n, unnest(generate_series(1, n - 7)) AS t(i) WHERE n >= 8),
+dup AS (SELECT gram FROM (
+        SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx FROM g GROUP BY gram)
+        WHERE mn != mx),
+p AS (SELECT doc_id, list(pos ORDER BY pos) AS ps, count(*) AS m
+      FROM g JOIN dup USING (gram) GROUP BY doc_id),
+cov AS (SELECT doc_id, m,
+        CASE WHEN m >= 2 THEN 8 + list_sum(list_transform(
+               generate_series(2, m), j -> least(8, ps[j] - ps[j - 1])))
+             ELSE 8 END AS covered
+        FROM p)
+SELECT n.doc_id,
+  CAST(n.n AS BIGINT) AS n_tokens,
+  CAST(coalesce(cov.m, 0) AS BIGINT) AS dup_grams,
+  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+  CAST(coalesce(cov.covered, 0) AS DOUBLE) / CAST(n.n AS DOUBLE) AS dup_frac,
+  coalesce(cov.covered, 0) * 1048576 < n.n * 524288 AS kept
+FROM n LEFT JOIN cov USING (doc_id)
+"""
+
+
+# ------------------------------------------------- classifier score
+def llm_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — hashing-trick linear classifier (fastText-shape quality
+    model, deterministic public weights): per-token bucket weights sum
+    to an exact int64 document score; zero-shuffle narrow fold vs the
+    oracle's unnest-and-regroup — same math, different physical shape."""
+    return classifier_score(load_table(spark, sf, "documents"), buckets=2048)
+
+
+_WT = f"(coalesce({_sql_hash('tok')}, 0) * 1103515245 + 12345) % 2048 - 1024"
+LLM_CLASSIFIER_SCORE_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({_W}) AS tok FROM documents),
+w AS (SELECT doc_id, {_WT} AS wt FROM t)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(wt) AS BIGINT) AS score_int,
+  CAST(sum(wt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_weight,
+  CAST(sum(wt) AS BIGINT) >= 0 AS kept
+FROM w GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------- per-domain cap
+def llm_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — per-domain document cap (cap=10): md5-of-id deterministic
+    order, one window shuffle on the domain key; every id is emitted
+    with its rank so the probe pins the full keep/drop decision."""
+    return domain_cap(load_table(spark, sf, "documents"), cap=10)
+
+
+LLM_DOMAIN_CAP_SQL = """
+SELECT doc_id, source, rk, rk <= 10 AS kept FROM (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents)
+"""
+
+
+# ------------------------------------------------- shard assignment
+def llm_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — deterministic training-export sharding (16 shards): Knuth
+    multiplicative shard hash + independent within-shard order mix,
+    one window shuffle; reproducible across engines and reruns."""
+    return shard_assign(load_table(spark, sf, "documents"), n_shards=16)
+
+
+LLM_SHARD_ASSIGN_SQL = """
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY mix, doc_id) AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+    CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT) AS shard,
+    (doc_id * 1103515245 + 12345) % 2147483648 AS mix
+  FROM documents)
+"""
+
+
+PROBES = [
+    Probe("llm_substring_dedup", "B29", llm_substring_dedup, LLM_SUBSTRING_DEDUP_SQL),
+    Probe("llm_classifier_score", "B31", llm_classifier_score, LLM_CLASSIFIER_SCORE_SQL),
+    Probe("llm_domain_cap", "B31", llm_domain_cap, LLM_DOMAIN_CAP_SQL),
+    Probe("llm_shard_assign", "B31", llm_shard_assign, LLM_SHARD_ASSIGN_SQL),
+]

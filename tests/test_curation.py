@@ -1,0 +1,181 @@
+"""Curation operators (operators/curation.py): substring dedup vs a
+Python interval-union reference, classifier scoring vs a Python hash
+reference, domain caps, shard assignment + the sharded export layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ark_invest_api_rust_data_spark.operators.curation import (
+    _KNUTH,
+    _LCG_A,
+    _LCG_C,
+    classifier_score,
+    domain_cap,
+    duplicated_spans,
+    shard_assign,
+    shard_export,
+)
+
+DOCS = [
+    # doc 0 and 1 share the 8-token run "a b c d e f g h"; doc 1 has it
+    # twice, overlapping nothing else; doc 2 is unique; doc 3 is short.
+    (0, "a b c d e f g h x y z p q r s t"),
+    (1, "m m a b c d e f g h k k a b c d e f g h"),
+    (2, "q w e r t y u i o p a s d f"),
+    (3, "too short"),
+]
+
+
+def _py_spans(rows, k=8):
+    """Independent reference: gram -> docs, per-doc union of duplicated
+    [pos, pos+k) intervals."""
+    grams: dict[tuple, set] = {}
+    toks = {d: t.split() for d, t in rows}
+    for d, w in toks.items():
+        for i in range(len(w) - k + 1):
+            grams.setdefault(tuple(w[i : i + k]), set()).add(d)
+    out = {}
+    for d, w in toks.items():
+        pos = [
+            i
+            for i in range(len(w) - k + 1)
+            if len(grams[tuple(w[i : i + k])]) > 1
+        ]
+        covered, end = 0, -1
+        for p in pos:
+            covered += max(0, p + k - max(p, end))
+            end = max(end, p + k)
+        out[d] = (len(w), len(pos), covered)
+    return out
+
+
+def test_duplicated_spans_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_grams"], r["covered_tokens"], r["kept"])
+        for r in duplicated_spans(df, k=8).collect()
+    }
+    ref = _py_spans(DOCS, k=8)
+    assert set(got) == set(ref)
+    for d, (n, m, cov) in ref.items():
+        assert got[d][:3] == (n, m, cov), f"doc {d}"
+        assert got[d][3] == (cov * 2 < n)  # max_frac=0.5 integer compare
+    # doc 1: two disjoint copies of the shared 8-gram -> 16 covered
+    assert got[1][2] == 16 and got[1][3] is False
+    assert got[3] == (2, 0, 0, True)  # shorter than k: nothing to flag
+
+
+def test_duplicated_spans_hashed_tier_equivalent(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    exact = sorted(map(tuple, duplicated_spans(df, k=8).collect()))
+    hashed = sorted(map(tuple, duplicated_spans(df, k=8, hashed=True).collect()))
+    assert exact == hashed
+
+
+def test_duplicated_spans_overlapping_copies(spark):
+    # "a a a a a a a a a a" (10 tokens): every 8-gram equals every
+    # other, shared with doc 11 -> positions 0,1,2 union covers all 10
+    df = spark.createDataFrame(
+        [(10, " ".join(["a"] * 10)), (11, " ".join(["a"] * 8))], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in duplicated_spans(df, k=8).collect()}
+    assert got[10]["dup_grams"] == 3
+    assert got[10]["covered_tokens"] == 10
+    assert got[11]["covered_tokens"] == 8
+    assert got[11]["kept"] is False
+
+
+def test_duplicated_spans_validates_frac(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        duplicated_spans(df, max_frac=0.0)
+
+
+def _py_hash32(tok: str) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * 31 + ord(ch)) % (1 << 32)
+    return h
+
+
+def test_classifier_score_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in classifier_score(df, buckets=2048).collect()}
+    for d, t in DOCS:
+        ws = [
+            (_py_hash32(tok) * _LCG_A + _LCG_C) % 2048 - 1024 for tok in t.split()
+        ]
+        assert got[d]["n_tokens"] == len(ws)
+        assert got[d]["score_int"] == sum(ws)
+        assert got[d]["kept"] == (sum(ws) >= 0)
+        assert got[d]["mean_weight"] == pytest.approx(sum(ws) / len(ws))
+
+
+def test_classifier_score_validates_buckets(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        classifier_score(df, buckets=7)
+
+
+def test_domain_cap_keeps_cap_per_domain(spark):
+    rows = [(i, f"dom{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = domain_cap(df, cap=4).collect()
+    assert len(out) == 30  # every id emitted with its decision
+    kept = [r for r in out if r["kept"]]
+    per = {}
+    for r in kept:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per == {"dom0": 4, "dom1": 4, "dom2": 4}
+    # deterministic choice: rank order == md5-of-id order
+    for dom in per:
+        ids = sorted(
+            (r for r in out if r["source"] == dom),
+            key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]),
+        )
+        assert [r["rk"] for r in ids] == list(range(1, 11))
+
+
+def test_domain_cap_small_groups_all_kept(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "source"])
+    out = domain_cap(df, cap=10).collect()
+    assert all(r["kept"] for r in out)
+
+
+def test_shard_assign_matches_reference(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    out = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df, 8).collect()}
+    ref_shard = {i: (i * _KNUTH) % (1 << 32) % 8 for i in range(100)}
+    by_shard: dict[int, list] = {}
+    for i in range(100):
+        by_shard.setdefault(ref_shard[i], []).append(i)
+    for s, ids in by_shard.items():
+        ids.sort(key=lambda i: ((i * _LCG_A + _LCG_C) % (1 << 31), i))
+        for rank, i in enumerate(ids, 1):
+            assert out[i] == (s, rank), f"id {i}"
+
+
+def test_shard_export_layout(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(64)], ["doc_id", "text"])
+    path = str(tmp_path / "shards")
+    shard_export(df, path, n_shards=4)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == [f"shard={s}" for s in range(4)]
+    seen = 0
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1  # one task's output per shard
+        t = pq.read_table(os.path.join(path, d, files[0]))
+        pos = t.column("pos").to_pylist()
+        assert pos == sorted(pos)  # reader sees shard-position order
+        assert "text" in t.column_names  # payload joined back
+        seen += len(pos)
+    assert seen == 64
