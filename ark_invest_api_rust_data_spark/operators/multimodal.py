@@ -441,6 +441,246 @@ def decode_wav(b: bytes) -> tuple[int, int, list[int]] | None:
     return (rate, channels, samples)
 
 
+# ------------------------------------------------------- real video codec
+#
+# Animated GIF in pure Python — the third real container codec next to
+# BMP/PPM (image) and WAV (audio). GIF's LZW is fully specified in the
+# GIF89a spec Appendix F, so both directions are implementable from
+# public knowledge with no media libs: the encoder is a REAL
+# compressing LZW (variable code width 9→12 bits LSB-first, dictionary
+# reset at 4096), the decoder handles any conforming stream including
+# dictionary-growth codes and mid-stream clears. Frames are 8-bit
+# palette indices over a 256-entry grayscale global palette — the
+# index byte IS the gray value, so pixel math stays exact integers.
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compress (variable width, LSB-first bit order).
+    Emits CLEAR up front and whenever the dictionary fills (4096)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # encoder runs one dictionary entry AHEAD of the decoder,
+            # so it widens at (1<<size)+1 where the decoder widens at
+            # (1<<size) — the standard pairing
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    """GIF-flavor LZW decompress. None on a corrupt stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    buf = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                code_size = min_code_size + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code not in table:
+                    return None
+                entry = table[code]
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:  # the KwKwK special case
+                    entry = prev + prev[:1]
+                else:
+                    return None
+                if next_code < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                    if next_code == (1 << code_size) and code_size < 12:
+                        code_size += 1
+            out.extend(entry)
+            prev = entry
+    return bytes(out)  # tolerated: stream ended without explicit EOI
+
+
+def _gray_palette() -> bytes:
+    return bytes(v for i in range(256) for v in (i, i, i))
+
+
+def encode_gif(
+    width: int, height: int, frames: list[bytes], delay_cs: int = 10
+) -> bytes:
+    """Minimal REAL animated GIF89a writer: 256-gray global palette,
+    one full-screen image block per frame preceded by a Graphic
+    Control Extension, real LZW-compressed pixel data. ``frames`` are
+    w·h palette-index (= gray value) byte strings."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for i, f in enumerate(frames):
+        if len(f) != width * height:
+            raise ValueError(f"frame {i}: {len(f)} bytes != {width}x{height}")
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    out += _gray_palette()
+    for f in frames:
+        out += bytes([0x21, 0xF9, 0x04, 0x00])  # GCE, no disposal
+        out += delay_cs.to_bytes(2, "little") + bytes([0x00, 0x00])
+        out += b"\x2c" + bytes(4)  # image at (0, 0)
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += bytes([0x00, 0x08])  # no LCT, not interlaced; min code 8
+        lzw = _lzw_encode(f, 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Full GIF frame decode: walks the block stream (extensions,
+    image descriptors, sub-block chains), LZW-decompresses every
+    frame, returns (w, h, [w·h palette-index bytes per frame]).
+
+    None for non-GIF payloads and for the features this minimal
+    encoder never writes (interlace, partial-screen frames) — a
+    production path drops ffmpeg/PIL into the same signature."""
+    if b is None or len(b) < 13 or b[:4] != b"GIF8":
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    i = 13
+    if packed & 0x80:
+        i += 3 * (2 << (packed & 0x07))  # skip global color table
+    frames: list[bytes] = []
+    n = len(b)
+    while i < n:
+        block = b[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-block chain
+            i += 2
+            while i < n and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            return None
+        left = int.from_bytes(b[i + 1 : i + 3], "little")
+        top = int.from_bytes(b[i + 3 : i + 5], "little")
+        fw = int.from_bytes(b[i + 5 : i + 7], "little")
+        fh = int.from_bytes(b[i + 7 : i + 9], "little")
+        fpacked = b[i + 9]
+        i += 10
+        if fpacked & 0x80:
+            i += 3 * (2 << (fpacked & 0x07))  # skip local color table
+        if fpacked & 0x40:  # interlaced: not produced here
+            return None
+        if (left, top, fw, fh) != (0, 0, w, h):
+            return None  # partial-screen frames need composition
+        if i >= n:
+            return None
+        min_code = b[i]
+        i += 1
+        lzw = bytearray()
+        while i < n and b[i] != 0:
+            sz = b[i]
+            lzw += b[i + 1 : i + 1 + sz]
+            i += 1 + sz
+        i += 1
+        pixels = _lzw_decode(bytes(lzw), min_code)
+        if pixels is None or len(pixels) != w * h:
+            return None
+        frames.append(pixels)
+    if not frames:
+        return None
+    return (w, h, frames)
+
+
+def parse_video_meta(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_frames) for GIF video payloads, None else."""
+    decoded = decode_gif_frames(b)
+    if decoded is None:
+        return None
+    w, h, frames = decoded
+    return (w, h, len(frames))
+
+
+def video_features(width: int, height: int, frames: list[bytes]) -> list[float]:
+    """FEATURE_DIM vector from REAL decoded frames: dims, frame count,
+    global/first/last frame means, peak value, and mean inter-frame
+    absolute difference (the motion proxy — order-sensitive, catches a
+    decoder that scrambles frame order)."""
+    n_px = width * height
+    total = sum(sum(f) for f in frames)
+    motion = 0.0
+    if len(frames) > 1:
+        diffs = [
+            sum(abs(a - b) for a, b in zip(f0, f1))
+            for f0, f1 in zip(frames, frames[1:])
+        ]
+        motion = sum(diffs) / (len(diffs) * n_px)
+    return [
+        float(width),
+        float(height),
+        float(len(frames)),
+        total / (len(frames) * n_px),
+        float(max(max(f) for f in frames)),
+        sum(frames[0]) / n_px,
+        sum(frames[-1]) / n_px,
+        motion,
+    ]
+
+
 def parse_audio_meta(b: bytes) -> tuple[int, int, int] | None:
     """Header-only audio metadata: (sample_rate, channels, n_frames)
     for PCM16 WAV payloads, None otherwise."""
@@ -513,10 +753,10 @@ def _fake_features(b: bytes) -> list[float]:
 def decode_features(batch_rows, kind: str, strict: bool):
     """Feature vectors per payload: REAL decode whenever a codec
     recognizes the payload — images via BMP/PPM native (PIL if
-    importable), audio via the pure-Python PCM16 WAV codec; otherwise
-    strict mode raises and non-strict substitutes the deterministic
-    fake. Video has no in-container codec: same strict/fake contract
-    (ffmpeg drops into this signature)."""
+    importable), audio via the pure-Python PCM16 WAV codec, video via
+    the pure-Python animated-GIF/LZW codec; otherwise strict mode
+    raises and non-strict substitutes the deterministic fake (ffmpeg
+    drops into the same signature for real containers)."""
     out = []
     for payload in batch_rows:
         feats = None
@@ -528,6 +768,10 @@ def decode_features(batch_rows, kind: str, strict: bool):
             decoded = decode_wav(payload)
             if decoded is not None:
                 feats = audio_features(*decoded)
+        elif kind == "video":
+            decoded = decode_gif_frames(payload)
+            if decoded is not None:
+                feats = video_features(*decoded)
         if feats is not None:
             out.append(feats)
         elif strict:
@@ -575,31 +819,116 @@ def extract_features(df: DataFrame, strict: bool | None = None) -> DataFrame:
     return df.mapInPandas(fn, FEATURE_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage stub: updates metadata, passes content through
-    (a real impl transforms bytes in the same mapInPandas shape)."""
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).cast("int").alias("width"),
-            F.lit(height).cast("int").alias("height"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.col("meta.n_frames").alias("n_frames"),
-        ),
-    )
+def resize_nn(
+    src_w: int, src_h: int, rgb: bytes, dst_w: int, dst_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a top-down RGB stream — pure
+    integer index math (src index = floor(dst·src/dst)), so resized
+    pixels are exact copies of deterministic source pixels."""
+    out = bytearray()
+    for y in range(dst_h):
+        sy = y * src_h // dst_h
+        row = sy * src_w * 3
+        for x in range(dst_w):
+            sx = x * src_w // dst_w
+            out += rgb[row + sx * 3 : row + sx * 3 + 3]
+    return bytes(out)
 
 
-def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame-sampling stub for video rows: keeps metadata bookkeeping
-    honest (n_frames shrinks) without a codec."""
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.width").alias("width"),
-            F.col("meta.height").alias("height"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.greatest(
-                (F.col("meta.n_frames") / F.lit(every_n)).cast("int"), F.lit(1)
-            ).alias("n_frames"),
-        ),
-    )
+def resize_images(
+    df: DataFrame, width: int, height: int, strict: bool | None = None
+) -> DataFrame:
+    """REAL resize stage: decode (BMP/PPM native, PIL optional) →
+    nearest-neighbor resample → re-encode as canonical BMP, in the
+    same narrow mapInPandas shape as extract_features (no shuffle;
+    media partitions stay byte-bounded). Payloads no codec decodes
+    follow the module strict contract: raise by default, metadata-only
+    passthrough when strict=False (plumbing tests)."""
+    strict_eff = STRICT_DECODE if strict is None else strict
+
+    def fn(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            contents = []
+            for payload in pdf["content"]:
+                decoded = decode_image(payload)
+                if decoded is not None:
+                    sw, sh, rgb = decoded
+                    contents.append(
+                        encode_bmp(width, height, resize_nn(sw, sh, rgb, width, height))
+                    )
+                elif strict_eff:
+                    raise NotImplementedError(
+                        "no codec decodes this image payload in this environment"
+                    )
+                else:
+                    contents.append(payload)  # passthrough, meta-only
+            out = pdf.copy()
+            out["content"] = contents
+            out["meta"] = [
+                {
+                    "width": width,
+                    "height": height,
+                    "sample_rate": m["sample_rate"] if m else None,
+                    "n_frames": m["n_frames"] if m else None,
+                }
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return df.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, every_n: int = 2, strict: bool | None = None
+) -> DataFrame:
+    """REAL frame sampling for video rows: decode the animated GIF,
+    keep every ``every_n``-th frame (always including frame 0), and
+    re-encode — content and metadata both shrink, and the output is
+    itself a valid GIF the rest of the pipeline can decode. Narrow
+    map, no shuffle. Undecodable payloads follow the strict contract
+    (raise / metadata-only shrink when strict=False)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    strict_eff = STRICT_DECODE if strict is None else strict
+
+    def fn(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            contents, metas = [], []
+            for payload, meta in zip(pdf["content"], pdf["meta"]):
+                decoded = decode_gif_frames(payload)
+                if decoded is not None:
+                    w, h, frames = decoded
+                    kept = frames[::every_n]
+                    contents.append(encode_gif(w, h, kept))
+                    metas.append(
+                        {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": meta["sample_rate"] if meta else None,
+                            "n_frames": len(kept),
+                        }
+                    )
+                elif strict_eff:
+                    raise NotImplementedError(
+                        "no codec decodes this video payload in this environment"
+                    )
+                else:
+                    contents.append(payload)
+                    metas.append(
+                        {
+                            "width": meta["width"] if meta else None,
+                            "height": meta["height"] if meta else None,
+                            "sample_rate": meta["sample_rate"] if meta else None,
+                            "n_frames": max(
+                                1, (meta["n_frames"] or 1) // every_n
+                            )
+                            if meta
+                            else None,
+                        }
+                    )
+            out = pdf.copy()
+            out["content"] = contents
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(fn, MEDIA_SCHEMA)

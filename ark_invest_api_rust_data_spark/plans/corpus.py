@@ -251,10 +251,206 @@ FROM s
 """
 
 
+# ------------------------------------------------------ real video tier
+def llm_multimodal_video(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 real-codec tier (video) — end-to-end animated-GIF decode
+    through the REAL frame_sample operator, no stub anywhere: each
+    document's first 32 chars become 4 frames of 4×4 gray pixels
+    (pixel p of frame f = ascii(char_{(f·8+p) mod 32 + 1})·(f+1) mod
+    256), written as a REAL animated GIF (pure-Python LZW compress),
+    frame-sampled every 2nd frame via operators/multimodal.frame_sample
+    (decode → keep frames 0,2 → re-encode), decoded AGAIN from the
+    re-encoded bytes, and the probe emits exact integer pixel stats of
+    the kept frames. The oracle computes the same stats straight from
+    the characters — an LZW bug, frame-order scramble, or off-by-one
+    in the sampler hash-mismatches.
+
+    Scale shape: narrow mapInPandas chain (build → sample → stats) —
+    no shuffle; media partitions byte-bounded."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_gif_frames,
+        encode_gif,
+        frame_sample,
+    )
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 32)
+        .select("doc_id", F.substring("text", 1, 32).alias("t32"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t32"]):
+                frames = [
+                    bytes(
+                        (ord(t[(f * 8 + p) % 32]) * (f + 1)) % 256
+                        for p in range(16)
+                    )
+                    for f in range(4)
+                ]
+                rows.append(
+                    (
+                        int(doc_id),
+                        "video",
+                        encode_gif(4, 4, frames),
+                        {"width": 4, "height": 4, "sample_rate": None, "n_frames": 4},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(build, MEDIA_SCHEMA)
+    sampled = frame_sample(media, every_n=2)
+
+    stats_schema = (
+        "doc_id long, width int, height int, n_frames_kept int, "
+        "px_sum long, px_peak long, motion_abs long"
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                decoded = decode_gif_frames(bytes(content))
+                if decoded is None:  # impossible for our own GIF
+                    raise ValueError(f"GIF decode failed for doc {media_id}")
+                w, h, frames = decoded
+                rows.append(
+                    (
+                        int(media_id),
+                        w,
+                        h,
+                        len(frames),
+                        sum(sum(f) for f in frames),
+                        max(max(f) for f in frames),
+                        sum(
+                            abs(a - b)
+                            for a, b in zip(frames[0], frames[-1])
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames_kept",
+                    "px_sum", "px_peak", "motion_abs",
+                ],
+            )
+
+    return sampled.mapInPandas(stats, stats_schema)
+
+
+_PX = "(ascii(substring(t32, ((f * 8 + p) % 32) + 1, 1)) * (f + 1)) % 256"
+LLM_MULTIMODAL_VIDEO_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substring(text, 1, 32) AS t32
+  FROM documents WHERE length(text) >= 32),
+px AS (
+  SELECT doc_id, t32, f, p, {_PX} AS v
+  FROM t, unnest([0, 2]) AS tf(f), unnest(generate_series(0, 15)) AS tp(p))
+SELECT doc_id,
+  CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+  CAST(2 AS INTEGER) AS n_frames_kept,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(max(v) AS BIGINT) AS px_peak,
+  CAST(sum(CASE WHEN f = 0 THEN
+    abs(({_PX.replace('(f + 1)', '3').replace('f * 8', '2 * 8')}) - v)
+    ELSE 0 END) AS BIGINT) AS motion_abs
+FROM px GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------ real resize tier
+def llm_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 real-codec tier (resize) — end-to-end pixel resample through
+    the REAL resize_images operator: each document's first 48 chars
+    become a 4×4 24-bit BMP, nearest-neighbor-resized to 2×2 (decode →
+    integer-index resample → re-encode), decoded again, and the probe
+    emits exact channel sums of the 4 surviving pixels. The oracle
+    picks the same source pixels ((0,0),(2,0),(0,2),(2,2)) straight
+    from the characters — a resampler that averages, off-by-ones, or
+    flips rows hash-mismatches."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        encode_bmp,
+        resize_images,
+    )
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 48)
+        .select("doc_id", F.substring("text", 1, 48).alias("t48"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t48"]):
+                rgb = bytes(ord(c) % 256 for c in t)
+                rows.append(
+                    (
+                        int(doc_id),
+                        "image",
+                        encode_bmp(4, 4, rgb),
+                        {"width": 4, "height": 4, "sample_rate": None, "n_frames": None},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    resized = resize_images(docs.mapInPandas(build, MEDIA_SCHEMA), 2, 2)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                decoded = decode_image(bytes(content))
+                if decoded is None:
+                    raise ValueError(f"BMP decode failed for doc {media_id}")
+                w, h, rgb = decoded
+                rows.append(
+                    (int(media_id), w, h, sum(rgb[0::3]), sum(rgb[1::3]), sum(rgb[2::3]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return resized.mapInPandas(
+        stats, "doc_id long, width int, height int, sum_r long, sum_g long, sum_b long"
+    )
+
+
+# picked source pixels (x,y) ∈ {0,2}²; char index = (y*4+x)*3 + ch + 1
+LLM_MULTIMODAL_RESIZE_SQL = """
+WITH t AS (
+  SELECT doc_id, substring(text, 1, 48) AS t48
+  FROM documents WHERE length(text) >= 48),
+px AS (
+  SELECT doc_id, (y * 4 + x) * 3 AS base
+  FROM t, unnest([0, 2]) AS ty(y), unnest([0, 2]) AS tx(x))
+SELECT doc_id,
+  CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+  CAST(sum(ascii(substring(t48, base + 1, 1)) % 256) AS BIGINT) AS sum_r,
+  CAST(sum(ascii(substring(t48, base + 2, 1)) % 256) AS BIGINT) AS sum_g,
+  CAST(sum(ascii(substring(t48, base + 3, 1)) % 256) AS BIGINT) AS sum_b
+FROM px JOIN t USING (doc_id) GROUP BY doc_id
+"""
+
+
 PROBES = [
     Probe("llm_doc_chunk", "B31", llm_doc_chunk, LLM_DOC_CHUNK_SQL),
     Probe("llm_lm_score", "B31", llm_lm_score, LLM_LM_SCORE_SQL),
     Probe("llm_kmeans", "B30", llm_kmeans, LLM_KMEANS_SQL),
     Probe("llm_semantic_dedup", "B29", llm_semantic_dedup, LLM_SEMANTIC_DEDUP_SQL),
     Probe("llm_multimodal_audio", "B32", llm_multimodal_audio, LLM_MULTIMODAL_AUDIO_SQL),
+    Probe("llm_multimodal_video", "B32", llm_multimodal_video, LLM_MULTIMODAL_VIDEO_SQL),
+    Probe("llm_multimodal_resize", "B32", llm_multimodal_resize, LLM_MULTIMODAL_RESIZE_SQL),
 ]

@@ -67,6 +67,9 @@ HEADLINE = [
     "llm_doc_chunk",
     "llm_lm_score",
     "llm_kmeans",
+    # round-3 session-3 curation additions
+    "llm_substring_dedup",
+    "llm_classifier_score",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -18,7 +18,7 @@ from ark_invest_api_rust_data_spark.operators.multimodal import (
     attach_media,
     extract_features,
     frame_sample,
-    resize_stub,
+    resize_images,
 )
 from ark_invest_api_rust_data_spark.operators.similarity import (
     cosine_topk,
@@ -386,9 +386,14 @@ def test_multimodal_roundtrip_and_features(spark, tmp_path):
     bad = joined.filter(F.col("checksum") != F.col("checksum_expr")).count()
     assert bad == 0
 
-    resized = resize_stub(feats_input := back, 64, 64)
+    # plumbing payloads are not real media: the resize/sample stages
+    # pass them through under strict=False (the real-codec paths are
+    # covered by tests/test_multimodal_video.py)
+    resized = resize_images(back, 64, 64, strict=False)
     assert resized.select("meta.width").first()[0] == 64
-    sampled = frame_sample(resized.withColumn("kind", F.lit("video")), every_n=2)
+    sampled = frame_sample(
+        resized.withColumn("kind", F.lit("video")), every_n=2, strict=False
+    )
     assert sampled.select("meta.n_frames").first()[0] >= 1
 
 

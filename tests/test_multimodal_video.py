@@ -1,0 +1,184 @@
+"""Real video codec (operators/multimodal.py GIF/LZW section): LZW
+round-trips under dictionary growth and resets, GIF container
+round-trips, junk rejection, and the REAL frame_sample / resize_images
+stages end to end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ark_invest_api_rust_data_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif_frames,
+    decode_image,
+    encode_bmp,
+    encode_gif,
+    extract_features,
+    frame_sample,
+    parse_video_meta,
+    resize_images,
+    resize_nn,
+    video_features,
+)
+
+
+# ------------------------------------------------------------- LZW
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_lzw_roundtrip_random(data):
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(2, 8))
+def test_lzw_roundtrip_small_alphabet(mcs):
+    # tiny alphabets + long runs force code-width growth fast
+    data = bytes([i % (1 << mcs) for i in range(500)]) + bytes(500)
+    assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+
+
+def test_lzw_dictionary_reset_at_4096():
+    # incompressible-ish stream long enough to fill the 4096-entry
+    # dictionary and force a mid-stream CLEAR + reset
+    data = bytes((i * 37 + (i >> 8) * 11) % 256 for i in range(30000))
+    enc = _lzw_encode(data, 8)
+    assert _lzw_decode(enc, 8) == data
+    assert len(enc) < len(data) * 1.5
+
+
+def test_lzw_compresses_runs():
+    data = b"\x07" * 4000
+    enc = _lzw_encode(data, 8)
+    assert len(enc) < 200  # real compression, not byte-stuffing
+    assert _lzw_decode(enc, 8) == data
+
+
+def test_lzw_kwkwk_case():
+    # aaa...: decoder must handle code == next_code (KwKwK)
+    data = b"aaabaaabaaab" * 50
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+
+def test_lzw_decode_rejects_corrupt():
+    assert _lzw_decode(bytes([0xFF] * 50), 8) is None  # out-of-range codes
+
+
+# ------------------------------------------------------------- GIF
+def _frames(w, h, n):
+    return [
+        bytes(((x + y * w) * (f + 1) * 13) % 256 for y in range(h) for x in range(w))
+        for f in range(n)
+    ]
+
+
+def test_gif_roundtrip_multiframe():
+    frames = _frames(6, 4, 5)
+    b = encode_gif(6, 4, frames)
+    assert b[:6] == b"GIF89a" and b[-1] == 0x3B
+    decoded = decode_gif_frames(b)
+    assert decoded is not None
+    w, h, back = decoded
+    assert (w, h) == (6, 4)
+    assert back == frames
+    assert parse_video_meta(b) == (6, 4, 5)
+
+
+def test_gif_roundtrip_large_frame():
+    # one frame big enough that the LZW dictionary grows several widths
+    frames = _frames(64, 48, 2)
+    decoded = decode_gif_frames(encode_gif(64, 48, frames))
+    assert decoded is not None and decoded[2] == frames
+
+
+def test_gif_rejects_junk():
+    assert decode_gif_frames(b"") is None
+    assert decode_gif_frames(b"not a gif at all") is None
+    assert decode_gif_frames(b"GIF89a\x00") is None
+    assert parse_video_meta(b"RIFF....WAVE") is None
+    # truncated mid-stream: valid header, sliced image data
+    whole = encode_gif(4, 4, _frames(4, 4, 2))
+    assert decode_gif_frames(whole[: len(whole) // 2]) is None
+
+
+def test_encode_gif_validates():
+    with pytest.raises(ValueError):
+        encode_gif(4, 4, [])
+    with pytest.raises(ValueError):
+        encode_gif(4, 4, [b"\x00" * 7])
+
+
+def test_video_features_from_real_frames():
+    frames = [bytes([10] * 16), bytes([30] * 16)]
+    f = video_features(4, 4, frames)
+    assert f[:3] == [4.0, 4.0, 2.0]
+    assert f[3] == pytest.approx(20.0)  # global mean
+    assert f[4] == 30.0  # peak
+    assert f[5] == 10.0 and f[6] == 30.0  # first/last frame means
+    assert f[7] == pytest.approx(20.0)  # motion: mean |30-10|
+
+
+# ------------------------------------------------- Spark stages
+def _video_df(spark, n_frames=4):
+    rows = [
+        (i, "video", encode_gif(4, 4, _frames(4, 4, n_frames)),
+         {"width": 4, "height": 4, "sample_rate": None, "n_frames": n_frames})
+        for i in range(6)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_frame_sample_real_end_to_end(spark):
+    out = frame_sample(_video_df(spark, 5), every_n=2).collect()
+    for r in out:
+        assert r["meta"]["n_frames"] == 3  # frames 0, 2, 4
+        decoded = decode_gif_frames(bytes(r["content"]))
+        assert decoded is not None
+        w, h, frames = decoded
+        assert (w, h, len(frames)) == (4, 4, 3)
+        assert frames == _frames(4, 4, 5)[::2]  # exact kept frames
+
+
+def test_frame_sample_strict_raises_on_non_gif(spark):
+    rows = [(1, "video", b"junk", {"width": None, "height": None,
+                                   "sample_rate": None, "n_frames": 8})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        frame_sample(df, every_n=2).collect()
+    # non-strict: metadata-only shrink, content untouched
+    r = frame_sample(df, every_n=2, strict=False).first()
+    assert bytes(r["content"]) == b"junk" and r["meta"]["n_frames"] == 4
+
+
+def test_extract_features_video_real(spark):
+    feats = {r["media_id"]: r for r in extract_features(_video_df(spark)).collect()}
+    ref = video_features(4, 4, _frames(4, 4, 4))
+    for r in feats.values():
+        assert [pytest.approx(x) for x in ref] == list(r["feature"])
+
+
+def test_resize_nn_picks_expected_pixels():
+    # 4x4 RGB, every pixel value = its index; 2x2 picks (0,0) (2,0) (0,2) (2,2)
+    rgb = bytes(range(48))
+    out = resize_nn(4, 4, rgb, 2, 2)
+    expect = b"".join(rgb[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]
+                      for y in (0, 2) for x in (0, 2))
+    assert out == expect
+
+
+def test_resize_images_real_end_to_end(spark):
+    rgb = bytes((i * 7) % 256 for i in range(48))
+    rows = [(1, "image", encode_bmp(4, 4, rgb),
+             {"width": 4, "height": 4, "sample_rate": None, "n_frames": None})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    r = resize_images(df, 2, 2).first()
+    assert r["meta"]["width"] == 2 and r["meta"]["height"] == 2
+    decoded = decode_image(bytes(r["content"]))
+    assert decoded is not None
+    w, h, back = decoded
+    assert (w, h) == (2, 2)
+    assert back == resize_nn(4, 4, rgb, 2, 2)  # exact source pixels
