@@ -32,6 +32,7 @@ def all_probes() -> dict[str, Probe]:
     from . import (
         corpus,
         curation,
+        events,
         formats,
         lake,
         llm,
@@ -52,6 +53,7 @@ def all_probes() -> dict[str, Probe]:
         formats,
         corpus,
         curation,
+        events,
     ):
         for p in mod.PROBES:
             if p.name in out:
