@@ -289,7 +289,17 @@ def quality_filter(
             # monotonically_increasing_id(): the latter is rejected by
             # the streaming UnsupportedOperationChecker, and this op
             # must keep running over streams (corpus-prep-as-it-lands).
-            nd_guard = F.rand(seed=0) >= F.lit(-1.0)  # always true
+            #
+            # Guard choice matters: Spark 4's OptimizeRand rule FOLDS
+            # bound comparisons on rand() (rand >= -1 → true), which
+            # silently re-enabled the pushdown and re-serialized the
+            # fold onto the scan splits (caught by the round-3 scale
+            # audit: composed pipeline 1.4 s → 10 s at sf0.1). An
+            # inequality against an out-of-range literal survives the
+            # rule; tests/test_plans.py asserts the filter stays above
+            # the exchange so a future optimizer change can't regress
+            # this silently again.
+            nd_guard = F.rand(seed=0) != F.lit(-5.0)  # always true
             rolled = rolled.withColumn(
                 "_reason", F.when(nd_guard, F.col("_reason"))
             )

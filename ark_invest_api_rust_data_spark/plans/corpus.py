@@ -265,10 +265,14 @@ def llm_multimodal_video(spark: SparkSession, sf: str) -> DataFrame:
     the characters — an LZW bug, frame-order scramble, or off-by-one
     in the sampler hash-mismatches.
 
-    Scale shape: narrow mapInPandas chain (build → sample → stats) —
-    no shuffle; media partitions byte-bounded."""
+    Scale shape: narrow mapInPandas chain (build → sample → stats),
+    spread to cluster parallelism first — the Python codec work is the
+    cost here, and a single-file scan would serialize it onto one
+    task (real media arrives via binaryFile with many splits, where
+    the spread no-ops)."""
     import pandas as pd
 
+    from ..operators.dedup import _spread
     from ..operators.multimodal import (
         MEDIA_SCHEMA,
         decode_gif_frames,
@@ -276,7 +280,7 @@ def llm_multimodal_video(spark: SparkSession, sf: str) -> DataFrame:
         frame_sample,
     )
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf, "documents")
         .filter(F.length("text") >= 32)
         .select("doc_id", F.substring("text", 1, 32).alias("t32"))
@@ -378,6 +382,7 @@ def llm_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     flips rows hash-mismatches."""
     import pandas as pd
 
+    from ..operators.dedup import _spread
     from ..operators.multimodal import (
         MEDIA_SCHEMA,
         decode_image,
@@ -385,7 +390,7 @@ def llm_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
         resize_images,
     )
 
-    docs = (
+    docs = _spread(
         load_table(spark, sf, "documents")
         .filter(F.length("text") >= 48)
         .select("doc_id", F.substring("text", 1, 48).alias("t48"))

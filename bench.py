@@ -70,6 +70,7 @@ HEADLINE = [
     # round-3 session-3 curation additions
     "llm_substring_dedup",
     "llm_classifier_score",
+    "b12_funnel",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

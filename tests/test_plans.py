@@ -255,3 +255,31 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_filter_fold_stays_above_spread_exchange(spark):
+    """Regression (round-3 scale audit, twice): quality_filter's
+    keep_docs verdict fold must NOT be pushed below the _spread
+    exchange — inlined into the scan stage it runs on however few
+    splits the file has (serialized 10x at sf0.1/sf1). The fold is
+    held above by a non-deterministic guard; Spark 4's OptimizeRand
+    folds bound comparisons on rand() (rand >= -1 -> true), which
+    silently removed the first guard — so assert BOTH that the guard
+    expression survives optimization and that the Filter sits above
+    the Exchange."""
+    from ark_invest_api_rust_data_spark.catalog import load_table
+    from ark_invest_api_rust_data_spark.operators.text import quality_filter
+
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        quality_filter(docs, keep_docs=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rand" in plan, "nd guard was optimized away:\n" + plan[:2000]
+    i_filter, i_exchange = plan.find("Filter"), plan.find("Exchange")
+    assert i_exchange != -1, plan[:2000]
+    assert 0 <= i_filter < i_exchange, (
+        "verdict filter was pushed below the spread exchange:\n" + plan[:2000]
+    )

@@ -50,6 +50,8 @@ EXTRA = [
     "llm_corpus_pipeline",
     "llm_similarity_ann",
     "llm_semantic_dedup",
+    "b16_retention",
+    "llm_multimodal_video",
 ]
 
 
