@@ -78,4 +78,46 @@ WHERE o_orderstatus = 'F'
 GROUP BY 1
 """
 
-PROBES = [Probe("s02_lake_pruned_read", "S1-S2", s02_lake_pruned_read, S02_LAKE_SQL)]
+def s05_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """S1-S2 extension — Morton (z-order) clustering key over
+    (user_id, event day): the multi-dimensional lake-layout key that
+    makes parquet min/max skipping work on EVERY clustered column
+    (operators/zorder.py; layout prunability proven by
+    tests/test_zorder.py). The probe pins the bit-interleave math —
+    pure integer shifts, recomputed by the oracle with `//` and
+    power-of-two multiplies."""
+    from ..operators.zorder import z_value
+
+    ev = load_table(spark, sf, "events")
+    day = F.greatest(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))), F.lit(0)
+    )
+    return ev.select(
+        "event_id", z_value([F.col("user_id"), day], bits=16).alias("z")
+    )
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for j in range(16):
+        terms.append(f"((u // {1 << j}) % 2) * {1 << (2 * j)}")
+        terms.append(f"((d // {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    expr = " + ".join(terms)
+    return f"""
+WITH k AS (
+  SELECT event_id,
+    least(user_id, 65535) AS u,
+    least(greatest(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)), 0),
+          65535) AS d
+  FROM events)
+SELECT event_id, CAST({expr} AS BIGINT) AS z FROM k
+"""
+
+
+S05_ZORDER_SQL = _zorder_sql()
+
+
+PROBES = [
+    Probe("s02_lake_pruned_read", "S1-S2", s02_lake_pruned_read, S02_LAKE_SQL),
+    Probe("s05_zorder_key", "S1-S2", s05_zorder_key, S05_ZORDER_SQL),
+]
