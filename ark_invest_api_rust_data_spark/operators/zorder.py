@@ -44,7 +44,11 @@ def z_value(cols: Sequence[Column], bits: int = 16) -> Column:
     if not 1 <= bits * d <= 62:
         raise ValueError(f"bits*cols must be in [1, 62], got {bits * d}")
     mask = (1 << bits) - 1
-    clamped = [F.least(c.cast("long"), F.lit(mask)) for c in cols]
+    # clamp both ends: negatives would sign-extend through shiftright
+    # into a garbage key (still a valid layout, but not the curve)
+    clamped = [
+        F.greatest(F.least(c.cast("long"), F.lit(mask)), F.lit(0)) for c in cols
+    ]
     z = F.lit(0).cast("long")
     for j in range(bits):
         for i, c in enumerate(clamped):
