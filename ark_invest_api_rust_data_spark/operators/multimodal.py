@@ -561,6 +561,8 @@ def encode_gif(
     one full-screen image block per frame preceded by a Graphic
     Control Extension, real LZW-compressed pixel data. ``frames`` are
     w·h palette-index (= gray value) byte strings."""
+    if width < 1 or height < 1:
+        raise ValueError(f"degenerate dimensions {width}x{height}")
     if not frames:
         raise ValueError("need at least one frame")
     for i, f in enumerate(frames):

@@ -109,6 +109,8 @@ def test_encode_gif_validates():
     with pytest.raises(ValueError):
         encode_gif(4, 4, [])
     with pytest.raises(ValueError):
+        encode_gif(0, 0, [b""])
+    with pytest.raises(ValueError):
         encode_gif(4, 4, [b"\x00" * 7])
 
 
