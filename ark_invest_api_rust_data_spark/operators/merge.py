@@ -65,3 +65,67 @@ def incremental_merge(
     if cache is None:
         return fresh
     return concat_dedupe([normalize(cache), fresh])
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """U5 extension — Slowly-Changing-Dimension Type 2 merge: apply a
+    batch of updates to a versioned dimension, closing the current row
+    (valid_to = effective date) and opening a new one ONLY where a
+    tracked attribute actually changed; no-op updates leave the open
+    row untouched. This is the holdings-history shape the reference's
+    incremental merge approximates with keep-first dedupe
+    (util.rs:64-80), generalized to full row versioning.
+
+    Plan shape (the 100 TB argument): ONE shuffle joining the open
+    slice of the dimension to the update batch on the business key
+    (AQE broadcasts the batch when small); closed history never
+    shuffles — it passes through the union untouched, which at
+    warehouse scale means the cost tracks the UPDATE batch, not the
+    accumulated history.
+
+    ``updates`` carries (key, tracked...) — one row per key (enforce
+    upstream with exact_dedup); ``effective`` is an ISO date literal.
+    """
+    eff = F.to_date(F.lit(effective))
+    changed_cond = None
+    for c in tracked:
+        ne = ~F.col(f"d.{c}").eqNullSafe(F.col(f"u.{c}"))  # null-safe !=
+        changed_cond = ne if changed_cond is None else (changed_cond | ne)
+
+    open_rows = dim.filter(F.col(valid_to).isNull()).alias("d")
+    closed_history = dim.filter(F.col(valid_to).isNotNull())
+    upd = updates.alias("u")
+
+    joined = open_rows.join(upd, F.col(f"d.{key}") == F.col(f"u.{key}"), "left")
+    changed = F.col(f"u.{key}").isNotNull() & changed_cond
+
+    dim_cols = dim.columns
+    # current rows: closed if a tracked attribute changed, else as-is
+    kept = joined.select(
+        *[F.col(f"d.{c}").alias(c) for c in dim_cols if c != valid_to],
+        F.when(changed, eff).otherwise(F.col(f"d.{valid_to}")).alias(valid_to),
+    )
+    # replacement rows for changed keys: updated attributes, open-ended
+    opened = (
+        joined.filter(changed)
+        .select(
+            *[
+                (F.col(f"u.{c}") if c in tracked else F.col(f"d.{c}")).alias(c)
+                for c in dim_cols
+                if c not in (valid_from, valid_to)
+            ],
+            eff.alias(valid_from),
+            F.lit(None).cast("date").alias(valid_to),
+        )
+    )
+    return closed_history.select(dim_cols).unionByName(
+        kept.select(dim_cols)
+    ).unionByName(opened.select(dim_cols))

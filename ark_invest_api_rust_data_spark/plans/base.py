@@ -40,6 +40,7 @@ def all_probes() -> dict[str, Probe]:
         relational,
         tpch_extra,
         udf_tier,
+        warehouse,
     )
 
     out: dict[str, Probe] = {}
@@ -54,6 +55,7 @@ def all_probes() -> dict[str, Probe]:
         corpus,
         curation,
         events,
+        warehouse,
     ):
         for p in mod.PROBES:
             if p.name in out:

@@ -1,0 +1,118 @@
+"""Warehouse-maintenance probes: SCD Type-2 dimension versioning
+(U5 extension — the generalized form of the reference's holdings
+merge, util.rs:64-80) and table profiling (B7/B8 extension — the
+ANALYZE-style stats sweep every warehouse runs before planning).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.merge import scd2_apply
+from .base import Probe
+
+
+# ------------------------------------------------------------- SCD2
+def u05_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """U5 extension — SCD Type-2 merge: customers seed the versioned
+    dimension; an update batch flips the market segment for keys
+    ≡ 0 (mod 7) and re-sends the UNCHANGED segment for keys ≡ 1
+    (mod 7). Changed keys must yield a closed row + an open
+    replacement; no-op updates must leave the open row untouched —
+    the oracle re-derives the same versioned table relationally."""
+    cust = load_table(spark, sf, "customer")
+    dim = cust.withColumn("valid_from", F.to_date(F.lit("2024-01-01"))).withColumn(
+        "valid_to", F.lit(None).cast("date")
+    )
+    changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.reverse("c_mktsegment").alias("c_mktsegment")
+    )
+    noop = cust.filter(F.col("c_custkey") % 7 == 1).select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = scd2_apply(
+        dim,
+        changed.unionByName(noop),
+        key="c_custkey",
+        tracked=["c_mktsegment"],
+        effective="2024-06-01",
+    )
+    return out.select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to"
+    )
+
+
+U05_SCD2_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer),
+u AS (
+  SELECT c_custkey, reverse(c_mktsegment) AS c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 = 1),
+chg AS (
+  SELECT d.c_custkey FROM dim d JOIN u ON d.c_custkey = u.c_custkey
+  WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment)
+SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+  CASE WHEN d.c_custkey IN (SELECT c_custkey FROM chg)
+       THEN DATE '2024-06-01' ELSE d.valid_to END AS valid_to
+FROM dim d
+UNION ALL
+SELECT d.c_custkey, u.c_mktsegment, DATE '2024-06-01' AS valid_from,
+       CAST(NULL AS DATE) AS valid_to
+FROM dim d JOIN u ON d.c_custkey = u.c_custkey
+WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+"""
+
+
+# --------------------------------------------------------- profiling
+_PROF_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def b07_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """B7/B8 extension — one-pass column profiling (ANALYZE-style):
+    row/null/distinct counts + min/max per numeric column, computed as
+    a single multi-aggregate scan then unpivoted — the scan cost is
+    one pass regardless of column count."""
+    li = load_table(spark, sf, "lineitem")
+    aggs = []
+    for c in _PROF_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__nd, {c}__min, {c}__max"
+        for c in _PROF_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROF_COLS)}, {stack}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_v, max_v)"
+        )
+    )
+
+
+B07_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+  CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(min({c}) AS DOUBLE) AS min_v, CAST(max({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+    for c in _PROF_COLS
+)
+
+
+PROBES = [
+    Probe("u05_scd2", "U5", u05_scd2, U05_SCD2_SQL),
+    Probe("b07_table_profile", "B7-B8", b07_table_profile, B07_PROFILE_SQL),
+]
