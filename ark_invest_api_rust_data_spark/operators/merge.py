@@ -93,6 +93,9 @@ def scd2_apply(
 
     ``updates`` carries (key, tracked...) — one row per key (enforce
     upstream with exact_dedup); ``effective`` is an ISO date literal.
+    Updates for keys the dimension has never seen INSERT a fresh open
+    row (non-tracked attributes null — the late-arriving-dimension
+    case); the anti-join computing them rides the same one shuffle.
     """
     eff = F.to_date(F.lit(effective))
     changed_cond = None
@@ -126,6 +129,25 @@ def scd2_apply(
             F.lit(None).cast("date").alias(valid_to),
         )
     )
-    return closed_history.select(dim_cols).unionByName(
-        kept.select(dim_cols)
-    ).unionByName(opened.select(dim_cols))
+    # brand-new keys: never seen by ANY version (open or closed) —
+    # insert as fresh open rows, untracked attributes null
+    upd_cols = set(updates.columns)
+    inserted = (
+        updates.join(dim.select(key).distinct(), key, "leftanti")
+        .select(
+            *[
+                (F.col(c) if c in upd_cols else F.lit(None)).alias(c)
+                for c in dim_cols
+                if c not in (valid_from, valid_to)
+            ],
+            eff.alias(valid_from),
+            F.lit(None).cast("date").alias(valid_to),
+        )
+    )
+    out = (
+        closed_history.select(dim_cols)
+        .unionByName(kept.select(dim_cols))
+        .unionByName(opened.select(dim_cols))
+        .unionByName(inserted.select(dim_cols))
+    )
+    return out

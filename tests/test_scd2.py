@@ -94,3 +94,16 @@ def test_scd2_history_passthrough_and_second_round(spark):
     ]
     # exactly one open row at any time
     assert sum(1 for r in rows if r["valid_to"] is None) == 1
+
+
+def test_scd2_inserts_unknown_keys(spark):
+    dim = _dim(spark, [(1, "a", 10, D(2024, 1, 1), None)])
+    out = scd2_apply(
+        dim, _upd(spark, [(9, "z")]), "k", ["attr"], "2024-06-01"
+    ).collect()
+    by = {r["k"]: r for r in out}
+    assert set(by) == {1, 9}
+    assert by[1]["valid_to"] is None and by[1]["attr"] == "a"  # untouched
+    assert (by[9]["attr"], by[9]["valid_from"], by[9]["valid_to"]) == (
+        "z", D(2024, 6, 1), None)
+    assert by[9]["other"] is None  # untracked attr unknown for inserts
