@@ -117,3 +117,20 @@ def start_scd2_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vacuum_versions(store_root: str, keep: int = 2) -> list[int]:
+    """Retention for the snapshot store: drop all but the newest
+    ``keep`` versions (the latest is the live dimension; keeping one
+    predecessor preserves the crash-replay input for the most recent
+    batch — never vacuum below 2 while the stream runs). Returns the
+    removed version numbers."""
+    import shutil
+
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    vs = _versions(store_root)
+    doomed = vs[:-keep] if keep < len(vs) else []
+    for v in doomed:
+        shutil.rmtree(f"{store_root}/dim/v={v}", ignore_errors=True)
+    return doomed

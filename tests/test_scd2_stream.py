@@ -139,3 +139,27 @@ def test_scd2_batch_replay_is_idempotent(spark, tmp_path):
     apply_scd2_batch(spark, b0, 0, store_root, "k", ["attr"])
     assert _rows(spark.read.parquet(f"{store_root}/dim/v=1")) == after_first
     assert _rows(current_dim(spark, store_root)) == after_first
+
+
+def test_vacuum_versions_keeps_live_and_replay_input(spark, tmp_path):
+    import pytest
+
+    from ark_invest_api_rust_data_spark.streaming.scd2 import vacuum_versions
+
+    store_root = str(tmp_path / "store")
+    seed_dim(_seed(spark), store_root)
+    for i, rows in enumerate(BATCHES):
+        apply_scd2_batch(
+            spark, spark.createDataFrame(rows, UPD_SCHEMA), i, store_root,
+            "k", ["attr"],
+        )
+    live = _rows(current_dim(spark, store_root))
+    assert vacuum_versions(store_root, keep=2) == [0]
+    # live dim unchanged; the replay input (v=1) survives, so a replay
+    # of the last batch still recomputes v=2 identically
+    assert _rows(current_dim(spark, store_root)) == live
+    b1 = spark.createDataFrame(BATCHES[1], UPD_SCHEMA)
+    apply_scd2_batch(spark, b1, 1, store_root, "k", ["attr"])
+    assert _rows(current_dim(spark, store_root)) == live
+    with pytest.raises(ValueError):
+        vacuum_versions(store_root, keep=0)
