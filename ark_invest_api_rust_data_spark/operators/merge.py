@@ -96,7 +96,17 @@ def scd2_apply(
     Updates for keys the dimension has never seen INSERT a fresh open
     row (non-tracked attributes null — the late-arriving-dimension
     case); the anti-join computing them rides the same one shuffle.
+
+    Out-of-order guard: an update whose ``effective`` predates the open
+    row's ``valid_from`` is STALE — applying it would close the open row
+    with valid_to < valid_from (an inverted interval). Such updates are
+    treated as no-ops: the open row already reflects a newer effective
+    date, so the stale value lost the race by definition. Callers that
+    need true bitemporal backfill must replay from a snapshot taken
+    before the stale date (streaming/scd2.py versions exist for that).
     """
+    if not tracked:
+        raise ValueError("tracked must be non-empty")
     eff = F.to_date(F.lit(effective))
     changed_cond = None
     for c in tracked:
@@ -108,7 +118,12 @@ def scd2_apply(
     upd = updates.alias("u")
 
     joined = open_rows.join(upd, F.col(f"d.{key}") == F.col(f"u.{key}"), "left")
-    changed = F.col(f"u.{key}").isNotNull() & changed_cond
+    # stale guard: effective must not predate the open row's valid_from
+    changed = (
+        F.col(f"u.{key}").isNotNull()
+        & (eff >= F.col(f"d.{valid_from}"))
+        & changed_cond
+    )
 
     dim_cols = dim.columns
     # current rows: closed if a tracked attribute changed, else as-is

@@ -432,6 +432,12 @@ def decode_wav(b: bytes) -> tuple[int, int, list[int]] | None:
         i += 8 + sz + (sz & 1)  # chunks pad to even boundaries
     if rate is None or channels is None or channels < 1 or data is None:
         return None
+    if rate < 1 or len(data) == 0:
+        # degenerate-but-well-formed payloads (sample_rate=0, empty data
+        # chunk) would ZeroDivide in audio_features — reject at decode so
+        # they route through the strict/fake handling like any other
+        # unrecognized payload
+        return None
     if len(data) % (2 * channels):
         return None
     samples = [
@@ -599,6 +605,10 @@ def decode_gif_frames(b: bytes) -> tuple[int, int, list[bytes]] | None:
         return None
     w = int.from_bytes(b[6:8], "little")
     h = int.from_bytes(b[8:10], "little")
+    if w * h == 0:
+        # a 0x0 GIF's empty frames pass the len==w*h check but ZeroDivide
+        # in video_features — reject like any unrecognized payload
+        return None
     packed = b[10]
     i = 13
     if packed & 0x80:

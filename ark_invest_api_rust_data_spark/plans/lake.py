@@ -106,7 +106,7 @@ def _zorder_sql() -> str:
     return f"""
 WITH k AS (
   SELECT event_id,
-    least(user_id, 65535) AS u,
+    least(greatest(user_id, 0), 65535) AS u,
     least(greatest(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)), 0),
           65535) AS d
   FROM events)

@@ -70,7 +70,22 @@ def apply_scd2_batch(
     effective_col: str = "effective",
 ) -> None:
     """Merge one micro-batch into the versioned dimension (exposed for
-    replay tests; the stream calls exactly this)."""
+    replay tests; the stream calls exactly this).
+
+    Per-row effective dates are honored: the batch is sub-merged once
+    per distinct effective date in ASCENDING order, so a key updated
+    effective 2024-01-02 inside a batch whose max is 2024-01-09 gets
+    valid_from 2024-01-02 (and an intermediate version row if the key
+    changes again later in the same batch). Within one effective date,
+    multiple updates for a key collapse to the struct-max of the
+    tracked values — deterministic, no last-wins race. Updates whose
+    effective predates the already-open row's valid_from are no-ops
+    (scd2_apply's stale guard); the stream contract is
+    monotonic-effective ACROSS batches, replay-deterministic within.
+
+    The distinct-dates collect is bounded by the number of calendar
+    dates inside ONE micro-batch — O(days), not O(rows).
+    """
     if batch.isEmpty():
         return
     batch = batch.localCheckpoint(eager=True)  # cut source lineage
@@ -80,14 +95,24 @@ def apply_scd2_batch(
         raise FileNotFoundError(f"seed_dim missing under {store_root}")
     dim = spark.read.parquet(f"{store_root}/dim/v={prev[-1]}")
 
-    eff = batch.agg(F.max(effective_col)).first()[0]
-    latest = (
-        batch.groupBy(key)
-        .agg(F.max(F.struct(effective_col, *tracked)).alias("_s"))
-        .select(key, *[F.col(f"_s.{c}").alias(c) for c in tracked])
+    dates = sorted(
+        r[0]
+        for r in batch.select(effective_col).distinct().collect()
+        if r[0] is not None
     )
-    out = scd2_apply(dim, latest, key=key, tracked=tracked, effective=str(eff))
-    out.write.mode("overwrite").parquet(f"{store_root}/dim/v={me}")
+    for i, eff in enumerate(dates):
+        latest = (
+            batch.filter(F.col(effective_col) == F.lit(eff))
+            .groupBy(key)
+            .agg(F.max(F.struct(effective_col, *tracked)).alias("_s"))
+            .select(key, *[F.col(f"_s.{c}").alias(c) for c in tracked])
+        )
+        dim = scd2_apply(dim, latest, key=key, tracked=tracked, effective=str(eff))
+        if i < len(dates) - 1 and len(dates) > 2:
+            # deep sub-batch chains: cut the plan so the final write
+            # doesn't re-derive every intermediate merge
+            dim = dim.localCheckpoint(eager=True)
+    dim.write.mode("overwrite").parquet(f"{store_root}/dim/v={me}")
 
 
 def start_scd2_stream(

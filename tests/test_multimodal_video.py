@@ -184,3 +184,34 @@ def test_resize_images_real_end_to_end(spark):
     w, h, back = decoded
     assert (w, h) == (2, 2)
     assert back == resize_nn(4, 4, rgb, 2, 2)  # exact source pixels
+
+
+def test_degenerate_payloads_reject_not_crash():
+    # well-formed containers with degenerate content must decode to
+    # None (routing to strict/fake handling) instead of ZeroDividing
+    # later in the feature folds
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        decode_features,
+        decode_gif_frames,
+        decode_wav,
+        encode_wav,
+    )
+
+    wav_rate0 = encode_wav(0, 1, [1, -1])
+    wav_empty = encode_wav(8000, 1, [])
+    gif_0x0 = b"GIF89a" + bytes(4) + bytes([0x00, 0, 0])  # w=0, h=0
+    assert decode_wav(wav_rate0) is None
+    assert decode_wav(wav_empty) is None
+    assert decode_gif_frames(gif_0x0) is None
+
+    # strict: the contract error, NOT ZeroDivisionError
+    for kind, payload in [
+        ("audio", wav_rate0),
+        ("audio", wav_empty),
+        ("video", gif_0x0),
+    ]:
+        with pytest.raises(NotImplementedError):
+            decode_features([payload], kind, strict=True)
+        # non-strict: the deterministic fake vector
+        (feats,) = decode_features([payload], kind, strict=False)
+        assert len(feats) > 0

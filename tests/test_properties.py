@@ -216,7 +216,10 @@ def test_wav_codec_rejects_junk_property(junk):
     out = decode_wav(junk)
     if out is not None:
         rate, channels, samples = out
-        assert rate >= 0 and channels >= 1 and len(samples) % channels == 0
+        # degenerate-but-well-formed payloads (rate 0, empty data) are
+        # rejected too — accepted output is always feature-safe
+        assert rate >= 1 and channels >= 1 and len(samples) > 0
+        assert len(samples) % channels == 0
 
 
 @settings(max_examples=40, deadline=None)

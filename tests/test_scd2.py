@@ -107,3 +107,39 @@ def test_scd2_inserts_unknown_keys(spark):
     assert (by[9]["attr"], by[9]["valid_from"], by[9]["valid_to"]) == (
         "z", D(2024, 6, 1), None)
     assert by[9]["other"] is None  # untracked attr unknown for inserts
+
+def test_scd2_stale_update_is_noop(spark):
+    # an update whose effective PREDATES the open row's valid_from must
+    # not invert the interval (valid_to < valid_from) — it is a no-op
+    dim = _dim(spark, [(1, "new", 1, D(2024, 6, 1), None)])
+    out = scd2_apply(
+        dim, _upd(spark, [(1, "old")]), "k", ["attr"], "2024-01-02"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["attr"], r["valid_from"], r["valid_to"]) == (
+        "new", D(2024, 6, 1), None)
+
+
+def test_scd2_same_day_correction_applies(spark):
+    # effective == valid_from is a legitimate same-day correction:
+    # zero-length closed interval, not an inversion
+    dim = _dim(spark, [(1, "a", 1, D(2024, 6, 1), None)])
+    rows = sorted(
+        scd2_apply(
+            dim, _upd(spark, [(1, "A")]), "k", ["attr"], "2024-06-01"
+        ).collect(),
+        key=lambda r: (r["valid_to"] is None, r["attr"]),
+    )
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in rows] == [
+        ("a", D(2024, 6, 1), D(2024, 6, 1)),
+        ("A", D(2024, 6, 1), None),
+    ]
+
+
+def test_scd2_empty_tracked_raises(spark):
+    import pytest
+
+    dim = _dim(spark, [(1, "a", 1, D(2024, 1, 1), None)])
+    with pytest.raises(ValueError, match="tracked"):
+        scd2_apply(dim, _upd(spark, [(1, "b")]), "k", [], "2024-06-01")

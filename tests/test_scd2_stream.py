@@ -1,6 +1,8 @@
 """Streaming SCD2 maintenance (streaming/scd2.py): stream==batch
-equivalence over ordered micro-batches, within-batch latest-effective
-collapse, and crash-replay idempotence of the versioned snapshots."""
+equivalence over ordered micro-batches, per-row effective dates
+honored via within-batch sub-merging (ascending distinct dates),
+the cross-batch stale-update guard, and crash-replay idempotence of
+the versioned snapshots."""
 
 from __future__ import annotations
 
@@ -60,19 +62,15 @@ def _seed(spark):
 
 
 def _batch_twin(spark):
-    """Sequential batch application with the same latest-effective
-    collapse the stream performs."""
+    """Sequential batch application with the same per-effective-date
+    sub-merging the stream performs (ascending dates within a batch)."""
     dim = _seed(spark)
     for rows in BATCHES:
-        latest = {}
-        for k, attr, eff in rows:
-            if k not in latest or eff >= latest[k][1]:
-                latest[k] = (attr, eff)
-        eff_max = max(e for _, e in latest.values())
-        upd = spark.createDataFrame(
-            [(k, a) for k, (a, _) in latest.items()], "k long, attr string"
-        )
-        dim = scd2_apply(dim, upd, "k", ["attr"], str(eff_max))
+        for eff in sorted({e for _, _, e in rows}):
+            upd = spark.createDataFrame(
+                [(k, a) for k, a, e in rows if e == eff], "k long, attr string"
+            )
+            dim = scd2_apply(dim, upd, "k", ["attr"], str(eff))
     return dim
 
 
@@ -112,12 +110,15 @@ def test_scd2_stream_equals_sequential_batch(spark, tmp_path):
 
     got = _rows(current_dim(spark, store_root))
     assert got == _rows(_batch_twin(spark))
-    # spot-check the history shape: k=1 went a -> a4 (latest of the
-    # two batch-1 updates, 'a3' never materialized a version)
+    # spot-check the history shape: k=1 went a -> a2 -> a3 -> a4, with
+    # batch 1's two updates honored at their OWN effective dates (the
+    # mid-batch 'a3' materializes a real version — per-row effective
+    # dates are not collapsed to the batch max)
     k1 = sorted((r for r in got if r[0] == 1), key=lambda r: r[2])
     assert [(r[1], r[3]) for r in k1] == [
         ("a", D(2024, 2, 1)),
-        ("a2", D(2024, 3, 1)),
+        ("a2", D(2024, 2, 15)),
+        ("a3", D(2024, 3, 1)),
         ("a4", None),
     ]
     # k=9 was inserted then changed; k=3 untouched with one open row
@@ -163,3 +164,52 @@ def test_vacuum_versions_keeps_live_and_replay_input(spark, tmp_path):
     assert _rows(current_dim(spark, store_root)) == live
     with pytest.raises(ValueError):
         vacuum_versions(store_root, keep=0)
+
+
+def test_scd2_batch_honors_per_row_effective_dates(spark, tmp_path):
+    # one micro-batch spanning three effective dates creates three
+    # versions in ascending date order — no collapse to the batch max
+    store_root = str(tmp_path / "store")
+    seed_dim(_seed(spark), store_root)
+    rows = [
+        (1, "mar", D(2024, 3, 1)),
+        (1, "feb", D(2024, 2, 1)),
+        (1, "apr", D(2024, 4, 1)),
+    ]
+    apply_scd2_batch(
+        spark, spark.createDataFrame(rows, UPD_SCHEMA), 0, store_root,
+        "k", ["attr"],
+    )
+    k1 = sorted(
+        (r for r in _rows(current_dim(spark, store_root)) if r[0] == 1),
+        key=lambda r: r[2],
+    )
+    assert [(r[1], r[2], r[3]) for r in k1] == [
+        ("a", D(2024, 1, 1), D(2024, 2, 1)),
+        ("feb", D(2024, 2, 1), D(2024, 3, 1)),
+        ("mar", D(2024, 3, 1), D(2024, 4, 1)),
+        ("apr", D(2024, 4, 1), None),
+    ]
+
+
+def test_scd2_batch_stale_cross_batch_update_is_noop(spark, tmp_path):
+    # batch 1 carries an update older than the open row opened by
+    # batch 0 — the stale guard skips it instead of inverting intervals
+    store_root = str(tmp_path / "store")
+    seed_dim(_seed(spark), store_root)
+    apply_scd2_batch(
+        spark,
+        spark.createDataFrame([(1, "jun", D(2024, 6, 1))], UPD_SCHEMA),
+        0, store_root, "k", ["attr"],
+    )
+    apply_scd2_batch(
+        spark,
+        spark.createDataFrame([(1, "stale", D(2024, 2, 1))], UPD_SCHEMA),
+        1, store_root, "k", ["attr"],
+    )
+    k1 = [r for r in _rows(current_dim(spark, store_root)) if r[0] == 1]
+    assert all(
+        r[3] is None or r[3] >= r[2] for r in k1
+    ), f"inverted interval: {k1}"
+    open_rows = [r for r in k1 if r[3] is None]
+    assert [(r[1], r[2]) for r in open_rows] == [("jun", D(2024, 6, 1))]
