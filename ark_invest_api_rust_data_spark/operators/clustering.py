@@ -42,27 +42,17 @@ from pyspark.sql import DataFrame
 from .similarity import _dot, _norm2, _quantize
 
 
-def _assign_expr(centroids: dict[int, list[float]], dim: int) -> F.Column:
-    """Nearest-centroid id as a narrow expression. The centroids enter
-    as ONE flattened literal array (coords of cid c at c·dim+1 ..
-    (c+1)·dim) and both loops — over centroids and over dimensions —
-    run in EXPRESSION space (transform / aggregate over sequences), so
-    the expression tree is O(k·dim) simple literal leaves plus a
-    fixed-size fold: cheap to analyze and codegen at any k, instead of
-    an unrolled ~k·dim-node tree recompiled per iteration.
+def _assign_expr_from(flat: F.Column, k: int, dim: int) -> F.Column:
+    """Nearest-centroid id given ``flat`` — a flattened coordinate
+    array column (coords of cid c at c·dim+1 .. (c+1)·dim). Both loops
+    — over centroids and over dimensions — run in EXPRESSION space
+    (transform / aggregate over sequences), so the expression tree is
+    a fixed-size fold regardless of k.
 
     The distance fold is left-to-right over the dimension index (the
     order the oracle's list_reduce uses — doubles agree bitwise);
     argmin = array_position of the array_min, whose first-occurrence
     semantics give the deterministic lowest-cid tie-break."""
-    k = len(centroids)
-    flat = F.array(
-        *[
-            F.lit(float(v))
-            for cid in range(k)
-            for v in centroids[cid]
-        ]
-    )
     q = F.col("_q")
 
     def dist(c: F.Column) -> F.Column:
@@ -76,6 +66,40 @@ def _assign_expr(centroids: dict[int, list[float]], dim: int) -> F.Column:
 
     dists = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist)
     return (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
+
+
+# above this many flattened coordinates (k·dim), centroids enter the
+# plan through a broadcast single-row frame instead of literal leaves —
+# identical math, O(1) expression-tree size, no per-iteration reanalysis
+# of a 10⁴–10⁵-leaf literal array
+_LITERAL_COORD_BOUND = 4096
+
+
+def _flat_coords(centroids: dict[int, list[float]]) -> list[float]:
+    return [float(v) for cid in range(len(centroids)) for v in centroids[cid]]
+
+
+def _with_assignment(
+    base: DataFrame, centroids: dict[int, list[float]], dim: int
+) -> DataFrame:
+    """``base`` (carrying _q) + a ``cluster`` column. Small k: the
+    coords are literal leaves (fully Catalyst-visible). Large k: ONE
+    broadcast single-row frame carries the flattened coords — the
+    cross join is a broadcast nested loop against one row (no shuffle,
+    no replication), which is how literal-centroid assignment stays
+    viable at warehouse k without a 10⁵-leaf expression tree."""
+    k = len(centroids)
+    if k * dim <= _LITERAL_COORD_BOUND:
+        flat = F.array(*[F.lit(v) for v in _flat_coords(centroids)])
+        return base.withColumn("cluster", _assign_expr_from(flat, k, dim))
+    cdf = base.sparkSession.createDataFrame(
+        [(_flat_coords(centroids),)], "_cflat: array<double>"
+    )
+    return (
+        base.crossJoin(F.broadcast(cdf))
+        .withColumn("cluster", _assign_expr_from(F.col("_cflat"), k, dim))
+        .drop("_cflat")
+    )
 
 
 def kmeans_assign(
@@ -119,7 +143,7 @@ def kmeans_assign(
         k = len(centroids)  # degenerate tiny inputs: fewer rows than k
 
         for it in range(1, iters + 1):
-            assigned = base.withColumn("cluster", _assign_expr(centroids, dim))
+            assigned = _with_assignment(base, centroids, dim)
             if it == iters:
                 # materialize the (id, cluster) result — two longs per
                 # row — so the working-set cache can be released now
@@ -198,4 +222,49 @@ def semantic_dedup(
             "cluster",
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
+    )
+
+
+def scaled_k(n: int, target_cluster_size: int = 32, k_min: int = 8) -> int:
+    """The production SemDeDup k: scale cluster COUNT with the corpus
+    so cluster SIZE stays bounded (Abbas et al. run k≈100k on 5B
+    embeddings ≈ 50k/cluster). With bounded clusters the within-cluster
+    pairwise stage is O(n · target) — linear in the corpus, never
+    quadratic."""
+    if target_cluster_size < 1:
+        raise ValueError(f"target_cluster_size must be >= 1, got {target_cluster_size}")
+    return max(k_min, -(-n // target_cluster_size))
+
+
+def semantic_dedup_scaled(
+    df: DataFrame,
+    target_cluster_size: int = 32,
+    iters: int = 2,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    k_min: int = 8,
+) -> DataFrame:
+    """SemDeDup's production shape: k derived from the corpus size
+    (``scaled_k``) so the pairwise stage stays linear, instead of a
+    fixed k that turns quadratic as the corpus grows. The one count()
+    action is a bounded driver crossing (a single long).
+
+    Pass ``assignments`` to skip the clustering entirely and reuse an
+    existing partition of the corpus — e.g. ``IvfIndex.build(...)
+    .assigned`` (similarity.py), whose centroid count is already
+    corpus-scaled; the dedup math is identical either way.
+    """
+    if assignments is None:
+        k = scaled_k(df.count(), target_cluster_size, k_min)
+        assignments = kmeans_assign(
+            df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    return semantic_dedup(
+        df,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        assignments=assignments,
     )

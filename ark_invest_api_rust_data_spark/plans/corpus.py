@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.chunking import chunk_documents
-from ..operators.clustering import kmeans_assign, semantic_dedup
+from ..operators.clustering import kmeans_assign, semantic_dedup, semantic_dedup_scaled
 from ..operators.text import unigram_lm_score
 from .base import Probe
 
@@ -100,21 +100,23 @@ def _update_cte(a: str, prev_c: str, out: str) -> str:
   FROM {prev_c} p LEFT JOIN {out}_new n ON p.cid = n.cid)"""
 
 
-def _kmeans_ctes() -> str:
-    """Unrolled Lloyd's (k=8, 3 assignment passes, exact update math)
-    ending in assignment CTE ``a{ITERS}`` — shared by the k-means and
-    semantic-dedup oracles; mirrors operators/clustering.kmeans_assign
-    step for step."""
+def _kmeans_ctes(k_limit: str = str(_K), iters: int = _ITERS) -> str:
+    """Unrolled Lloyd's (``iters`` assignment passes, exact update
+    math) ending in assignment CTE ``a{iters}`` — shared by the
+    k-means and semantic-dedup oracles; mirrors
+    operators/clustering.kmeans_assign step for step. ``k_limit`` is
+    the seed-count SQL expression: a literal for fixed-k probes, a
+    corpus-count subquery for the scaled-k production probe."""
     parts = [
         """e AS (SELECT vec_id, list_transform(embedding,
   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM embeddings)""",
         f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
   list_transform(q, x -> CAST(x AS DOUBLE)) AS coords
-  FROM e ORDER BY vec_id LIMIT {_K})""",
+  FROM e ORDER BY vec_id LIMIT {k_limit})""",
     ]
-    for it in range(1, _ITERS + 1):
+    for it in range(1, iters + 1):
         parts.append(_assign_cte(f"c{it - 1}", f"a{it}"))
-        if it < _ITERS:
+        if it < iters:
             parts.append(_update_cte(f"a{it}", f"c{it - 1}", f"c{it}"))
     return "WITH " + ",\n".join(parts)
 
@@ -148,12 +150,14 @@ def llm_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("cluster", F.col("cluster").cast("int"))
 
 
-_QXA = "CAST(a.q[i] AS DOUBLE)"
-LLM_SEMANTIC_DEDUP_SQL = (
-    _kmeans_ctes()
-    + f""",
+def _semdedup_sql(ctes: str, final_a: str) -> str:
+    """Within-cluster keep-first pairwise dedup over the assignment
+    CTE ``final_a`` — shared by the fixed-k and scaled-k probes."""
+    return (
+        ctes
+        + f""",
 pairs AS (
-  SELECT a.vec_id AS drop_id FROM a{_ITERS} a JOIN a{_ITERS} b
+  SELECT a.vec_id AS drop_id FROM {final_a} a JOIN {final_a} b
     ON a.cluster = b.cluster AND b.vec_id < a.vec_id
   WHERE CAST(list_sum(list_transform(generate_series(1, {_DIM}),
           i -> a.q[i] * b.q[i])) AS DOUBLE)
@@ -163,8 +167,39 @@ pairs AS (
               i -> b.q[i] * b.q[i])) AS DOUBLE))) >= 0.45)
 SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
   vec_id NOT IN (SELECT drop_id FROM pairs) AS kept
-FROM a{_ITERS}
+FROM {final_a}
 """
+    )
+
+
+LLM_SEMANTIC_DEDUP_SQL = _semdedup_sql(_kmeans_ctes(), f"a{_ITERS}")
+
+
+# -------------------------------------------- semantic dedup, scaled k
+_SCALED_TARGET, _SCALED_ITERS = 32, 2
+_SCALED_LIMIT = (
+    f"(SELECT greatest(8, CAST(ceil(count(*) / {_SCALED_TARGET}.0) AS BIGINT)) FROM e)"
+)
+
+
+def llm_semantic_dedup_scaled(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — SemDeDup's PRODUCTION path: k derived from the corpus
+    (ceil(n/32), operators/clustering.scaled_k) so cluster sizes stay
+    bounded and the within-cluster pairwise stage is O(n·32) — linear,
+    never quadratic. Same exact-arithmetic Lloyd's as llm_kmeans
+    (large k switches to the broadcast-coords assignment
+    automatically); the oracle derives the SAME k from a count
+    subquery in the seed LIMIT, so one SQL string is correct at every
+    scale factor."""
+    emb = load_table(spark, sf, "embeddings")
+    out = semantic_dedup_scaled(
+        emb, target_cluster_size=_SCALED_TARGET, iters=_SCALED_ITERS, threshold=0.45
+    )
+    return out.withColumn("cluster", F.col("cluster").cast("int"))
+
+
+LLM_SEMANTIC_DEDUP_SCALED_SQL = _semdedup_sql(
+    _kmeans_ctes(k_limit=_SCALED_LIMIT, iters=_SCALED_ITERS), f"a{_SCALED_ITERS}"
 )
 
 
@@ -455,6 +490,10 @@ PROBES = [
     Probe("llm_lm_score", "B31", llm_lm_score, LLM_LM_SCORE_SQL),
     Probe("llm_kmeans", "B30", llm_kmeans, LLM_KMEANS_SQL),
     Probe("llm_semantic_dedup", "B29", llm_semantic_dedup, LLM_SEMANTIC_DEDUP_SQL),
+    Probe(
+        "llm_semantic_dedup_scaled", "B29",
+        llm_semantic_dedup_scaled, LLM_SEMANTIC_DEDUP_SCALED_SQL,
+    ),
     Probe("llm_multimodal_audio", "B32", llm_multimodal_audio, LLM_MULTIMODAL_AUDIO_SQL),
     Probe("llm_multimodal_video", "B32", llm_multimodal_video, LLM_MULTIMODAL_VIDEO_SQL),
     Probe("llm_multimodal_resize", "B32", llm_multimodal_resize, LLM_MULTIMODAL_RESIZE_SQL),

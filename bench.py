@@ -71,6 +71,8 @@ HEADLINE = [
     "llm_substring_dedup",
     "llm_classifier_score",
     "b12_funnel",
+    # round-4: SemDeDup production path (corpus-scaled k)
+    "llm_semantic_dedup_scaled",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -50,6 +50,9 @@ EXTRA = [
     "llm_corpus_pipeline",
     "llm_similarity_ann",
     "llm_semantic_dedup",
+    # the PRODUCTION SemDeDup path (k = ceil(n/32)): bounded cluster
+    # sizes keep the pairwise stage linear, so this one RUNS at sf1
+    "llm_semantic_dedup_scaled",
     "b16_retention",
     "llm_multimodal_video",
 ]
