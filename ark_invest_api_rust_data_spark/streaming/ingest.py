@@ -157,3 +157,79 @@ def start_incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+def band_store_srcs(store_root: str) -> list[str]:
+    """Partition values currently present under ``bands/`` (e.g.
+    ``corpus``, ``b0``, ``compact_g1``)."""
+    base = f"{store_root}/bands"
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        d[len("src=") :] for d in os.listdir(base) if d.startswith("src=")
+    )
+
+
+def compact_band_store(
+    spark: SparkSession,
+    store_root: str,
+    retired_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    target_files: int | None = None,
+) -> dict:
+    """Band-store lifecycle (the vacuum_versions analog for the LSH
+    index): merge the accumulated per-batch ``src=`` partitions —
+    which grow one small sorted file per micro-batch forever — into
+    ONE band_key-range-partitioned, within-file-sorted generation, and
+    drop bands of ``retired_ids`` (docs deleted from the corpus).
+    Probe cost stays flat because the probe join's input is the same
+    rows in fewer, better-clustered files (range partitioning by
+    band_key means a given band key lives in exactly one file, so a
+    footer-stats-pruned probe touches one file instead of every
+    per-batch file).
+
+    Run it between stream runs, or any time after the batches being
+    folded are committed. CRASH-SAFE by construction:
+
+    * the merged output is staged under ``bands/.compact_tmp`` — a
+      dot-prefixed dir Spark's partition discovery ignores — then
+      atomically renamed to ``bands/src=compact_g<N>``;
+    * the folded source partitions are deleted only after the rename.
+      A crash in the delete window leaves DUPLICATE band rows visible,
+      which is correctness-neutral: band rows only generate candidate
+      pairs, and incremental_near_dup_pairs dedupes candidates before
+      verification. The next compaction folds the leftovers away.
+    * stream replay across the boundary is equivalent: a replayed
+      batch's own bands inside the compacted generation add only
+      batch×batch candidate pairs the batch self-join produces anyway
+      (pytest-pinned in tests/test_streaming.py).
+
+    Returns {"generation", "folded", "rows"}.
+    """
+    import shutil
+
+    base = f"{store_root}/bands"
+    srcs = band_store_srcs(store_root)
+    if not srcs:
+        raise FileNotFoundError(f"no band store under {store_root}")
+    gen = 1 + max(
+        (int(s[len("compact_g") :]) for s in srcs if s.startswith("compact_g")),
+        default=0,
+    )
+    tmp = f"{base}/.compact_tmp"
+    df = spark.read.parquet(base).drop("src")
+    if retired_ids is not None:
+        df = df.join(retired_ids.select(id_col).distinct(), id_col, "left_anti")
+    n_files = target_files or max(
+        1, spark.sparkContext.defaultParallelism // 4
+    )
+    (
+        df.repartitionByRange(n_files, "band_key")
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    n_rows = spark.read.parquet(tmp).count()
+    os.rename(tmp, f"{base}/src=compact_g{gen}")
+    for s in srcs:
+        shutil.rmtree(f"{base}/src={s}", ignore_errors=True)
+    return {"generation": gen, "folded": srcs, "rows": n_rows}

@@ -720,3 +720,114 @@ def test_stream_static_lm_scoring_equals_batch(spark, tmp_path):
         )
     assert all(r["n_oov"] >= 1 for r in want_scores.values())  # OOV real
     assert all(r["min_token_df"] == 0 for r in want_scores.values())
+
+
+def test_band_store_compaction_replay_equivalence(spark, tmp_path):
+    """Band-store lifecycle (VERDICT r3 #2): compaction folds the
+    per-batch src= partitions into one band_key-sorted generation
+    without changing ANY dedup decision — the pair set is identical
+    before/after, a full stream replay ACROSS the compaction boundary
+    (stale per-batch partitions re-created next to the compacted
+    generation, i.e. duplicate band rows visible) still yields the
+    same kept set, and retired docs' bands are dropped."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+    )
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        band_store_srcs,
+        compact_band_store,
+        seed_band_store,
+        start_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    streamed = docs.filter(F.col("doc_id") % 10 >= 8)
+    stream_rows = sorted(streamed.collect(), key=lambda r: r["doc_id"])
+    k = len(stream_rows) // 2
+    chunks = [stream_rows[:k], stream_rows[k:]]
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for i, chunk in enumerate(chunks):
+        p = str(src / f"part{i}.parquet")
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+
+    def run_stream(ckpt):
+        stream_in = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/part*.parquet")
+        )
+        q = start_incremental_dedup_stream(
+            spark, stream_in, corpus, store_root,
+            checkpoint=str(tmp_path / ckpt), threshold=0.5,
+        )
+        q.awaitTermination()
+
+    store_root = str(tmp_path / "store")
+    seed_band_store(corpus, store_root)
+    run_stream("ckpt1")
+
+    def band_rows():
+        return {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in spark.read.parquet(f"{store_root}/bands").collect()
+        }
+
+    def kept_ids():
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{store_root}/docs")
+            .filter(F.col("kept"))
+            .collect()
+        }
+
+    def probe_pairs():
+        # the registered probe shape: next batch probes the live store
+        probe_batch = docs.filter(F.col("doc_id") % 10 == 7)
+        store = spark.read.parquet(f"{store_root}/bands")
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in incremental_near_dup_pairs(
+                docs, probe_batch, band_store=store, threshold=0.5
+            ).collect()
+        }
+
+    before_bands, before_kept, before_pairs = band_rows(), kept_ids(), probe_pairs()
+    assert len(band_store_srcs(store_root)) == 3  # corpus + b0 + b1
+
+    info = compact_band_store(spark, store_root)
+    assert band_store_srcs(store_root) == ["compact_g1"]
+    assert set(info["folded"]) == {"corpus", "b0", "b1"}
+    # same rows, same probe decisions — just fewer, sorted files
+    assert band_rows() == before_bands
+    assert probe_pairs() == before_pairs
+
+    # replay ACROSS the boundary: rerun the whole stream with a fresh
+    # checkpoint — b0/b1 partitions reappear NEXT TO the compacted
+    # generation (duplicate band rows), decisions must not change
+    run_stream("ckpt2")
+    assert kept_ids() == before_kept
+    assert probe_pairs() == before_pairs
+    assert spark.read.parquet(f"{store_root}/docs").count() == len(stream_rows)
+
+    # second compaction folds the duplicates away again
+    info2 = compact_band_store(spark, store_root)
+    assert info2["generation"] == 2
+    assert band_rows() == before_bands
+
+    # retirement: drop a corpus doc's bands
+    victim = corpus.select("doc_id").orderBy("doc_id").limit(1)
+    vid = victim.first()["doc_id"]
+    compact_band_store(spark, store_root, retired_ids=victim)
+    assert {t for t in band_rows() if t[0] == vid} == set()
+    assert {t[0] for t in before_bands} - {t[0] for t in band_rows()} == {vid}
