@@ -219,29 +219,66 @@ def domain_cap(
     cap: int = 10,
     domain_col: str = "source",
     id_col: str = "doc_id",
+    tier: str = "window",
+    shards: int = 16,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per domain, chosen by a
     content-free deterministic order (md5 of the id — uniform,
-    engine-portable, no RNG state): the row_number window is one
-    hash-partitioned shuffle on the domain key, the same shape at any
-    scale. Returns every id with its rank and kept flag so the probe
-    pins the full decision, not just the survivors.
+    engine-portable, no RNG state).
 
-    Skewed domains (one giant host) concentrate a partition; at
-    warehouse scale pre-aggregate with the skew.salted_join pattern or
-    cap per (domain, md5-prefix) shard first — the window itself is
-    already the minimal one-shuffle plan.
+    * ``tier="window"`` (default): ONE hash-partitioned row_number
+      window on the domain key — the minimal plan when domains are
+      balanced. Returns every id with its exact global rank ``rk`` and
+      kept flag. A pathological domain (half the corpus from one host
+      — common in crawl data) lands on one partition.
+    * ``tier="sharded"`` — the SKEW-SAFE tier: phase 1 caps per
+      (domain, md5-prefix shard), bounding every window partition to
+      ~1/``shards`` of the worst domain; phase 2 re-caps the phase-1
+      survivors (≤ shards·cap rows per domain — tiny) with the SAME
+      global order. A globally top-``cap`` row is top-``cap`` within
+      its shard too, so survivor rank == global rank for every KEPT
+      row — the kept set and kept-row ranks are IDENTICAL to the
+      window tier (equivalence pytest). ``rk`` is NULL for dropped
+      rows (their exact global rank would cost the skewed window this
+      tier exists to avoid). Costs one extra join of the corpus
+      against the tiny survivor set (AQE broadcasts it).
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    w = Window.partitionBy(domain_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    if tier == "window":
+        w = Window.partitionBy(domain_col).orderBy(*order)
+        return df.select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.row_number().over(w).cast("long").alias("rk"),
+        ).withColumn("kept", F.col("rk") <= cap)
+    if tier != "sharded":
+        raise ValueError(f"unknown tier {tier!r}")
+    if shards < 2:
+        raise ValueError(f"shards must be >= 2, got {shards}")
+    base = df.select(F.col(id_col), F.col(domain_col))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(shards),
     )
-    return df.select(
+    w1 = Window.partitionBy(domain_col, "_shard").orderBy(*order)
+    phase1 = (
+        base.withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)  # per-shard cap: superset of global top-cap
+        .drop("_r1", "_shard")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    survivors = phase1.withColumn("rk2", F.row_number().over(w2).cast("long"))
+    return base.join(survivors.select(id_col, "rk2"), id_col, "left").select(
         F.col(id_col),
         F.col(domain_col),
-        F.row_number().over(w).cast("long").alias("rk"),
-    ).withColumn("kept", F.col("rk") <= cap)
+        F.when(F.col("rk2") <= cap, F.col("rk2")).alias("rk"),
+        F.coalesce(F.col("rk2") <= cap, F.lit(False)).alias("kept"),
+    )
 
 
 # ------------------------------------------------------------------
@@ -251,24 +288,38 @@ def shard_assign(
     df: DataFrame,
     n_shards: int = 16,
     id_col: str = "doc_id",
+    mix: str = "knuth",
 ) -> DataFrame:
     """Global deterministic shuffle for training export: shard =
-    Knuth-mixed id mod n_shards (uniform, reproducible, join-free),
+    mixed id mod n_shards (uniform, reproducible, join-free),
     position within shard = row_number over a SECOND independent mix —
     the reader streams shards in a content-derived pseudo-random
     order, the property a training run needs from its data loader.
+    One window shuffle on the shard key.
 
-    One window shuffle on the shard key. ids must fit 32 bits for the
-    exact-overflow-free mix (the testdata contract); wider ids would
-    mix on xxhash64 instead and drop the SQL oracle to rows-only.
+    * ``mix="knuth"`` (default, the hash-exact oracle probe): Knuth
+      multiplicative mix — exact-overflow-free only while ids fit 32
+      bits (a LongType id times the 32-bit constant must stay under
+      2⁶³; the testdata contract).
+    * ``mix="xxhash64"`` — the 64-bit-id production tier: both mixes
+      are xxhash64 (codegen, seed-split for independence). No DuckDB
+      twin, so it is pytest-verified (determinism, uniformity, 64-bit
+      ids) rather than oracle-hashed; the knuth probe stays the
+      hash-exact gate of the shared window shape.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    shard = (F.col(id_col) * F.lit(_KNUTH)) % F.lit(1 << 32) % F.lit(n_shards)
-    mix = (F.col(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(1 << 31)
+    if mix == "knuth":
+        shard_c = (F.col(id_col) * F.lit(_KNUTH)) % F.lit(1 << 32) % F.lit(n_shards)
+        mix_c = (F.col(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(1 << 31)
+    elif mix == "xxhash64":
+        shard_c = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        mix_c = F.xxhash64(F.col(id_col), F.lit(1))
+    else:
+        raise ValueError(f"unknown mix {mix!r}")
     w = Window.partitionBy("shard").orderBy("_mix", id_col)
     return (
-        df.select(F.col(id_col), shard.cast("long").alias("shard"), mix.alias("_mix"))
+        df.select(F.col(id_col), shard_c.cast("long").alias("shard"), mix_c.alias("_mix"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_mix")
     )

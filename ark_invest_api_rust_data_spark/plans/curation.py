@@ -100,6 +100,29 @@ SELECT doc_id, source, rk, rk <= 10 AS kept FROM (
 """
 
 
+def llm_domain_cap_sharded(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — the SKEW-SAFE domain-cap tier (VERDICT r3 #3a): cap per
+    (domain, md5-prefix shard) first, re-cap the bounded survivor set.
+    Kept set and kept-row ranks are provably identical to the global
+    window, so the oracle is the SAME global-window SQL with rk masked
+    to kept rows (the tier doesn't compute dropped rows' global
+    ranks — that's the skewed window it exists to avoid)."""
+    return domain_cap(
+        load_table(spark, sf, "documents"), cap=10, tier="sharded", shards=16
+    )
+
+
+LLM_DOMAIN_CAP_SHARDED_SQL = """
+SELECT doc_id, source, CASE WHEN rk <= 10 THEN rk END AS rk,
+  rk <= 10 AS kept FROM (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents)
+"""
+
+
 # ------------------------------------------------- shard assignment
 def llm_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
     """B31 — deterministic training-export sharding (16 shards): Knuth
@@ -123,5 +146,9 @@ PROBES = [
     Probe("llm_substring_dedup", "B29", llm_substring_dedup, LLM_SUBSTRING_DEDUP_SQL),
     Probe("llm_classifier_score", "B31", llm_classifier_score, LLM_CLASSIFIER_SCORE_SQL),
     Probe("llm_domain_cap", "B31", llm_domain_cap, LLM_DOMAIN_CAP_SQL),
+    Probe(
+        "llm_domain_cap_sharded", "B31",
+        llm_domain_cap_sharded, LLM_DOMAIN_CAP_SHARDED_SQL,
+    ),
     Probe("llm_shard_assign", "B31", llm_shard_assign, LLM_SHARD_ASSIGN_SQL),
 ]

@@ -179,3 +179,82 @@ def test_shard_export_layout(spark, tmp_path):
         assert "text" in t.column_names  # payload joined back
         seen += len(pos)
     assert seen == 64
+
+
+# -------------------------------------------- skew-safe tiers (r4)
+def test_domain_cap_sharded_equals_window_on_planted_skew(spark):
+    """VERDICT r3 #3a: the sharded tier on a pathologically skewed
+    corpus (half the rows from ONE domain) — kept set and kept-row
+    ranks identical to the global window tier, and the phase-1 window
+    keys actually break the giant domain up (max (domain, shard) group
+    ≈ giant/16, so no single task carries the whole host)."""
+    rows = [(i, "giant.example" if i % 2 == 0 else f"dom{i % 37}") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    win = {r["doc_id"]: (r["kept"], r["rk"]) for r in domain_cap(df, cap=10).collect()}
+    sh = {
+        r["doc_id"]: (r["kept"], r["rk"])
+        for r in domain_cap(df, cap=10, tier="sharded", shards=16).collect()
+    }
+    assert set(win) == set(sh)
+    for i, (kept, rk) in win.items():
+        assert sh[i][0] == kept, f"doc {i} kept mismatch"
+        if kept:
+            assert sh[i][1] == rk, f"doc {i} rank mismatch"
+        else:
+            assert sh[i][1] is None  # dropped rows carry no global rank
+    # skew actually broken: phase-1 group sizes bounded (md5 prefix is
+    # uniform — the giant domain's 1000 rows split ~62/shard)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(16),
+    )
+    sizes = [
+        r["c"]
+        for r in df.withColumn("_s", shard)
+        .groupBy("source", "_s")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert max(sizes) <= 1000 // 16 * 3, f"phase-1 group still skewed: {max(sizes)}"
+
+
+def test_domain_cap_rejects_bad_tier(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        domain_cap(df, cap=10, tier="nope")
+    with pytest.raises(ValueError):
+        domain_cap(df, cap=10, tier="sharded", shards=1)
+
+
+def test_shard_assign_xxhash64_tier_64bit_ids(spark):
+    """VERDICT r3 #3b: the xxhash64 mix handles ids beyond 32 bits
+    (where the Knuth product would overflow int64): deterministic
+    across runs, uniform across shards, every id placed exactly once
+    with dense within-shard positions."""
+    big = 1 << 40
+    ids = [(big + i * 7919,) for i in range(512)]
+    df = spark.createDataFrame(ids, ["doc_id"])
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df, 16, mix="xxhash64").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df, 16, mix="xxhash64").collect()}
+    assert a == b  # deterministic
+    assert len(a) == 512
+    sizes: dict[int, int] = {}
+    for s, _ in a.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert set(sizes) == set(range(16))
+    exp = 512 / 16
+    assert max(sizes.values()) <= 2 * exp and min(sizes.values()) >= exp / 2
+    # dense positions per shard
+    by_shard: dict[int, list] = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_shard_assign_rejects_bad_mix(spark):
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        shard_assign(df, 8, mix="md5")
