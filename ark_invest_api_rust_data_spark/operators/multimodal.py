@@ -228,6 +228,43 @@ def parse_image_dims(b: bytes) -> tuple[int, int] | None:
 # BMP's bottom-up row order and BGR channel order.
 
 
+def _pack_dib_rows(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB stream → the DIB pixel block BMP and uncompressed
+    AVI share: bottom-up rows, BGR byte order, rows padded to 4-byte
+    boundaries."""
+    row_sz = (width * 3 + 3) & ~3
+    rows = []
+    pad = b"\x00" * (row_sz - width * 3)
+    for y in range(height - 1, -1, -1):  # file stores rows bottom-up
+        row = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            row += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR on disk
+        rows.append(bytes(row) + pad)
+    return b"".join(rows)
+
+
+def _unpack_dib_rows(
+    b: bytes, off: int, width: int, height: int, bottom_up: bool = True
+) -> bytes | None:
+    """DIB pixel block at ``off`` → top-down RGB stream, or None when
+    the buffer is too short."""
+    row_sz = (width * 3 + 3) & ~3
+    if len(b) < off + row_sz * height:
+        return None
+    out = bytearray(width * height * 3)
+    for y_out in range(height):
+        y_file = (height - 1 - y_out) if bottom_up else y_out
+        base = off + y_file * row_sz
+        for x in range(width):
+            i = base + x * 3
+            o = (y_out * width + x) * 3
+            out[o] = b[i + 2]  # R  (disk order is BGR)
+            out[o + 1] = b[i + 1]
+            out[o + 2] = b[i]
+    return bytes(out)
+
+
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     """Minimal BITMAPINFOHEADER 24-bit BMP writer. ``rgb`` is the
     row-major top-down RGB stream (w*h*3 bytes). Used by tests and the
@@ -252,15 +289,7 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
         + (2835).to_bytes(4, "little") * 2  # 72 DPI
         + (0).to_bytes(4, "little") * 2
     )
-    rows = []
-    pad = b"\x00" * (row_sz - width * 3)
-    for y in range(height - 1, -1, -1):  # file stores rows bottom-up
-        row = bytearray()
-        for x in range(width):
-            i = (y * width + x) * 3
-            row += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR on disk
-        rows.append(bytes(row) + pad)
-    return header + b"".join(rows)
+    return header + _pack_dib_rows(width, height, rgb)
 
 
 def decode_bmp(b: bytes) -> tuple[int, int, bytes] | None:
@@ -280,20 +309,10 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes] | None:
     if bpp != 24 or compression != 0 or w <= 0 or h == 0:
         return None
     height, bottom_up = abs(h), h > 0
-    row_sz = (w * 3 + 3) & ~3
-    if len(b) < off + row_sz * height:
+    pixels = _unpack_dib_rows(b, off, w, height, bottom_up)
+    if pixels is None:
         return None
-    out = bytearray(w * height * 3)
-    for y_out in range(height):
-        y_file = (height - 1 - y_out) if bottom_up else y_out
-        base = off + y_file * row_sz
-        for x in range(w):
-            i = base + x * 3
-            o = (y_out * w + x) * 3
-            out[o] = b[i + 2]  # R  (disk order is BGR)
-            out[o + 1] = b[i + 1]
-            out[o + 2] = b[i]
-    return (w, height, bytes(out))
+    return (w, height, pixels)
 
 
 def _ppm_header_tokens(b: bytes) -> tuple[int, int, int, int] | None:
@@ -658,9 +677,184 @@ def decode_gif_frames(b: bytes) -> tuple[int, int, list[bytes]] | None:
     return (w, h, frames)
 
 
+# ------------------------------------------------- real video codec #2
+#
+# Uncompressed AVI ('DIB ' frames) in pure Python — a REAL container
+# format beyond GIF, composed from pieces this module already proved:
+# the RIFF chunk walk (decode_wav) and the DIB pixel block (the BMP
+# codec's _pack/_unpack_dib_rows). Frames are 24-bit BGR bottom-up
+# padded rows — byte-identical to BMP pixel data — inside '00db'
+# chunks under LIST movi. Fully specified publicly (MSDN AVI RIFF
+# reference), no media libs needed.
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """fourcc + size + payload (+ pad byte: chunks align to even)."""
+    return fourcc + len(payload).to_bytes(4, "little") + payload + (
+        b"\x00" if len(payload) & 1 else b""
+    )
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi(
+    width: int, height: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal uncompressed-24-bit AVI writer: RIFF 'AVI ' with hdrl
+    (avih + one 'vids'/'DIB ' stream) and movi ('00db' DIB frames).
+    ``frames`` are row-major top-down RGB streams (w·h·3 bytes each)."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dims {width}x{height}")
+    if not frames:
+        raise ValueError("need at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    for i, f in enumerate(frames):
+        if len(f) != width * height * 3:
+            raise ValueError(
+                f"frame {i}: need {width * height * 3} rgb bytes, got {len(f)}"
+            )
+    row_sz = (width * 3 + 3) & ~3
+    frame_sz = row_sz * height
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in (
+            1_000_000 // fps,  # dwMicroSecPerFrame
+            frame_sz * fps,  # dwMaxBytesPerSec
+            0,  # dwPaddingGranularity
+            0,  # dwFlags
+            len(frames),  # dwTotalFrames
+            0,  # dwInitialFrames
+            1,  # dwStreams
+            frame_sz,  # dwSuggestedBufferSize
+            width,
+            height,
+            0, 0, 0, 0,  # dwReserved[4]
+        )
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + (0).to_bytes(4, "little")  # dwFlags
+        + (0).to_bytes(2, "little")  # wPriority
+        + (0).to_bytes(2, "little")  # wLanguage
+        + (0).to_bytes(4, "little")  # dwInitialFrames
+        + (1).to_bytes(4, "little")  # dwScale
+        + fps.to_bytes(4, "little")  # dwRate
+        + (0).to_bytes(4, "little")  # dwStart
+        + len(frames).to_bytes(4, "little")  # dwLength
+        + frame_sz.to_bytes(4, "little")  # dwSuggestedBufferSize
+        + (0).to_bytes(4, "little")  # dwQuality
+        + (0).to_bytes(4, "little")  # dwSampleSize
+        + (0).to_bytes(2, "little") * 2  # rcFrame left/top
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + frame_sz.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi",
+        b"".join(
+            _riff_chunk(b"00db", _pack_dib_rows(width, height, f)) for f in frames
+        ),
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _avi_walk(b: bytes, i: int, end: int, strf: list, frames: list) -> bool:
+    """Recursive RIFF walk collecting the video strf and '00db'/'00dc'
+    frame payloads (including inside LIST 'rec ' groupings). Returns
+    False on malformed structure."""
+    while i + 8 <= end:
+        cid = b[i : i + 4]
+        sz = int.from_bytes(b[i + 4 : i + 8], "little")
+        if i + 8 + sz > end:
+            return False
+        if cid == b"LIST":
+            if sz < 4:
+                return False
+            if not _avi_walk(b, i + 12, i + 8 + sz, strf, frames):
+                return False
+        elif cid == b"strf":
+            strf.append(b[i + 8 : i + 8 + sz])
+        elif cid[2:4] in (b"db", b"dc"):
+            frames.append(b[i + 8 : i + 8 + sz])
+        i += 8 + sz + (sz & 1)  # chunks pad to even boundaries
+    return True
+
+
+def decode_avi(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Uncompressed 24-bit AVI → (w, h, [top-down RGB streams]). None
+    for anything else (compressed streams, paletted, truncated,
+    degenerate 0-pixel dims — same strict contract as the other
+    codecs; MP4/WebM still need ffmpeg and fail loudly)."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    strf: list[bytes] = []
+    raw: list[bytes] = []
+    if not _avi_walk(b, 12, min(len(b), 8 + int.from_bytes(b[4:8], "little")), strf, raw):
+        return None
+    if len(strf) != 1 or len(strf[0]) < 40 or not raw:
+        return None
+    s = strf[0]
+    w = int.from_bytes(s[4:8], "little", signed=True)
+    h = int.from_bytes(s[8:12], "little", signed=True)
+    bpp = int.from_bytes(s[14:16], "little")
+    compression = int.from_bytes(s[16:20], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    height, bottom_up = abs(h), h > 0
+    if w * height == 0:
+        return None
+    frames: list[bytes] = []
+    row_sz = (w * 3 + 3) & ~3
+    for payload in raw:
+        if len(payload) != row_sz * height:
+            return None
+        pixels = _unpack_dib_rows(payload, 0, w, height, bottom_up)
+        if pixels is None:
+            return None
+        frames.append(pixels)
+    return (w, height, frames)
+
+
+def decode_video_gray(b: bytes) -> tuple[int, int, list[bytes]] | None:
+    """Unified video decode to GRAY byte frames (w·h bytes each): GIF
+    frames are already gray palette indices; AVI RGB frames fold to
+    exact-integer (r+g+b)//3 luma. None when no codec recognizes the
+    payload."""
+    g = decode_gif_frames(b)
+    if g is not None:
+        return g
+    a = decode_avi(b)
+    if a is None:
+        return None
+    w, h, frames = a
+    gray = [
+        bytes((f[i] + f[i + 1] + f[i + 2]) // 3 for i in range(0, len(f), 3))
+        for f in frames
+    ]
+    return (w, h, gray)
+
+
 def parse_video_meta(b: bytes) -> tuple[int, int, int] | None:
-    """(width, height, n_frames) for GIF video payloads, None else."""
-    decoded = decode_gif_frames(b)
+    """(width, height, n_frames) for GIF/AVI video payloads, None else."""
+    decoded = decode_video_gray(b)
     if decoded is None:
         return None
     w, h, frames = decoded
@@ -781,7 +975,7 @@ def decode_features(batch_rows, kind: str, strict: bool):
             if decoded is not None:
                 feats = audio_features(*decoded)
         elif kind == "video":
-            decoded = decode_gif_frames(payload)
+            decoded = decode_video_gray(payload)
             if decoded is not None:
                 feats = video_features(*decoded)
         if feats is not None:
@@ -908,10 +1102,17 @@ def frame_sample(
             contents, metas = [], []
             for payload, meta in zip(pdf["content"], pdf["meta"]):
                 decoded = decode_gif_frames(payload)
-                if decoded is not None:
-                    w, h, frames = decoded
+                avi = None if decoded is not None else decode_avi(payload)
+                if decoded is not None or avi is not None:
+                    w, h, frames = decoded if decoded is not None else avi
                     kept = frames[::every_n]
-                    contents.append(encode_gif(w, h, kept))
+                    # re-encode in the SOURCE container: GIF frames are
+                    # palette indices, AVI frames RGB streams
+                    contents.append(
+                        encode_gif(w, h, kept)
+                        if decoded is not None
+                        else encode_avi(w, h, kept)
+                    )
                     metas.append(
                         {
                             "width": w,

@@ -405,6 +405,106 @@ FROM px GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------ real AVI tier
+def llm_multimodal_avi(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 real-codec tier (video container #2, VERDICT r3 #4) —
+    end-to-end UNCOMPRESSED AVI through the REAL frame_sample
+    operator, no ffmpeg anywhere: each document's first 32 chars
+    become 4 frames of 4×4 GRAY RGB pixels (r=g=b=v with v the same
+    character-derived value as the GIF probe, so the (r+g+b)//3 luma
+    fold is exact), written as a REAL RIFF/AVI file ('vids'/'DIB '
+    stream, '00db' DIB frames — operators/multimodal.encode_avi),
+    frame-sampled every 2nd frame (decode → keep 0,2 → re-encode AVI),
+    decoded AGAIN from the re-encoded bytes, and the probe emits exact
+    integer pixel stats. The oracle computes the same stats straight
+    from the characters — a BGR/bottom-up confusion, row-padding
+    off-by-one, or chunk-walk bug hash-mismatches.
+
+    Scale shape: identical to the GIF tier — spread, then a narrow
+    mapInPandas chain (build → sample → stats), zero shuffles."""
+    import pandas as pd
+
+    from ..operators.dedup import _spread
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_avi,
+        encode_avi,
+        frame_sample,
+    )
+
+    docs = _spread(
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 32)
+        .select("doc_id", F.substring("text", 1, 32).alias("t32"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t32"]):
+                frames = [
+                    bytes(
+                        v
+                        for p in range(16)
+                        for v in ((ord(t[(f * 8 + p) % 32]) * (f + 1)) % 256,) * 3
+                    )
+                    for f in range(4)
+                ]
+                rows.append(
+                    (
+                        int(doc_id),
+                        "video",
+                        encode_avi(4, 4, frames),
+                        {"width": 4, "height": 4, "sample_rate": None, "n_frames": 4},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(build, MEDIA_SCHEMA)
+    sampled = frame_sample(media, every_n=2)
+
+    stats_schema = (
+        "doc_id long, width int, height int, n_frames_kept int, "
+        "px_sum long, px_peak long, motion_abs long"
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                decoded = decode_avi(bytes(content))
+                if decoded is None:  # impossible for our own AVI
+                    raise ValueError(f"AVI decode failed for doc {media_id}")
+                w, h, frames = decoded
+                # gray stats over the red channel (r=g=b by construction)
+                gray = [f[0::3] for f in frames]
+                rows.append(
+                    (
+                        int(media_id),
+                        w,
+                        h,
+                        len(gray),
+                        sum(sum(f) for f in gray),
+                        max(max(f) for f in gray),
+                        sum(abs(a - b) for a, b in zip(gray[0], gray[-1])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames_kept",
+                    "px_sum", "px_peak", "motion_abs",
+                ],
+            )
+
+    return sampled.mapInPandas(stats, stats_schema)
+
+
+LLM_MULTIMODAL_AVI_SQL = LLM_MULTIMODAL_VIDEO_SQL
+
+
 # ------------------------------------------------------ real resize tier
 def llm_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     """B32 real-codec tier (resize) — end-to-end pixel resample through
@@ -496,5 +596,6 @@ PROBES = [
     ),
     Probe("llm_multimodal_audio", "B32", llm_multimodal_audio, LLM_MULTIMODAL_AUDIO_SQL),
     Probe("llm_multimodal_video", "B32", llm_multimodal_video, LLM_MULTIMODAL_VIDEO_SQL),
+    Probe("llm_multimodal_avi", "B32", llm_multimodal_avi, LLM_MULTIMODAL_AVI_SQL),
     Probe("llm_multimodal_resize", "B32", llm_multimodal_resize, LLM_MULTIMODAL_RESIZE_SQL),
 ]

@@ -215,3 +215,116 @@ def test_degenerate_payloads_reject_not_crash():
         # non-strict: the deterministic fake vector
         (feats,) = decode_features([payload], kind, strict=False)
         assert len(feats) > 0
+
+
+# ------------------------------------------------- uncompressed AVI
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    data=st.data(),
+)
+def test_avi_roundtrip_property(w, h, data):
+    """The uncompressed-AVI codec inverts on ANY frame stack and dims —
+    including widths whose rows need 4-byte padding."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        parse_video_meta,
+    )
+
+    n_frames = data.draw(st.integers(min_value=1, max_value=5))
+    frames = [
+        bytes(data.draw(st.binary(min_size=w * h * 3, max_size=w * h * 3)))
+        for _ in range(n_frames)
+    ]
+    blob = encode_avi(w, h, frames)
+    assert decode_avi(blob) == (w, h, frames)
+    assert parse_video_meta(blob) == (w, h, n_frames)
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.binary(max_size=96))
+def test_avi_rejects_junk_property(junk):
+    from ark_invest_api_rust_data_spark.operators.multimodal import decode_avi
+
+    out = decode_avi(junk)
+    if out is not None:
+        w, h, frames = out
+        assert w >= 1 and h >= 1 and frames
+        assert all(len(f) == w * h * 3 for f in frames)
+
+
+def test_avi_rejects_truncations_and_validates_encoder():
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    frames = [bytes(range(48)), bytes(reversed(range(48)))]
+    blob = encode_avi(4, 4, frames)
+    for cut in (10, 40, len(blob) // 2, len(blob) - 3):
+        assert decode_avi(blob[:cut]) is None
+    with pytest.raises(ValueError):
+        encode_avi(4, 4, [b"\x00" * 10])  # wrong frame size
+    with pytest.raises(ValueError):
+        encode_avi(0, 4, [b""])
+    with pytest.raises(ValueError):
+        encode_avi(4, 4, [])
+
+
+def test_decode_video_gray_exact_luma():
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        decode_video_gray,
+        encode_avi,
+    )
+
+    rgb = bytes([10, 20, 31, 255, 0, 4])  # (10+20+31)//3=20, (255+0+4)//3=86
+    blob = encode_avi(2, 1, [rgb])
+    assert decode_video_gray(blob) == (2, 1, [bytes([20, 86])])
+
+
+def test_frame_sample_avi_end_to_end(spark):
+    """frame_sample accepts AVI payloads: decode → every 2nd frame →
+    re-encode as a VALID AVI whose re-decode shows frames 0 and 2."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+        frame_sample,
+    )
+
+    frames = [bytes(((f * 40 + i) % 256) for i in range(27)) for f in range(4)]
+    blob = encode_avi(3, 3, frames)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(blob),
+          {"width": 3, "height": 3, "sample_rate": None, "n_frames": 4})],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    (row,) = frame_sample(df, every_n=2).collect()
+    assert row["meta"]["n_frames"] == 2
+    out = decode_avi(bytes(row["content"]))
+    assert out == (3, 3, [frames[0], frames[2]])
+
+
+def test_extract_features_avi_real(spark):
+    """kind='video' feature extraction decodes AVI via the gray
+    dispatcher — REAL features, not the fake fallback."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        extract_features,
+        video_features,
+    )
+    from ark_invest_api_rust_data_spark.operators.multimodal import encode_avi
+
+    rgb_frames = [bytes(((f * 64 + i) % 256) for i in range(12)) for f in range(3)]
+    blob = encode_avi(2, 2, rgb_frames)
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(blob))],
+        "media_id long, kind string, content binary",
+    )
+    (row,) = extract_features(df, strict=True).collect()
+    gray = [
+        bytes((f[i] + f[i + 1] + f[i + 2]) // 3 for i in range(0, len(f), 3))
+        for f in rgb_frames
+    ]
+    assert list(row["feature"]) == video_features(2, 2, gray)
