@@ -494,3 +494,66 @@ def test_refresh_ticker_quality_metrics(spark, tmp_path):
     assert metrics["rows"] == 14
     assert metrics["null_dates"] == 0
     assert metrics["unidentified_rows"] == 0
+
+
+def test_lake_concurrent_compaction_and_ingest_chaos(spark, tmp_path):
+    """VERDICT r3 #5: a compactor and an ingest loop over the SAME
+    holdings prefix never lose or duplicate rows. Ingest commits
+    through write_lake_committed (lock + manifest bump); compact_lake
+    swaps optimistically and retries when a batch landed mid-rewrite.
+    Every ingested row must be present exactly once at the end."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.sources.parquet_store import (
+        compact_lake,
+        read_lake,
+        read_lake_version,
+        write_lake,
+        write_lake_committed,
+    )
+
+    root = str(tmp_path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def batch(i):
+        # disjoint (ticker, date) partitions per batch -> the final lake
+        # must contain the union of all batches exactly once
+        rows = [(f"T{i}", f"2024-01-{d + 1:02d}", f"C{i}_{d}_{j}", float(j))
+                for d in range(3) for j in range(20)]
+        return (
+            spark.createDataFrame(rows, "ticker string, date string, cusip string, weight double")
+            .withColumn("date", F.to_date("date"))
+            .repartition(4)  # several small files per partition
+        )
+
+    write_lake(batch(0), root)  # seed (pre-protocol lake: version 0)
+    n_batches = 7
+    errors = []
+
+    def ingest_loop():
+        try:
+            for i in range(1, n_batches):
+                write_lake_committed(batch(i), root)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t = threading.Thread(target=ingest_loop)
+    t.start()
+    compactions = 0
+    while t.is_alive():
+        compact_lake(spark, root, attempts=20)
+        compactions += 1
+    t.join()
+    compact_lake(spark, root, attempts=20)  # final fold, no contention
+    assert not errors, errors
+    assert compactions >= 1
+    assert read_lake_version(root) >= n_batches - 1  # every commit bumped
+
+    got = read_lake(spark, root).collect()
+    keys = sorted((r["ticker"], str(r["date"]), r["cusip"]) for r in got)
+    assert len(keys) == len(set(keys)), "duplicated rows after chaos"
+    assert len(keys) == n_batches * 3 * 20, (
+        f"lost rows: {len(keys)} != {n_batches * 3 * 20}"
+    )
