@@ -92,6 +92,17 @@ def main() -> None:
             for name in names:
                 if float(sf) >= 1 and name in QUADRATIC:
                     continue
+                # settle before timing (r4, VERDICT r3 #6 — measured):
+                # the previous probe's async cleanup (unpersist /
+                # localCheckpoint release) plus deferred GC steal CPU
+                # from the NEXT probe, inflating CPU-bound Python-codec
+                # probes 2-4x in long sessions (the old finding-15
+                # "worker churn" hypothesis was wrong — worker counts
+                # stay flat). One synchronous System.gc + a short drain
+                # restores dedicated-session timings in-audit, without
+                # the min-across-sessions crutch.
+                sc._jvm.System.gc()
+                time.sleep(0.3)
                 sc.setJobGroup(f"{name}@sf{sf}@p{_pass}", name)
                 t0 = time.perf_counter()
                 probes[name].spark(spark, sf_dir).write.format("noop").mode(
