@@ -50,9 +50,10 @@ EXTRA = [
     "llm_corpus_pipeline",
     "llm_similarity_ann",
     "llm_semantic_dedup",
-    # the PRODUCTION SemDeDup path (k = ceil(n/32)): bounded cluster
-    # sizes keep the pairwise stage linear, so this one RUNS at sf1
-    "llm_semantic_dedup_scaled",
+    # llm_semantic_dedup_scaled — the PRODUCTION SemDeDup path
+    # (k = ceil(n/32), bounded clusters, linear pairwise) — is in the
+    # bench HEADLINE list (already included via `names`) and RUNS at
+    # sf1, unlike the fixed-k probe above.
     "b16_retention",
     "llm_multimodal_video",
 ]
@@ -88,21 +89,23 @@ def main() -> None:
         probes["b07_agg_q1"].spark(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        for _pass in range(2):
-            for name in names:
-                if float(sf) >= 1 and name in QUADRATIC:
-                    continue
-                # settle before timing (r4, VERDICT r3 #6 — measured):
-                # the previous probe's async cleanup (unpersist /
-                # localCheckpoint release) plus deferred GC steal CPU
-                # from the NEXT probe, inflating CPU-bound Python-codec
-                # probes 2-4x in long sessions (the old finding-15
-                # "worker churn" hypothesis was wrong — worker counts
-                # stay flat). One synchronous System.gc + a short drain
-                # restores dedicated-session timings in-audit, without
-                # the min-across-sessions crutch.
-                sc._jvm.System.gc()
-                time.sleep(0.3)
+        for name in names:
+            if float(sf) >= 1 and name in QUADRATIC:
+                continue
+            # settle before timing (r4, VERDICT r3 #6 — measured): the
+            # previous probe's async cleanup (unpersist /
+            # localCheckpoint release) plus deferred GC steal CPU from
+            # the NEXT probe, inflating CPU-bound probes 2-4x in long
+            # sessions (the old finding-15 "worker churn" hypothesis
+            # was wrong — worker counts stay flat). One synchronous
+            # System.gc + a short drain, THEN both timed passes
+            # back-to-back (probe-major, not pass-major): the second
+            # pass runs warm from a quiesced JVM, so min-of-2 measures
+            # the probe itself — in-audit ≈ dedicated-session, no
+            # min-across-sessions crutch.
+            sc._jvm.System.gc()
+            time.sleep(0.3)
+            for _pass in range(2):
                 sc.setJobGroup(f"{name}@sf{sf}@p{_pass}", name)
                 t0 = time.perf_counter()
                 probes[name].spark(spark, sf_dir).write.format("noop").mode(
