@@ -56,15 +56,23 @@ EXTRA = [
     # sf1, unlike the fixed-k probe above.
     "b16_retention",
     "llm_multimodal_video",
+    # round-4 additions
+    "llm_multimodal_avi",
+    "llm_domain_cap_sharded",
 ]
 
 
 def main() -> None:
     argv = sys.argv[1:]
     sfs = list(SFS)
+    only: list[str] | None = None
     if "--sfs" in argv:
         i = argv.index("--sfs")
         sfs = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    if "--only" in argv:  # audit a probe subset (merge with merge_audits)
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
         argv = argv[:i] + argv[i + 2 :]
     out_path = argv[0] if argv else "/tmp/scale_audit.json"
     spark = get_spark(
@@ -78,6 +86,8 @@ def main() -> None:
     sc = spark.sparkContext
     probes = all_probes()
     names = HEADLINE + EXTRA
+    if only:
+        names = [n for n in names if n in only]
 
     results: dict[str, dict[str, dict]] = {}
     for sf in sfs:
