@@ -71,8 +71,14 @@ def _assign_expr_from(flat: F.Column, k: int, dim: int) -> F.Column:
 # above this many flattened coordinates (k·dim), centroids enter the
 # plan through a broadcast single-row frame instead of literal leaves —
 # identical math, O(1) expression-tree size, no per-iteration reanalysis
-# of a 10⁴–10⁵-leaf literal array
-_LITERAL_COORD_BOUND = 4096
+# of the literal array. MEASURED (r4, sf0.1 local[32], steady-state):
+# the broadcast path already wins at k·dim=512 (llm_kmeans 2.9 s vs
+# 3.5 s literal) and is 2× faster at k·dim=4032 (scaled SemDeDup 4.3 s
+# vs 8.9 s — Catalyst re-analysis of thousands of literal leaves per
+# assignment pass dominates), so broadcast is the DEFAULT; the literal
+# tier remains as the plan-debuggable bit-equality reference
+# (tests/test_clustering.py proves the two assign identically).
+_LITERAL_COORD_BOUND = 0
 
 
 def _flat_coords(centroids: dict[int, list[float]]) -> list[float]:

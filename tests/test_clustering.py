@@ -176,15 +176,16 @@ def test_semantic_dedup_external_assignments(spark):
 
 # ---------------------------------------- semantic dedup, scaled k
 def test_kmeans_broadcast_coords_equals_literal(spark, monkeypatch):
-    """Above _LITERAL_COORD_BOUND the centroid coords enter the plan
-    through a broadcast single-row frame instead of literal leaves —
-    the assignment must be BIT-IDENTICAL (same folds, same coords)."""
+    """The default broadcast-coords assignment and the literal-leaves
+    reference tier must be BIT-IDENTICAL (same folds, same coords) —
+    the equality that lets the broadcast default inherit the literal
+    tier's oracle proofs."""
     from ark_invest_api_rust_data_spark.operators import clustering
 
     emb = load_table(spark, SF, "embeddings")
-    lit = {(r["vec_id"], r["cluster"]) for r in kmeans_assign(emb, k=4, iters=2).collect()}
-    monkeypatch.setattr(clustering, "_LITERAL_COORD_BOUND", 0)
     bc = {(r["vec_id"], r["cluster"]) for r in kmeans_assign(emb, k=4, iters=2).collect()}
+    monkeypatch.setattr(clustering, "_LITERAL_COORD_BOUND", 1 << 30)
+    lit = {(r["vec_id"], r["cluster"]) for r in kmeans_assign(emb, k=4, iters=2).collect()}
     assert lit == bc
 
 
