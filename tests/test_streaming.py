@@ -811,6 +811,22 @@ def test_band_store_compaction_replay_equivalence(spark, tmp_path):
     # same rows, same probe decisions — just fewer, sorted files
     assert band_rows() == before_bands
     assert probe_pairs() == before_pairs
+    # the flat-probe-cost mechanism: every compacted file is
+    # band_key-sorted and the files' key ranges are disjoint (range
+    # partitioning), so a probe for one band key touches ONE file
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in _glob.glob(f"{store_root}/bands/src=compact_g1/*.parquet"):
+        keys = pq.read_table(f, columns=["band_key"]).column("band_key").to_pylist()
+        assert keys == sorted(keys), f"unsorted compacted file {f}"
+        if keys:
+            ranges.append((keys[0], keys[-1]))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo, "compacted file key ranges overlap"
 
     # replay ACROSS the boundary: rerun the whole stream with a fresh
     # checkpoint — b0/b1 partitions reappear NEXT TO the compacted
