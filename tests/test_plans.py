@@ -283,3 +283,56 @@ def test_quality_filter_fold_stays_above_spread_exchange(spark):
     assert 0 <= i_filter < i_exchange, (
         "verdict filter was pushed below the spread exchange:\n" + plan[:2000]
     )
+
+
+def test_exact_percentile_hist_equals_builtin(spark):
+    """B8 hardening (r4): the histogram tier must equal the built-in
+    percentile_disc on every group — including ties, single-value
+    groups, negative values, and boundary percentiles where
+    cum/n == p exactly."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.percentile import (
+        exact_percentile_hist,
+    )
+
+    rows = []
+    rows += [("a", float(v)) for v in [1, 1, 1, 2, 2, 3, 10, 10, 100, -5]]
+    rows += [("b", 7.0)]  # single value
+    rows += [("c", float(v)) for v in range(1, 5)]  # n=4: p=0.5 hits cum/n==p
+    rows += [("d", float(v % 3)) for v in range(100)]  # heavy ties
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p0": 0.0, "p25": 0.25, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    got = {
+        r["g"]: tuple(r[k] for k in ps)
+        for r in exact_percentile_hist(df, ["g"], "v", ps).collect()
+    }
+    exprs = [
+        F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)").alias(k)
+        for k, p in ps.items()
+    ]
+    want = {
+        r["g"]: tuple(r[k] for k in ps)
+        for r in df.groupBy("g").agg(*exprs).collect()
+    }
+    assert got == want
+
+
+def test_exact_percentile_hist_nulls_and_validation(spark):
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.percentile import (
+        exact_percentile_hist,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0)], "g string, v double"
+    )
+    (row,) = exact_percentile_hist(df, ["g"], "v", {"p50": 0.5}).collect()
+    assert row["p50"] == 1.0  # nulls excluded, n=2, cum/n>=0.5 at first value
+    import pytest
+
+    with pytest.raises(ValueError):
+        exact_percentile_hist(df, ["g"], "v", {})
+    with pytest.raises(ValueError):
+        exact_percentile_hist(df, ["g"], "v", {"p": 1.5})

@@ -59,6 +59,7 @@ EXTRA = [
     # round-4 additions
     "llm_multimodal_avi",
     "llm_domain_cap_sharded",
+    "b08_percentile_hist",
 ]
 
 
