@@ -80,12 +80,15 @@ _DIST = (
 )
 
 
-def _assign_cte(prev_c: str, out: str) -> str:
+def _assign_cte(prev_c: str, out: str, m: int = 1) -> str:
+    """m=1: hard assignment (one row per vec). m>1: soft top-m with
+    probe_rank — the rn the hard case discards IS the probe rank."""
+    cols = "vec_id, q, cid AS cluster" + (", rn AS probe_rank" if m > 1 else "")
     return f"""{out} AS (
-  SELECT vec_id, q, cid AS cluster FROM (
+  SELECT {cols} FROM (
     SELECT e.vec_id, e.q, c.cid,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY {_DIST}, c.cid) AS rn
-    FROM e CROSS JOIN {prev_c} c) WHERE rn = 1)"""
+    FROM e CROSS JOIN {prev_c} c) WHERE rn <= {m})"""
 
 
 def _update_cte(a: str, prev_c: str, out: str) -> str:
@@ -100,7 +103,9 @@ def _update_cte(a: str, prev_c: str, out: str) -> str:
   FROM {prev_c} p LEFT JOIN {out}_new n ON p.cid = n.cid)"""
 
 
-def _kmeans_ctes(k_limit: str = str(_K), iters: int = _ITERS) -> str:
+def _kmeans_ctes(
+    k_limit: str = str(_K), iters: int = _ITERS, final_m: int = 1
+) -> str:
     """Unrolled Lloyd's (``iters`` assignment passes, exact update
     math) ending in assignment CTE ``a{iters}`` — shared by the
     k-means and semantic-dedup oracles; mirrors
@@ -115,7 +120,9 @@ def _kmeans_ctes(k_limit: str = str(_K), iters: int = _ITERS) -> str:
   FROM e ORDER BY vec_id LIMIT {k_limit})""",
     ]
     for it in range(1, iters + 1):
-        parts.append(_assign_cte(f"c{it - 1}", f"a{it}"))
+        parts.append(
+            _assign_cte(f"c{it - 1}", f"a{it}", m=final_m if it == iters else 1)
+        )
         if it < iters:
             parts.append(_update_cte(f"a{it}", f"c{it - 1}", f"c{it}"))
     return "WITH " + ",\n".join(parts)
@@ -150,14 +157,18 @@ def llm_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("cluster", F.col("cluster").cast("int"))
 
 
-def _semdedup_sql(ctes: str, final_a: str) -> str:
+def _semdedup_sql(ctes: str, final_a: str, soft: bool = False) -> str:
     """Within-cluster keep-first pairwise dedup over the assignment
-    CTE ``final_a`` — shared by the fixed-k and scaled-k probes."""
+    CTE ``final_a`` — shared by the fixed-k, scaled-k, and soft-nprobe
+    probes. ``soft``: final_a carries m rows per vec (probe_rank);
+    pairs form on ANY shared cluster, the emitted row keeps the
+    primary (probe_rank 1) cluster."""
+    final_where = "WHERE probe_rank = 1" if soft else ""
     return (
         ctes
         + f""",
 pairs AS (
-  SELECT a.vec_id AS drop_id FROM {final_a} a JOIN {final_a} b
+  SELECT DISTINCT a.vec_id AS drop_id FROM {final_a} a JOIN {final_a} b
     ON a.cluster = b.cluster AND b.vec_id < a.vec_id
   WHERE CAST(list_sum(list_transform(generate_series(1, {_DIM}),
           i -> a.q[i] * b.q[i])) AS DOUBLE)
@@ -167,7 +178,7 @@ pairs AS (
               i -> b.q[i] * b.q[i])) AS DOUBLE))) >= 0.45)
 SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
   vec_id NOT IN (SELECT drop_id FROM pairs) AS kept
-FROM {final_a}
+FROM {final_a} {final_where}
 """
     )
 
@@ -200,6 +211,33 @@ def llm_semantic_dedup_scaled(spark: SparkSession, sf: str) -> DataFrame:
 
 LLM_SEMANTIC_DEDUP_SCALED_SQL = _semdedup_sql(
     _kmeans_ctes(k_limit=_SCALED_LIMIT, iters=_SCALED_ITERS), f"a{_SCALED_ITERS}"
+)
+
+
+def llm_semantic_dedup_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — SemDeDup's RECALL dial (round 4): soft top-2 cluster
+    assignment widens the pairwise stage to docs sharing ANY of their
+    2 nearest clusters, recovering cross-cluster-boundary near-dups
+    the hard assignment splits (measured: ~19% → ~45% of the
+    globally-droppable docs at the planted cosine-0.45 threshold,
+    precision 1.0 either way) at ~4× the still-linear pairwise work.
+    The oracle reuses the assign CTE's row_number with rn ≤ 2 — the
+    probe rank the hard oracle discards."""
+    emb = load_table(spark, sf, "embeddings")
+    out = semantic_dedup_scaled(
+        emb,
+        target_cluster_size=_SCALED_TARGET,
+        iters=_SCALED_ITERS,
+        threshold=0.45,
+        nprobe=2,
+    )
+    return out.withColumn("cluster", F.col("cluster").cast("int"))
+
+
+LLM_SEMANTIC_DEDUP_NPROBE_SQL = _semdedup_sql(
+    _kmeans_ctes(k_limit=_SCALED_LIMIT, iters=_SCALED_ITERS, final_m=2),
+    f"a{_SCALED_ITERS}",
+    soft=True,
 )
 
 
@@ -593,6 +631,10 @@ PROBES = [
     Probe(
         "llm_semantic_dedup_scaled", "B29",
         llm_semantic_dedup_scaled, LLM_SEMANTIC_DEDUP_SCALED_SQL,
+    ),
+    Probe(
+        "llm_semantic_dedup_nprobe", "B29",
+        llm_semantic_dedup_nprobe, LLM_SEMANTIC_DEDUP_NPROBE_SQL,
     ),
     Probe("llm_multimodal_audio", "B32", llm_multimodal_audio, LLM_MULTIMODAL_AUDIO_SQL),
     Probe("llm_multimodal_video", "B32", llm_multimodal_video, LLM_MULTIMODAL_VIDEO_SQL),

@@ -71,8 +71,12 @@ HEADLINE = [
     "llm_substring_dedup",
     "llm_classifier_score",
     "b12_funnel",
-    # round-4: SemDeDup production path (corpus-scaled k)
+    # round-4: SemDeDup production path (corpus-scaled k) + recall dial
     "llm_semantic_dedup_scaled",
+    "llm_semantic_dedup_nprobe",
+    "b08_percentile_hist",
+    "llm_multimodal_avi",
+    "llm_domain_cap_sharded",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -299,3 +299,76 @@ def test_semantic_dedup_scaled_reuses_ivf_assignments(spark):
             if y < x
         )
         assert kept[x] == (not want_drop), f"vec {x}"
+
+
+def test_semantic_dedup_nprobe_matches_bruteforce_and_improves_recall(spark):
+    """nprobe=2 contract: drop x iff some y<x shares ANY of the two
+    docs' top-2 clusters with cosine ≥ τ — and the widened pair set
+    must recover at least as many globally-droppable docs as hard
+    assignment (the recall dial's whole point), at precision 1.0."""
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        kmeans_assign,
+        scaled_k,
+        semantic_dedup_scaled,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    k = scaled_k(n, 32)
+    soft = kmeans_assign(emb, k=k, iters=2, nprobe=2).collect()
+    clusters: dict[int, set] = {}
+    primary: dict[int, int] = {}
+    for r in soft:
+        clusters.setdefault(r["vec_id"], set()).add(r["cluster"])
+        if r["probe_rank"] == 1:
+            primary[r["vec_id"]] = r["cluster"]
+    assert all(len(cs) == 2 for cs in clusters.values())
+
+    out = semantic_dedup_scaled(emb, target_cluster_size=32, iters=2, nprobe=2).collect()
+    assert len(out) == n  # one row per id despite the soft assignment
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    assert {r["vec_id"]: r["cluster"] for r in out} == primary
+
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(float(sum(x * x for x in a)))
+        nb = math.sqrt(float(sum(y * y for y in b)))
+        return float(d) / (na * nb)
+
+    for x in vecs:
+        want_drop = any(
+            (clusters[x] & clusters[y]) and cos(vecs[x], vecs[y]) >= 0.45
+            for y in vecs
+            if y < x
+        )
+        assert kept[x] == (not want_drop), f"vec {x}"
+
+    # recall vs the hard assignment: a superset of pairs can only drop
+    # a superset of docs; precision stays 1.0 (cosine is exact)
+    hard = semantic_dedup_scaled(emb, target_cluster_size=32, iters=2).collect()
+    hard_dropped = {r["vec_id"] for r in hard if not r["kept"]}
+    soft_dropped = {r["vec_id"] for r in out if not r["kept"]}
+    assert hard_dropped <= soft_dropped
+    gt_dropped = {
+        x for x in vecs
+        if any(cos(vecs[x], vecs[y]) >= 0.45 for y in vecs if y < x)
+    }
+    assert soft_dropped <= gt_dropped  # precision 1.0
+
+
+def test_kmeans_nprobe_validation(spark):
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        semantic_dedup_scaled,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, k=4, iters=1, nprobe=0)
+    ext = emb.select("vec_id", F.col("label").alias("cluster"))
+    with pytest.raises(ValueError):
+        semantic_dedup_scaled(emb, assignments=ext, nprobe=2)

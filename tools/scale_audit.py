@@ -60,6 +60,7 @@ EXTRA = [
     "llm_multimodal_avi",
     "llm_domain_cap_sharded",
     "b08_percentile_hist",
+    "llm_semantic_dedup_nprobe",
 ]
 
 
