@@ -154,14 +154,20 @@ def main() -> None:
     ).save()
     probes["b07_agg_q1"].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # two passes, report the min: pass 1 pays one-time whole-stage-
-    # codegen compilation (~5s for the largest expression trees), which
-    # at real scale amortizes to nothing — steady-state is the honest
-    # per-query engine time
+    # Per query: settle (synchronous System.gc + drain — the previous
+    # query's async cleanup and deferred GC otherwise steal CPU from
+    # this one), then two timed passes BACK-TO-BACK, min kept.
+    # Probe-major ordering (round 4, same methodology fix as
+    # tools/scale_audit.py): pass 1 pays one-time whole-stage-codegen
+    # compilation, pass 2 runs warm from a quiesced JVM — min-of-2
+    # measures the query itself, matching dedicated-session
+    # steady state instead of whoever ran before it.
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in HEADLINE + SIDE:
-            fn = probes[name].spark
+    for name in HEADLINE + SIDE:
+        fn = probes[name].spark
+        sc._jvm.System.gc()
+        time.sleep(0.3)
+        for _pass in range(2):
             sc.setJobGroup(f"{name}@p{_pass}", name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
