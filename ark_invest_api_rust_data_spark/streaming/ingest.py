@@ -187,8 +187,12 @@ def compact_band_store(
     footer-stats-pruned probe touches one file instead of every
     per-batch file).
 
-    Run it between stream runs, or any time after the batches being
-    folded are committed. CRASH-SAFE by construction:
+    Safe to run CONCURRENTLY with the ingest stream: only partitions
+    carrying Spark's ``_SUCCESS`` commit marker are folded (and later
+    deleted) — an in-flight batch's partial partition is invisible to
+    the compaction scan and untouched by the delete, so the compactor
+    can never capture half a batch and then destroy the rest of it.
+    CRASH-SAFE by construction:
 
     * the merged output is staged under ``bands/.compact_tmp`` — a
       dot-prefixed dir Spark's partition discovery ignores — then
@@ -208,15 +212,22 @@ def compact_band_store(
     import shutil
 
     base = f"{store_root}/bands"
-    srcs = band_store_srcs(store_root)
-    if not srcs:
+    all_srcs = band_store_srcs(store_root)
+    if not all_srcs:
         raise FileNotFoundError(f"no band store under {store_root}")
+    # fold only COMMITTED partitions (_SUCCESS marker) — an in-flight
+    # ingest batch's partial partition must be neither read nor deleted
+    srcs = [
+        s for s in all_srcs if os.path.exists(f"{base}/src={s}/_SUCCESS")
+    ]
+    if not srcs:
+        raise FileNotFoundError(f"no committed band partitions under {store_root}")
     gen = 1 + max(
-        (int(s[len("compact_g") :]) for s in srcs if s.startswith("compact_g")),
+        (int(s[len("compact_g") :]) for s in all_srcs if s.startswith("compact_g")),
         default=0,
     )
     tmp = f"{base}/.compact_tmp"
-    df = spark.read.parquet(base).drop("src")
+    df = spark.read.parquet(*[f"{base}/src={s}" for s in srcs]).drop("src")
     if retired_ids is not None:
         df = df.join(retired_ids.select(id_col).distinct(), id_col, "left_anti")
     n_files = target_files or max(

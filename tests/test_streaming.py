@@ -847,3 +847,50 @@ def test_band_store_compaction_replay_equivalence(spark, tmp_path):
     compact_band_store(spark, store_root, retired_ids=victim)
     assert {t for t in band_rows() if t[0] == vid} == set()
     assert {t[0] for t in before_bands} - {t[0] for t in band_rows()} == {vid}
+
+
+def test_band_store_compaction_skips_inflight_partition(spark, tmp_path):
+    """Concurrent-writer safety for the band store (VERDICT r3 #5): a
+    partition mid-write (no _SUCCESS marker — exactly what an in-flight
+    ingest batch looks like) is neither folded into the compacted
+    generation nor deleted; committed partitions fold normally."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.dedup import band_table
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        band_store_srcs,
+        compact_band_store,
+        seed_band_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    inflight = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    store_root = str(tmp_path / "store")
+    seed_band_store(corpus, store_root)
+    # simulate the in-flight batch: real parquet files, no _SUCCESS
+    p = f"{store_root}/bands/src=b7"
+    band_table(inflight).write.mode("overwrite").parquet(p)
+    os.remove(f"{p}/_SUCCESS")
+    inflight_rows = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in spark.read.parquet(p).collect()
+    }
+
+    info = compact_band_store(spark, store_root)
+    assert info["folded"] == ["corpus"]  # only the committed partition
+    assert sorted(band_store_srcs(store_root)) == ["b7", "compact_g1"]
+    # the in-flight partition is byte-untouched and still visible
+    assert {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in spark.read.parquet(p).collect()
+    } == inflight_rows
+    # and the compacted generation does NOT contain its rows
+    comp = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in spark.read.parquet(f"{store_root}/bands/src=compact_g1").collect()
+    }
+    assert not (comp & inflight_rows)
