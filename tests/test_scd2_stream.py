@@ -213,3 +213,41 @@ def test_scd2_batch_stale_cross_batch_update_is_noop(spark, tmp_path):
     ), f"inverted interval: {k1}"
     open_rows = [r for r in k1 if r[3] is None]
     assert [(r[1], r[2]) for r in open_rows] == [("jun", D(2024, 6, 1))]
+
+
+def test_vacuum_during_partial_write_preserves_replay_input(spark, tmp_path):
+    """Concurrent-writer nuance (VERDICT r3 #5): vacuum_versions racing
+    a mid-write batch N is safe BY CONSTRUCTION — the partial v=N dir
+    counts toward the newest ``keep``, so v=N-1 (batch N's replay
+    input) always survives and the replay recomputes v=N identically."""
+    import os
+
+    store_root = str(tmp_path / "store")
+    seed_dim(_seed(spark), store_root)
+    for i, rows in enumerate(BATCHES):
+        apply_scd2_batch(
+            spark, spark.createDataFrame(rows, UPD_SCHEMA), i, store_root,
+            "k", ["attr"],
+        )
+    live = _rows(current_dim(spark, store_root))
+    # simulate batch 2 crashed mid-write: partial v=3 exists
+    os.makedirs(f"{store_root}/dim/v=3")
+    with open(f"{store_root}/dim/v=3/part-partial.parquet", "wb") as f:
+        f.write(b"\x00" * 8)  # garbage — a half-written file
+
+    from ark_invest_api_rust_data_spark.streaming.scd2 import vacuum_versions
+
+    removed = vacuum_versions(store_root, keep=2)
+    # keeps v=3 (partial) and v=2 — the replay input for batch 2
+    assert removed == [0, 1]
+    assert os.path.isdir(f"{store_root}/dim/v=2")
+    # the replay of batch 2 overwrites the garbage and lands on the
+    # same snapshot it would have produced without the crash
+    b2 = spark.createDataFrame(
+        [(1, "post", D(2024, 5, 1))], UPD_SCHEMA
+    )
+    apply_scd2_batch(spark, b2, 2, store_root, "k", ["attr"])
+    got = _rows(current_dim(spark, store_root))
+    open_k1 = [r for r in got if r[0] == 1 and r[3] is None]
+    assert [(r[1], r[2]) for r in open_k1] == [("post", D(2024, 5, 1))]
+    assert len(got) == len(live) + 1  # one new version row for k=1
