@@ -359,6 +359,48 @@ class IvfIndex:
         """Persist centroid-partitioned (→ partition pruning on query)."""
         self.assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+    def assign_topm(self, df: DataFrame, m: int = 2) -> DataFrame:
+        """(id, cluster, probe_rank) — each row's ``m`` nearest IVF
+        centroids, nearest first. The soft-assignment feed for
+        SemDeDup's recall dial: ``semantic_dedup(assignments=
+        index.assign_topm(df, 2))`` compares docs sharing ANY of their
+        m clusters, reusing the index's centroids at zero extra
+        clustering cost. Narrow mapInPandas over the broadcast
+        centroid matrix — no shuffle."""
+        import numpy as np
+
+        if m < 1:
+            raise ValueError(f"m must be >= 1, got {m}")
+        m = min(m, len(self.centroids))
+        sc = df.sparkSession.sparkContext
+        b_cents = sc.broadcast(self.centroids)
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def assign(batches):
+            import pandas as pd
+
+            C = b_cents.value
+            for pdf in batches:
+                V = np.array(list(pdf[vec_col].map(list)), dtype=np.float64)
+                d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                top = np.argsort(d, axis=1, kind="stable")[:, :m]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values.repeat(m),
+                        "cluster": top.reshape(-1).astype("int32"),
+                        "probe_rank": np.tile(
+                            np.arange(1, m + 1, dtype="int32"), n
+                        ),
+                    }
+                )
+
+        from .dedup import _spread
+
+        return _spread(df).mapInPandas(
+            assign, f"{id_col} long, cluster int, probe_rank int"
+        )
+
     def query(self, query_vec: list, k: int = 10, nprobe: int = 4) -> DataFrame:
         import numpy as np
 

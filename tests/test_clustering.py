@@ -372,3 +372,58 @@ def test_kmeans_nprobe_validation(spark):
     ext = emb.select("vec_id", F.col("label").alias("cluster"))
     with pytest.raises(ValueError):
         semantic_dedup_scaled(emb, assignments=ext, nprobe=2)
+
+
+def test_semantic_dedup_soft_ivf_assignments(spark):
+    """The production recall-dial combo: IVF centroids reused as SOFT
+    (top-2) assignments through the assignments= hook — keep/drop must
+    match brute force over the any-shared-cluster rule, the emitted
+    cluster must be each doc's primary (rank-1) IVF cluster, and the
+    soft pair set must drop a superset of the hard-IVF drops."""
+    from ark_invest_api_rust_data_spark.operators.clustering import semantic_dedup
+    from ark_invest_api_rust_data_spark.operators.similarity import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = IvfIndex.build(emb, n_centroids=16, sample=512, iters=5)
+    soft = idx.assign_topm(emb, m=2)
+    rows = soft.collect()
+    clusters: dict[int, set] = {}
+    primary: dict[int, int] = {}
+    for r in rows:
+        clusters.setdefault(r["vec_id"], set()).add(r["cluster"])
+        if r["probe_rank"] == 1:
+            primary[r["vec_id"]] = r["cluster"]
+    # rank-1 equals the index's own hard assignment
+    hard_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in idx.assigned.select("vec_id", "cluster").collect()
+    }
+    assert primary == hard_assign
+
+    out = semantic_dedup(emb, assignments=soft, threshold=0.45).collect()
+    assert {r["vec_id"]: r["cluster"] for r in out} == primary
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(float(sum(x * x for x in a)))
+        nb = math.sqrt(float(sum(y * y for y in b)))
+        return float(d) / (na * nb)
+
+    for x in vecs:
+        want_drop = any(
+            (clusters[x] & clusters[y]) and cos(vecs[x], vecs[y]) >= 0.45
+            for y in vecs
+            if y < x
+        )
+        assert kept[x] == (not want_drop), f"vec {x}"
+
+    hard_out = semantic_dedup(
+        emb, assignments=idx.assigned.select("vec_id", "cluster"), threshold=0.45
+    ).collect()
+    hard_dropped = {r["vec_id"] for r in hard_out if not r["kept"]}
+    assert hard_dropped <= {r["vec_id"] for r in out if not r["kept"]}
