@@ -776,10 +776,17 @@ def encode_avi(
     return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
-def _avi_walk(b: bytes, i: int, end: int, strf: list, frames: list) -> bool:
+def _avi_walk(
+    b: bytes, i: int, end: int, strf: list, frames: list, depth: int = 0
+) -> bool:
     """Recursive RIFF walk collecting the video strf and '00db'/'00dc'
     frame payloads (including inside LIST 'rec ' groupings). Returns
-    False on malformed structure."""
+    False on malformed structure — including LIST nesting beyond any
+    real AVI's depth (a crafted 87k-deep chain would otherwise blow
+    the recursion limit and kill the executor task instead of routing
+    to strict/fake handling, the degenerate-payload contract)."""
+    if depth > 16:
+        return False
     while i + 8 <= end:
         cid = b[i : i + 4]
         sz = int.from_bytes(b[i + 4 : i + 8], "little")
@@ -788,7 +795,7 @@ def _avi_walk(b: bytes, i: int, end: int, strf: list, frames: list) -> bool:
         if cid == b"LIST":
             if sz < 4:
                 return False
-            if not _avi_walk(b, i + 12, i + 8 + sz, strf, frames):
+            if not _avi_walk(b, i + 12, i + 8 + sz, strf, frames, depth + 1):
                 return False
         elif cid == b"strf":
             strf.append(b[i + 8 : i + 8 + sz])

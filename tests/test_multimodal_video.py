@@ -328,3 +328,17 @@ def test_extract_features_avi_real(spark):
         for f in rgb_frames
     ]
     assert list(row["feature"]) == video_features(2, 2, gray)
+
+
+def test_avi_rejects_pathological_list_nesting():
+    """A crafted deeply-nested LIST chain must decode to None (the
+    degenerate-payload contract), not blow the recursion limit."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import decode_avi
+
+    depth = 50_000
+    inner = b""
+    # build innermost-out: LIST <size> 'rec ' <payload>
+    for _ in range(depth):
+        inner = b"LIST" + (len(inner) + 4).to_bytes(4, "little") + b"rec " + inner
+    blob = b"RIFF" + (len(inner) + 4).to_bytes(4, "little") + b"AVI " + inner
+    assert decode_avi(blob) is None
