@@ -777,14 +777,21 @@ def encode_avi(
 
 
 def _avi_walk(
-    b: bytes, i: int, end: int, strf: list, frames: list, depth: int = 0
+    b: bytes,
+    i: int,
+    end: int,
+    strf: list,
+    frames: list,
+    strh: list | None = None,
+    depth: int = 0,
 ) -> bool:
-    """Recursive RIFF walk collecting the video strf and '00db'/'00dc'
-    frame payloads (including inside LIST 'rec ' groupings). Returns
-    False on malformed structure — including LIST nesting beyond any
-    real AVI's depth (a crafted 87k-deep chain would otherwise blow
-    the recursion limit and kill the executor task instead of routing
-    to strict/fake handling, the degenerate-payload contract)."""
+    """Recursive RIFF walk collecting the video strf (and optionally
+    strh, for frame-rate recovery) and '00db'/'00dc' frame payloads
+    (including inside LIST 'rec ' groupings). Returns False on
+    malformed structure — including LIST nesting beyond any real AVI's
+    depth (a crafted 87k-deep chain would otherwise blow the recursion
+    limit and kill the executor task instead of routing to strict/fake
+    handling, the degenerate-payload contract)."""
     if depth > 16:
         return False
     while i + 8 <= end:
@@ -795,14 +802,41 @@ def _avi_walk(
         if cid == b"LIST":
             if sz < 4:
                 return False
-            if not _avi_walk(b, i + 12, i + 8 + sz, strf, frames, depth + 1):
+            if not _avi_walk(b, i + 12, i + 8 + sz, strf, frames, strh, depth + 1):
                 return False
         elif cid == b"strf":
             strf.append(b[i + 8 : i + 8 + sz])
+        elif cid == b"strh" and strh is not None:
+            strh.append(b[i + 8 : i + 8 + sz])
         elif cid[2:4] in (b"db", b"dc"):
             frames.append(b[i + 8 : i + 8 + sz])
         i += 8 + sz + (sz & 1)  # chunks pad to even boundaries
     return True
+
+
+def avi_fps(b: bytes) -> int | None:
+    """Source frame rate from the video stream header: strh dwRate
+    (offset 24) over dwScale (offset 20), for the first 'vids' stream.
+    None when the payload is not an AVI or carries no usable strh —
+    callers fall back to encode_avi's default (ADVICE r4: frame_sample
+    previously hard-coded that default, silently relabeling a 30fps
+    source as 10fps)."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    strf: list[bytes] = []
+    frames: list[bytes] = []
+    strh: list[bytes] = []
+    if not _avi_walk(
+        b, 12, min(len(b), 8 + int.from_bytes(b[4:8], "little")), strf, frames, strh
+    ):
+        return None
+    for s in strh:
+        if len(s) >= 28 and s[0:4] == b"vids":
+            scale = int.from_bytes(s[20:24], "little")
+            rate = int.from_bytes(s[24:28], "little")
+            if rate > 0:
+                return max(1, rate // max(1, scale))
+    return None
 
 
 def decode_avi(b: bytes) -> tuple[int, int, list[bytes]] | None:
@@ -1097,9 +1131,13 @@ def frame_sample(
     """REAL frame sampling for video rows: decode the animated GIF,
     keep every ``every_n``-th frame (always including frame 0), and
     re-encode — content and metadata both shrink, and the output is
-    itself a valid GIF the rest of the pipeline can decode. Narrow
-    map, no shuffle. Undecodable payloads follow the strict contract
-    (raise / metadata-only shrink when strict=False)."""
+    itself a valid GIF the rest of the pipeline can decode. AVI
+    payloads re-encode at the SOURCE frame rate scaled by the sampling
+    (``max(1, src_fps // every_n)``, recovered from strh dwRate/dwScale
+    via ``avi_fps``), preserving playback duration instead of stamping
+    encode_avi's default. Narrow map, no shuffle. Undecodable payloads
+    follow the strict contract (raise / metadata-only shrink when
+    strict=False)."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
     strict_eff = STRICT_DECODE if strict is None else strict
@@ -1114,12 +1152,15 @@ def frame_sample(
                     w, h, frames = decoded if decoded is not None else avi
                     kept = frames[::every_n]
                     # re-encode in the SOURCE container: GIF frames are
-                    # palette indices, AVI frames RGB streams
-                    contents.append(
-                        encode_gif(w, h, kept)
-                        if decoded is not None
-                        else encode_avi(w, h, kept)
-                    )
+                    # palette indices, AVI frames RGB streams (at the
+                    # sampling-adjusted source rate)
+                    if decoded is not None:
+                        contents.append(encode_gif(w, h, kept))
+                    else:
+                        src_fps = avi_fps(payload) or 10
+                        contents.append(
+                            encode_avi(w, h, kept, fps=max(1, src_fps // every_n))
+                        )
                     metas.append(
                         {
                             "width": w,

@@ -39,7 +39,12 @@ def exact_percentile_hist(
     """One row per group with a column per requested percentile
     (``{"p50": 0.5, "p90": 0.9}``), exact ``percentile_disc``
     semantics via the histogram plan above. Null values are excluded,
-    matching the built-in aggregate."""
+    matching the built-in aggregate — including its all-null edge: a
+    group whose values are ALL null still appears in the output, with
+    null percentile columns (ADVICE r4: the histogram drops such
+    groups, so the result is left-joined back onto the distinct group
+    keys; the extra aggregation's shuffle is O(groups) after map-side
+    combine, and the join's build side is the O(groups) result)."""
     if not percentiles:
         raise ValueError("percentiles must be non-empty")
     for name, p in percentiles.items():
@@ -55,9 +60,10 @@ def exact_percentile_hist(
     tot = hist.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
     j = cum.join(tot, group_cols)  # tot is O(groups): AQE broadcasts
     ratio = F.col("_cum").cast("double") / F.col("_n").cast("double")
-    return j.groupBy(*group_cols).agg(
+    res = j.groupBy(*group_cols).agg(
         *[
             F.min(F.when(ratio >= F.lit(p), F.col(value_col))).alias(name)
             for name, p in percentiles.items()
         ]
     )
+    return df.select(*group_cols).distinct().join(res, group_cols, "left")

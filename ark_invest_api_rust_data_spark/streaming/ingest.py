@@ -85,7 +85,11 @@ def start_incremental_dedup_stream(
         # input AND the overwrite target, and Spark's self-overwrite
         # check does not catch parent-dir reads feeding a child-dir
         # write (the job would delete its own input files mid-scan).
-        store = spark.read.parquet(f"{store_root}/bands").filter(F.col("src") != me)
+        # read_band_store also prunes RETIRED partitions (folded by a
+        # previous compaction, pending deferred deletion) — pruned
+        # partitions generate no scan tasks, so the next compaction can
+        # delete them without failing this batch mid-flight.
+        store = read_band_store(spark, store_root).filter(F.col("src") != me)
         docs_dir = f"{store_root}/docs"
         seen = corpus.select(F.col(id_col), F.col(text_col))
         if os.path.isdir(docs_dir):
@@ -159,14 +163,55 @@ def start_incremental_dedup_stream(
     return writer.start()
 
 def band_store_srcs(store_root: str) -> list[str]:
-    """Partition values currently present under ``bands/`` (e.g.
-    ``corpus``, ``b0``, ``compact_g1``)."""
+    """Partition values physically present under ``bands/`` (e.g.
+    ``corpus``, ``b0``, ``compact_g1``) — including RETIRED partitions
+    awaiting deferred deletion; see ``read_band_store`` for the live
+    view probes should use."""
     base = f"{store_root}/bands"
     if not os.path.isdir(base):
         return []
     return sorted(
         d[len("src=") :] for d in os.listdir(base) if d.startswith("src=")
     )
+
+
+_RETIRED_MARKER = ".retired.json"
+
+
+def retired_band_srcs(store_root: str) -> list[str]:
+    """Srcs folded into a compacted generation by the LAST compaction
+    and kept on disk as tombstones (deleted by the NEXT compaction)."""
+    path = f"{store_root}/bands/{_RETIRED_MARKER}"
+    try:
+        with open(path) as f:
+            import json
+
+            return list(json.load(f).get("retired", []))
+    except (OSError, ValueError):
+        return []
+
+
+def _write_retired(store_root: str, srcs: list[str]) -> None:
+    import json
+
+    base = f"{store_root}/bands"
+    tmp = f"{base}/{_RETIRED_MARKER}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"retired": sorted(srcs)}, f)
+    os.replace(tmp, f"{base}/{_RETIRED_MARKER}")  # atomic on POSIX
+
+
+def read_band_store(spark: SparkSession, store_root: str) -> DataFrame:
+    """The LIVE band store: every ``src=`` partition except retired
+    tombstones. The retired filter is a partition-pruning predicate —
+    pruned partitions produce no scan tasks, so their files are never
+    opened, which is what makes the deferred delete in the next
+    ``compact_band_store`` safe under a running ingest stream."""
+    df = spark.read.parquet(f"{store_root}/bands")
+    retired = retired_band_srcs(store_root)
+    if retired:
+        df = df.filter(~F.col("src").isin(retired))
+    return df
 
 
 def compact_band_store(
@@ -187,27 +232,40 @@ def compact_band_store(
     footer-stats-pruned probe touches one file instead of every
     per-batch file).
 
-    Safe to run CONCURRENTLY with the ingest stream: only partitions
-    carrying Spark's ``_SUCCESS`` commit marker are folded (and later
-    deleted) — an in-flight batch's partial partition is invisible to
-    the compaction scan and untouched by the delete, so the compactor
-    can never capture half a batch and then destroy the rest of it.
+    Safe to run CONCURRENTLY with the ingest stream:
+
+    * only partitions carrying Spark's ``_SUCCESS`` commit marker are
+      folded — an in-flight batch's partial partition is invisible to
+      the compaction scan and untouched;
+    * deletion is DEFERRED one compaction cycle. Folding records the
+      folded srcs as tombstones in ``bands/.retired.json`` (atomic
+      ``os.replace``) and leaves their files on disk; the NEXT
+      compaction deletes them. ``read_band_store`` prunes retired
+      partitions, so every batch started after the fold generates no
+      scan tasks against them — the delayed delete can never yank a
+      file out from under a live probe scan. (The one documented
+      requirement: no single micro-batch may span an entire
+      compaction-to-compaction interval — a batch that listed a
+      partition before it was retired must finish before the NEXT
+      compaction deletes it. Compaction cadence is hours, micro-batches
+      are seconds-to-minutes.)
+
     CRASH-SAFE by construction:
 
     * the merged output is staged under ``bands/.compact_tmp`` — a
       dot-prefixed dir Spark's partition discovery ignores — then
       atomically renamed to ``bands/src=compact_g<N>``;
-    * the folded source partitions are deleted only after the rename.
-      A crash in the delete window leaves DUPLICATE band rows visible,
-      which is correctness-neutral: band rows only generate candidate
-      pairs, and incremental_near_dup_pairs dedupes candidates before
-      verification. The next compaction folds the leftovers away.
+    * a crash between the rename and the tombstone write leaves the
+      folded partitions live NEXT TO the new generation — duplicate
+      band rows, which are correctness-neutral (candidate pairs are
+      deduped downstream) and self-healing: the next compaction folds
+      both copies and ``dropDuplicates`` collapses them;
     * stream replay across the boundary is equivalent: a replayed
       batch's own bands inside the compacted generation add only
       batch×batch candidate pairs the batch self-join produces anyway
       (pytest-pinned in tests/test_streaming.py).
 
-    Returns {"generation", "folded", "rows"}.
+    Returns {"generation", "folded", "deleted", "rows"}.
     """
     import shutil
 
@@ -215,10 +273,20 @@ def compact_band_store(
     all_srcs = band_store_srcs(store_root)
     if not all_srcs:
         raise FileNotFoundError(f"no band store under {store_root}")
-    # fold only COMMITTED partitions (_SUCCESS marker) — an in-flight
-    # ingest batch's partial partition must be neither read nor deleted
+    # 1) deferred delete: drop partitions the PREVIOUS compaction folded
+    #    and tombstoned. Their rows live in compact_g<N-1>; every batch
+    #    started since then prunes them (read_band_store), so no live
+    #    scan holds their file paths.
+    prev_retired = retired_band_srcs(store_root)
+    for s in prev_retired:
+        shutil.rmtree(f"{base}/src={s}", ignore_errors=True)
+    # 2) fold only COMMITTED, non-retired partitions (_SUCCESS marker)
+    #    — an in-flight ingest batch's partial partition must be
+    #    neither read nor deleted
     srcs = [
-        s for s in all_srcs if os.path.exists(f"{base}/src={s}/_SUCCESS")
+        s
+        for s in all_srcs
+        if s not in prev_retired and os.path.exists(f"{base}/src={s}/_SUCCESS")
     ]
     if not srcs:
         raise FileNotFoundError(f"no committed band partitions under {store_root}")
@@ -228,6 +296,10 @@ def compact_band_store(
     )
     tmp = f"{base}/.compact_tmp"
     df = spark.read.parquet(*[f"{base}/src={s}" for s in srcs]).drop("src")
+    # self-heal the crash window: if a previous compaction died between
+    # the generation rename and the tombstone write, the folded srcs and
+    # the generation both reach this fold — collapse the exact-dup rows
+    df = df.dropDuplicates()
     if retired_ids is not None:
         df = df.join(retired_ids.select(id_col).distinct(), id_col, "left_anti")
     n_files = target_files or max(
@@ -241,6 +313,7 @@ def compact_band_store(
     )
     n_rows = spark.read.parquet(tmp).count()
     os.rename(tmp, f"{base}/src=compact_g{gen}")
-    for s in srcs:
-        shutil.rmtree(f"{base}/src={s}", ignore_errors=True)
-    return {"generation": gen, "folded": srcs, "rows": n_rows}
+    # 3) tombstone (don't delete) what we folded — the next compaction
+    #    deletes it, after every live batch has moved past it
+    _write_retired(store_root, srcs)
+    return {"generation": gen, "folded": srcs, "deleted": prev_retired, "rows": n_rows}

@@ -85,6 +85,11 @@ def apply_scd2_batch(
 
     The distinct-dates collect is bounded by the number of calendar
     dates inside ONE micro-batch — O(days), not O(rows).
+
+    A NULL effective date is a contract violation (the stream contract
+    requires monotonic effective dates) and raises ``ValueError``
+    rather than silently dropping the rows — same loud-failure policy
+    as the strict media decoders (ADVICE r4).
     """
     if batch.isEmpty():
         return
@@ -95,11 +100,16 @@ def apply_scd2_batch(
         raise FileNotFoundError(f"seed_dim missing under {store_root}")
     dim = spark.read.parquet(f"{store_root}/dim/v={prev[-1]}")
 
-    dates = sorted(
-        r[0]
-        for r in batch.select(effective_col).distinct().collect()
-        if r[0] is not None
-    )
+    raw_dates = [
+        r[0] for r in batch.select(effective_col).distinct().collect()
+    ]
+    if any(d is None for d in raw_dates):
+        raise ValueError(
+            f"batch {batch_id}: NULL {effective_col!r} values violate the "
+            "SCD2 stream contract (monotonic effective dates); refusing to "
+            "silently drop rows"
+        )
+    dates = sorted(raw_dates)
     for i, eff in enumerate(dates):
         latest = (
             batch.filter(F.col(effective_col) == F.lit(eff))

@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "shuffle_bytes": {name: {...}}, "sf": <sf>}
+local[$SPARK_GRAFT_CPUS].
+
+Output contract (round 5): the driver captures only the LAST ~2000
+chars of stdout and parses one JSON object from them, so stdout ends
+with a SHORT summary line that always fits that window:
+  {"metric": "headline_queries_total", "value": <total sec>,
+   "unit": "sec", "queries": {name: sec, ...}, "n_queries": N, "sf": ...}
+The full detail (per-query timings + per-query shuffle read/write
+bytes) is printed FIRST as its own JSON line and also written to
+BENCH_DETAIL.json next to this script, for round-over-round plan
+regression diffs.
 
 Queries execute to a noop sink — full pipeline runs (scan→shuffle→agg),
 nothing materializes on the driver, so the number is engine time.
@@ -185,24 +193,50 @@ def main() -> None:
             shuffle[name] = g
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # the headline SET has grown round over round (r01: 18 queries,
-    # r02: 23, r03: 24 with llm_incremental_dedup) — cross-round totals
-    # are only comparable on the shared-query subset, so emit the count
+    # r02: 23, r03: 24, r04: 35) — cross-round totals are only
+    # comparable on the shared-query subset, so emit the count
     # alongside the total.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(HEADLINE),
-                "queries": {n: timings[n] for n in HEADLINE},
-                "side_experiments": {n: timings[n] for n in SIDE},
-                "shuffle_bytes": shuffle,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(HEADLINE),
+        "queries": {n: timings[n] for n in HEADLINE},
+        "side_experiments": {n: timings[n] for n in SIDE},
+        "shuffle_bytes": shuffle,
+        "sf": sf_val,
+    }
+    # Detail first: one JSON line for humans/greppers, plus a sibling
+    # file for round-over-round shuffle-plan diffs.
+    print(json.dumps(detail))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )
-    )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout detail line still has everything
+    # Summary LAST, guaranteed to fit the driver's ~2000-char tail
+    # window (BENCH_r02..r04 all parsed null because the single detail
+    # line outgrew it once shuffle_bytes was added). Keep the per-query
+    # timings when they fit; drop them before ever risking truncation.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(HEADLINE),
+        "queries": {n: timings[n] for n in HEADLINE},
+        "sf": sf_val,
+    }
+    line = json.dumps(summary)
+    if len(line) > 1800:
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

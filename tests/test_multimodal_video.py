@@ -307,6 +307,30 @@ def test_frame_sample_avi_end_to_end(spark):
     assert out == (3, 3, [frames[0], frames[2]])
 
 
+def test_frame_sample_avi_preserves_source_fps(spark):
+    """ADVICE r4: a 30fps AVI sampled every 2nd frame re-encodes at
+    30//2 = 15fps (strh dwRate recovered via avi_fps), not encode_avi's
+    default 10 — playback duration is preserved."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        avi_fps,
+        encode_avi,
+        frame_sample,
+    )
+
+    frames = [bytes(((f * 40 + i) % 256) for i in range(27)) for f in range(4)]
+    blob = encode_avi(3, 3, frames, fps=30)
+    assert avi_fps(blob) == 30
+    assert avi_fps(b"junk") is None
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(blob),
+          {"width": 3, "height": 3, "sample_rate": None, "n_frames": 4})],
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    (row,) = frame_sample(df, every_n=2).collect()
+    assert avi_fps(bytes(row["content"])) == 15
+
+
 def test_extract_features_avi_real(spark):
     """kind='video' feature extraction decodes AVI via the gray
     dispatcher — REAL features, not the fake fallback."""

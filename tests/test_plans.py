@@ -330,6 +330,23 @@ def test_exact_percentile_hist_nulls_and_validation(spark):
     )
     (row,) = exact_percentile_hist(df, ["g"], "v", {"p50": 0.5}).collect()
     assert row["p50"] == 1.0  # nulls excluded, n=2, cum/n>=0.5 at first value
+
+    # ADVICE r4: an ALL-null group must still appear, with null
+    # percentiles — exactly what the built-in aggregate returns
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("z", None), ("z", None)], "g string, v double"
+    )
+    got = {
+        r["g"]: r["p50"]
+        for r in exact_percentile_hist(df2, ["g"], "v", {"p50": 0.5}).collect()
+    }
+    want = {
+        r["g"]: r["p50"]
+        for r in df2.groupBy("g")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50"))
+        .collect()
+    }
+    assert got == want == {"a": 1.0, "z": None}
     import pytest
 
     with pytest.raises(ValueError):

@@ -192,6 +192,20 @@ def test_scd2_batch_honors_per_row_effective_dates(spark, tmp_path):
     ]
 
 
+def test_scd2_batch_rejects_null_effective_dates(spark, tmp_path):
+    # ADVICE r4: a malformed feed with NULL effective dates must fail
+    # loudly (contract: monotonic effective dates), not lose rows
+    import pytest
+
+    store_root = str(tmp_path / "store")
+    seed_dim(_seed(spark), store_root)
+    bad = spark.createDataFrame(
+        [(1, "x", D(2024, 2, 1)), (2, "y", None)], UPD_SCHEMA
+    )
+    with pytest.raises(ValueError, match="NULL 'effective'"):
+        apply_scd2_batch(spark, bad, 0, store_root, "k", ["attr"])
+
+
 def test_scd2_batch_stale_cross_batch_update_is_noop(spark, tmp_path):
     # batch 1 carries an update older than the open row opened by
     # batch 0 — the stale guard skips it instead of inverting intervals

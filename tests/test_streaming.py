@@ -740,6 +740,8 @@ def test_band_store_compaction_replay_equivalence(spark, tmp_path):
     from ark_invest_api_rust_data_spark.streaming.ingest import (
         band_store_srcs,
         compact_band_store,
+        read_band_store,
+        retired_band_srcs,
         seed_band_store,
         start_incremental_dedup_stream,
     )
@@ -778,9 +780,10 @@ def test_band_store_compaction_replay_equivalence(spark, tmp_path):
     run_stream("ckpt1")
 
     def band_rows():
+        # the LIVE view (retired tombstones pruned) — what probes see
         return {
             (r["doc_id"], r["band"], r["band_key"])
-            for r in spark.read.parquet(f"{store_root}/bands").collect()
+            for r in read_band_store(spark, store_root).collect()
         }
 
     def kept_ids():
@@ -794,7 +797,7 @@ def test_band_store_compaction_replay_equivalence(spark, tmp_path):
     def probe_pairs():
         # the registered probe shape: next batch probes the live store
         probe_batch = docs.filter(F.col("doc_id") % 10 == 7)
-        store = spark.read.parquet(f"{store_root}/bands")
+        store = read_band_store(spark, store_root)
         return {
             (r["doc_a"], r["doc_b"])
             for r in incremental_near_dup_pairs(
@@ -806,8 +809,18 @@ def test_band_store_compaction_replay_equivalence(spark, tmp_path):
     assert len(band_store_srcs(store_root)) == 3  # corpus + b0 + b1
 
     info = compact_band_store(spark, store_root)
-    assert band_store_srcs(store_root) == ["compact_g1"]
+    # DEFERRED DELETION (ADVICE r4): the folded partitions stay on disk
+    # as tombstones — a batch that listed them pre-fold can still open
+    # their files — but the live view prunes them immediately
     assert set(info["folded"]) == {"corpus", "b0", "b1"}
+    assert info["deleted"] == []
+    assert sorted(band_store_srcs(store_root)) == [
+        "b0", "b1", "compact_g1", "corpus",
+    ]
+    assert sorted(retired_band_srcs(store_root)) == ["b0", "b1", "corpus"]
+    assert {
+        r["src"] for r in read_band_store(spark, store_root).select("src").distinct().collect()
+    } == {"compact_g1"}
     # same rows, same probe decisions — just fewer, sorted files
     assert band_rows() == before_bands
     assert probe_pairs() == before_pairs
@@ -836,15 +849,22 @@ def test_band_store_compaction_replay_equivalence(spark, tmp_path):
     assert probe_pairs() == before_pairs
     assert spark.read.parquet(f"{store_root}/docs").count() == len(stream_rows)
 
-    # second compaction folds the duplicates away again
+    # second compaction: the deferred delete fires for round 1's
+    # tombstones, and the replayed b0/b1 (re-created under retired
+    # names with identical content) go with them — their rows live on
+    # in compact_g1, which is what gets folded into generation 2
     info2 = compact_band_store(spark, store_root)
     assert info2["generation"] == 2
+    assert sorted(info2["deleted"]) == ["b0", "b1", "corpus"]
+    assert info2["folded"] == ["compact_g1"]
+    assert sorted(band_store_srcs(store_root)) == ["compact_g1", "compact_g2"]
     assert band_rows() == before_bands
 
     # retirement: drop a corpus doc's bands
     victim = corpus.select("doc_id").orderBy("doc_id").limit(1)
     vid = victim.first()["doc_id"]
-    compact_band_store(spark, store_root, retired_ids=victim)
+    info3 = compact_band_store(spark, store_root, retired_ids=victim)
+    assert info3["deleted"] == ["compact_g1"]
     assert {t for t in band_rows() if t[0] == vid} == set()
     assert {t[0] for t in before_bands} - {t[0] for t in band_rows()} == {vid}
 
@@ -862,6 +882,7 @@ def test_band_store_compaction_skips_inflight_partition(spark, tmp_path):
     from ark_invest_api_rust_data_spark.streaming.ingest import (
         band_store_srcs,
         compact_band_store,
+        read_band_store,
         seed_band_store,
     )
 
@@ -882,7 +903,14 @@ def test_band_store_compaction_skips_inflight_partition(spark, tmp_path):
 
     info = compact_band_store(spark, store_root)
     assert info["folded"] == ["corpus"]  # only the committed partition
-    assert sorted(band_store_srcs(store_root)) == ["b7", "compact_g1"]
+    # deferred deletion: the folded corpus partition is tombstoned, not
+    # deleted; the live view shows the new generation + the in-flight
+    # batch only
+    assert sorted(band_store_srcs(store_root)) == ["b7", "compact_g1", "corpus"]
+    assert {
+        r["src"]
+        for r in read_band_store(spark, store_root).select("src").distinct().collect()
+    } == {"b7", "compact_g1"}
     # the in-flight partition is byte-untouched and still visible
     assert {
         (r["doc_id"], r["band"], r["band_key"])
