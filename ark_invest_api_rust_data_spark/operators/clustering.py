@@ -110,10 +110,18 @@ def _with_assignment(
 
 def _topm_expr_from(flat: F.Column, k: int, dim: int, m: int) -> F.Column:
     """The ``m`` nearest centroid ids, ordered nearest-first — the
-    SOFT-assignment twin of ``_assign_expr_from``. array_sort over
-    (dist, cid) structs reproduces the oracle's ``row_number() ...
-    ORDER BY dist, cid`` exactly (lexicographic struct order ==
-    dist-then-lowest-cid tie-break)."""
+    SOFT-assignment twin of ``_assign_expr_from``.
+
+    BOUNDED PARTIAL SELECTION (VERDICT r4 #2): a fold over the k
+    centroid ids carries only the current best ``m`` (dist, cid)
+    structs — each step appends the candidate, sorts the ≤ m+1 element
+    accumulator, and trims back to m. O(k·m) work with m+1-sized
+    allocations instead of the previous full k-struct array_sort
+    (O(k log k) plus a k-struct materialization per row — a
+    625-element sort per row at the sf0.1 scaled probe). Comparisons
+    are the same lexicographic (dist, cid) struct order, so the result
+    reproduces the oracle's ``row_number() ... ORDER BY dist, cid``
+    bit-for-bit — identical hashes, fewer allocations."""
     q = F.col("_q")
 
     def dist(c: F.Column) -> F.Column:
@@ -125,13 +133,21 @@ def _topm_expr_from(flat: F.Column, k: int, dim: int, m: int) -> F.Column:
             * (F.element_at(q, i).cast("double") - F.element_at(flat, c * F.lit(dim) + i)),
         )
 
-    structs = F.transform(
+    m_eff = min(m, k)
+    best = F.aggregate(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda c: F.struct(dist(c).alias("d"), c.cast("int").alias("cid")),
+        F.array().cast("array<struct<d:double,cid:int>>"),
+        lambda acc, c: F.slice(
+            F.array_sort(
+                F.array_append(
+                    acc, F.struct(dist(c).alias("d"), c.cast("int").alias("cid"))
+                )
+            ),
+            1,
+            m_eff,
+        ),
     )
-    return F.transform(
-        F.slice(F.array_sort(structs), 1, min(m, k)), lambda s: s["cid"]
-    )
+    return F.transform(best, lambda s: s["cid"])
 
 
 def _with_topm(
@@ -274,27 +290,64 @@ def semantic_dedup(
         assignments = kmeans_assign(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     soft = "probe_rank" in assignments.columns
     vec = df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_q"))
-    side = assignments.join(vec, id_col).select(id_col, "cluster", "_q")
 
-    a = side.alias("a")
-    b = side.alias("b")
-    # exact int64 dot/norms on the quantized grid; ONE double divide +
-    # IEEE sqrts — the same cross-engine-deterministic cosine as
-    # similarity.cosine_scores
-    cos = _dot(F.col("a._q"), F.col("b._q")).cast("double") / (
-        F.sqrt(_norm2(F.col("a._q")).cast("double"))
-        * F.sqrt(_norm2(F.col("b._q")).cast("double"))
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+    if soft:
+        # SOFT path (VERDICT r4 #2 follow-through): with m clusters per
+        # doc the cluster self-join multiplies rows ×m and pairs
+        # sharing several clusters appear once PER shared cluster — so
+        # form the DISTINCT candidate id-pairs first with only (id,
+        # cluster) in the shuffle, then attach the quantized vectors
+        # once per unique pair and verify the cosine once. Same
+        # candidates-then-verify shape as the MinHash tiers; the drop
+        # set (and hence the hash) is unchanged.
+        asg = assignments.select(id_col, "cluster")
+        cand = (
+            asg.alias("pa")
+            .join(
+                asg.alias("pb"),
+                (F.col("pa.cluster") == F.col("pb.cluster"))
+                & (F.col(f"pb.{id_col}") < F.col(f"pa.{id_col}")),
+            )
+            .select(
+                F.col(f"pa.{id_col}").alias("_ida"),
+                F.col(f"pb.{id_col}").alias("_idb"),
+            )
+            .distinct()
         )
-        .where(cos >= F.lit(threshold))
-        .select(F.col(f"a.{id_col}").alias(id_col))
-        .distinct()
-    )
+        qa = vec.select(F.col(id_col).alias("_ida"), F.col("_q").alias("_qa"))
+        qb = vec.select(F.col(id_col).alias("_idb"), F.col("_q").alias("_qb"))
+        cos = _dot(F.col("_qa"), F.col("_qb")).cast("double") / (
+            F.sqrt(_norm2(F.col("_qa")).cast("double"))
+            * F.sqrt(_norm2(F.col("_qb")).cast("double"))
+        )
+        dropped = (
+            cand.join(qa, "_ida")
+            .join(qb, "_idb")
+            .where(cos >= F.lit(threshold))
+            .select(F.col("_ida").alias(id_col))
+            .distinct()
+        )
+    else:
+        side = assignments.join(vec, id_col).select(id_col, "cluster", "_q")
+        a = side.alias("a")
+        b = side.alias("b")
+        # exact int64 dot/norms on the quantized grid; ONE double
+        # divide + IEEE sqrts — the same cross-engine-deterministic
+        # cosine as similarity.cosine_scores
+        cos = _dot(F.col("a._q"), F.col("b._q")).cast("double") / (
+            F.sqrt(_norm2(F.col("a._q")).cast("double"))
+            * F.sqrt(_norm2(F.col("b._q")).cast("double"))
+        )
+        dropped = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+            )
+            .where(cos >= F.lit(threshold))
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+        )
     primary = (
         assignments.filter(F.col("probe_rank") == 1).drop("probe_rank")
         if soft
