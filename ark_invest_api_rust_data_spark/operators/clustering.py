@@ -176,15 +176,22 @@ def _with_topm(
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
-) -> DataFrame:
-    """Exact distributed Lloyd's: deterministic seeding (the k rows
+) -> tuple[dict[int, list[float]], DataFrame]:
+    """``kmeans_assign`` plus the fitted model: returns
+    ``(centroids, assignments)`` where centroids maps cluster id →
+    coordinate list ON THE QUANTIZED GRID (μ = 10⁶ — divide by 1e6 for
+    raw-embedding-space coords). The centroid dict is what
+    ``IvfIndex.build_exact`` persists, making a bit-deterministic,
+    oracle-reproducible index build possible (similarity.py).
+
+    Exact distributed Lloyd's: deterministic seeding (the k rows
     with the smallest ids), then ``iters`` assignment passes with
     exact-arithmetic centroid updates between them (the final pass is
     an assignment, not an update — the returned frame is (id, cluster)
@@ -229,14 +236,14 @@ def kmeans_assign(
             if it == iters and nprobe > 1:
                 # soft final pass: (id, cluster, probe_rank) — small
                 # result rows, cache released after materialization
-                return _with_topm(base, centroids, dim, nprobe, id_col).localCheckpoint(
-                    eager=True
-                )
+                return centroids, _with_topm(
+                    base, centroids, dim, nprobe, id_col
+                ).localCheckpoint(eager=True)
             assigned = _with_assignment(base, centroids, dim)
             if it == iters:
                 # materialize the (id, cluster) result — two longs per
                 # row — so the working-set cache can be released now
-                return assigned.select(id_col, "cluster").localCheckpoint(
+                return centroids, assigned.select(id_col, "cluster").localCheckpoint(
                     eager=True
                 )
             # exact update: int64 per-dim sums + count, collapsed
@@ -256,6 +263,22 @@ def kmeans_assign(
         raise AssertionError("unreachable")
     finally:
         base.unpersist()
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """The assignment view of ``kmeans_fit`` — (id, cluster) for every
+    input row (plus ``probe_rank`` when ``nprobe > 1``); see
+    ``kmeans_fit`` for the full semantics/determinism contract."""
+    return kmeans_fit(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    )[1]
 
 
 def semantic_dedup(

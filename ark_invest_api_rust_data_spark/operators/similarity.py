@@ -355,6 +355,42 @@ class IvfIndex:
         assigned = _spread(df).mapInPandas(assign, out_schema)
         return IvfIndex(cents, assigned, id_col, vec_col)
 
+    @staticmethod
+    def build_exact(
+        df: DataFrame,
+        n_centroids: int = 16,
+        iters: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Bit-deterministic IVF build: centroids come from the EXACT
+        distributed Lloyd's over the full corpus (clustering.kmeans_fit
+        — deterministic lowest-id seeding, int64 sums, IEEE
+        left-to-right folds on the μ-quantized grid) instead of the
+        numpy sampled build. Same index surface (``assigned`` /
+        ``save`` / ``query`` / ``assign_topm``); the difference is the
+        build is reproducible across engines and sessions, which is
+        what lets a composed pipeline (e.g. ``semantic_dedup(
+        assignments=index.assigned)``) be hash-checked against a SQL
+        oracle end-to-end (plans/corpus.py llm_semantic_dedup_ivf).
+        Centroid coords are stored in raw embedding space (quantized
+        grid / 1e6) — nearest-centroid ordering is scale-invariant, so
+        ``query``'s probe ranking and ``assign_topm`` agree with the
+        build assignment up to quantization rounding."""
+        import numpy as np
+
+        from .clustering import kmeans_fit
+
+        cents_q, asg = kmeans_fit(
+            df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        cents = (
+            np.array([cents_q[c] for c in range(len(cents_q))], dtype=np.float64)
+            / 1e6
+        )
+        assigned = df.join(asg, id_col)
+        return IvfIndex(cents, assigned, id_col, vec_col)
+
     def save(self, path: str) -> None:
         """Persist centroid-partitioned (→ partition pruning on query)."""
         self.assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)

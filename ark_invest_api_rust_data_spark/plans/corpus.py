@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from ..operators.chunking import chunk_documents
-from ..operators.clustering import kmeans_assign, semantic_dedup, semantic_dedup_scaled
+from ..operators.clustering import (
+    kmeans_assign,
+    scaled_k,
+    semantic_dedup,
+    semantic_dedup_scaled,
+)
 from ..operators.text import unigram_lm_score
 from .base import Probe
 
@@ -239,6 +244,27 @@ LLM_SEMANTIC_DEDUP_NPROBE_SQL = _semdedup_sql(
     f"a{_SCALED_ITERS}",
     soft=True,
 )
+
+
+def llm_semantic_dedup_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """B29×B30 composition (VERDICT r4 #6) — SemDeDup fed by an IVF
+    index's OWN cluster assignments (``semantic_dedup(assignments=
+    index.assigned)``): the corpus is clustered once for the similarity
+    index and the dedup pass reuses that partition at zero extra
+    clustering cost. ``IvfIndex.build_exact`` makes the build
+    bit-deterministic (centroids from the exact distributed Lloyd's,
+    similarity.py), so the whole composed pipeline hash-matches the
+    scaled-k SemDeDup oracle — same k derivation, same iterations,
+    same pairwise rule — instead of settling for a rows-only check."""
+    from ..operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf, "embeddings")
+    k = scaled_k(emb.count(), _SCALED_TARGET)
+    index = IvfIndex.build_exact(emb, n_centroids=k, iters=_SCALED_ITERS)
+    out = semantic_dedup(
+        emb, threshold=0.45, assignments=index.assigned.select("vec_id", "cluster")
+    )
+    return out.withColumn("cluster", F.col("cluster").cast("int"))
 
 
 # ------------------------------------------------------ real audio tier
@@ -635,6 +661,10 @@ PROBES = [
     Probe(
         "llm_semantic_dedup_nprobe", "B29",
         llm_semantic_dedup_nprobe, LLM_SEMANTIC_DEDUP_NPROBE_SQL,
+    ),
+    Probe(
+        "llm_semantic_dedup_ivf", "B29",
+        llm_semantic_dedup_ivf, LLM_SEMANTIC_DEDUP_SCALED_SQL,
     ),
     Probe("llm_multimodal_audio", "B32", llm_multimodal_audio, LLM_MULTIMODAL_AUDIO_SQL),
     Probe("llm_multimodal_video", "B32", llm_multimodal_video, LLM_MULTIMODAL_VIDEO_SQL),

@@ -427,3 +427,49 @@ def test_semantic_dedup_soft_ivf_assignments(spark):
     ).collect()
     hard_dropped = {r["vec_id"] for r in hard_out if not r["kept"]}
     assert hard_dropped <= {r["vec_id"] for r in out if not r["kept"]}
+
+
+def test_ivf_build_exact_matches_lloyds_and_keeps_index_surface(spark):
+    """VERDICT r4 #6: build_exact's assignments are bit-identical to
+    the exact distributed Lloyd's (that equivalence is what lets the
+    llm_semantic_dedup_ivf probe reuse the scaled-k SQL oracle), and
+    the resulting object still serves the IVF query path (exact top-k
+    at nprobe=k, like llm_similarity_ivf pins for the sampled build)."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.catalog import load_table
+    from ark_invest_api_rust_data_spark.operators.clustering import kmeans_assign
+    from ark_invest_api_rust_data_spark.operators.similarity import (
+        IvfIndex,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = IvfIndex.build_exact(emb, n_centroids=8, iters=2)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in idx.assigned.select("vec_id", "cluster").collect()
+    }
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb, k=8, iters=2).collect()
+    }
+    assert got == want
+    assert len(idx.centroids) == 8
+
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    rest = emb.filter(F.col("vec_id") != 0)
+    idx2 = IvfIndex.build_exact(rest, n_centroids=8, iters=2)
+    got_top = [
+        (r["vec_id"], r["cosine"])
+        for r in idx2.query(list(q), k=5, nprobe=8)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .collect()
+    ]
+    want_top = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk(rest, list(q), 5)
+        .orderBy(F.desc("cosine"), "vec_id")
+        .collect()
+    ]
+    assert got_top == want_top
