@@ -375,7 +375,8 @@ def decode_ppm(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def decode_image(b: bytes) -> tuple[int, int, bytes] | None:
-    """Full pixel decode: BMP and PPM natively; any other format via
+    """Full pixel decode: BMP, PPM, and baseline JPEG natively (r5 —
+    operators/jpeg.py, from-spec Huffman + IDCT); any other format via
     PIL when importable (optional dep — absent in this container).
     Returns (w, h, top-down RGB stream) or None."""
     if b is None or len(b) < 2:
@@ -384,7 +385,14 @@ def decode_image(b: bytes) -> tuple[int, int, bytes] | None:
         return decode_bmp(b)
     if b[:2] in (b"P6", b"P3"):
         return decode_ppm(b)
-    try:  # optional: real codec for PNG/JPEG/GIF/...
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        decoded = decode_jpeg(b)
+        if decoded is not None:
+            return decoded
+        # progressive/12-bit/etc.: fall through to optional PIL
+    try:  # optional: real codec for PNG/progressive JPEG/...
         import io
 
         from PIL import Image  # noqa: PLC0415
@@ -776,6 +784,80 @@ def encode_avi(
     return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def encode_mjpeg_avi(
+    width: int, height: int, jpeg_frames: list[bytes], fps: int = 10
+) -> bytes:
+    """MJPEG-in-AVI writer: same RIFF/hdrl/movi skeleton as
+    ``encode_avi`` but the stream is 'vids'/'MJPG' and each '00dc'
+    chunk is a complete baseline JPEG (operators/jpeg.py) — the classic
+    motion-JPEG layout. ``jpeg_frames`` are ready-encoded JPEG blobs
+    (the caller controls quality/structure); dims must match the
+    container header."""
+    if width < 1 or height < 1:
+        raise ValueError(f"bad dims {width}x{height}")
+    if not jpeg_frames:
+        raise ValueError("need at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    buf_sz = max(len(f) for f in jpeg_frames)
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in (
+            1_000_000 // fps,
+            buf_sz * fps,
+            0,
+            0,
+            len(jpeg_frames),
+            0,
+            1,
+            buf_sz,
+            width,
+            height,
+            0, 0, 0, 0,
+        )
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")  # dwScale
+        + fps.to_bytes(4, "little")  # dwRate
+        + (0).to_bytes(4, "little")
+        + len(jpeg_frames).to_bytes(4, "little")
+        + buf_sz.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") * 2
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + _MJPG_FOURCC.to_bytes(4, "little")  # biCompression = 'MJPG'
+        + (width * height * 3).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", f) for f in jpeg_frames)
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def _avi_walk(
     b: bytes,
     i: int,
@@ -814,6 +896,25 @@ def _avi_walk(
     return True
 
 
+def avi_is_mjpeg(b: bytes) -> bool:
+    """True iff the payload is an AVI whose video stream is MJPEG
+    (strf biCompression == 'MJPG') — lets frame_sample re-encode in
+    the source codec."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return False
+    strf: list[bytes] = []
+    frames: list[bytes] = []
+    if not _avi_walk(
+        b, 12, min(len(b), 8 + int.from_bytes(b[4:8], "little")), strf, frames
+    ):
+        return False
+    return (
+        len(strf) == 1
+        and len(strf[0]) >= 40
+        and int.from_bytes(strf[0][16:20], "little") == _MJPG_FOURCC
+    )
+
+
 def avi_fps(b: bytes) -> int | None:
     """Source frame rate from the video stream header: strh dwRate
     (offset 24) over dwScale (offset 20), for the first 'vids' stream.
@@ -840,10 +941,12 @@ def avi_fps(b: bytes) -> int | None:
 
 
 def decode_avi(b: bytes) -> tuple[int, int, list[bytes]] | None:
-    """Uncompressed 24-bit AVI → (w, h, [top-down RGB streams]). None
-    for anything else (compressed streams, paletted, truncated,
-    degenerate 0-pixel dims — same strict contract as the other
-    codecs; MP4/WebM still need ffmpeg and fail loudly)."""
+    """AVI → (w, h, [top-down RGB streams]) for uncompressed 24-bit
+    DIB streams AND MJPEG streams (biCompression 'MJPG', each '00dc'
+    chunk a baseline JPEG decoded by operators/jpeg.py). None for
+    anything else (other codecs, paletted, truncated, degenerate
+    0-pixel dims — same strict contract as the other codecs; MP4/WebM
+    still need ffmpeg and fail loudly)."""
     if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     strf: list[bytes] = []
@@ -857,12 +960,23 @@ def decode_avi(b: bytes) -> tuple[int, int, list[bytes]] | None:
     h = int.from_bytes(s[8:12], "little", signed=True)
     bpp = int.from_bytes(s[14:16], "little")
     compression = int.from_bytes(s[16:20], "little")
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+    if w <= 0 or h == 0:
         return None
     height, bottom_up = abs(h), h > 0
     if w * height == 0:
         return None
     frames: list[bytes] = []
+    if compression == _MJPG_FOURCC:
+        from .jpeg import decode_jpeg
+
+        for payload in raw:
+            decoded = decode_jpeg(payload)
+            if decoded is None or decoded[0] != w or decoded[1] != height:
+                return None
+            frames.append(decoded[2])
+        return (w, height, frames)
+    if bpp != 24 or compression != 0:
+        return None
     row_sz = (w * 3 + 3) & ~3
     for payload in raw:
         if len(payload) != row_sz * height:
@@ -1151,16 +1265,27 @@ def frame_sample(
                 if decoded is not None or avi is not None:
                     w, h, frames = decoded if decoded is not None else avi
                     kept = frames[::every_n]
-                    # re-encode in the SOURCE container: GIF frames are
-                    # palette indices, AVI frames RGB streams (at the
-                    # sampling-adjusted source rate)
+                    # re-encode in the SOURCE container/codec: GIF
+                    # frames are palette indices, AVI frames RGB
+                    # streams — DIB or MJPEG to match the input — at
+                    # the sampling-adjusted source rate
                     if decoded is not None:
                         contents.append(encode_gif(w, h, kept))
                     else:
                         src_fps = avi_fps(payload) or 10
-                        contents.append(
-                            encode_avi(w, h, kept, fps=max(1, src_fps // every_n))
-                        )
+                        out_fps = max(1, src_fps // every_n)
+                        if avi_is_mjpeg(payload):
+                            from .jpeg import encode_jpeg
+
+                            contents.append(
+                                encode_mjpeg_avi(
+                                    w, h,
+                                    [encode_jpeg(w, h, f) for f in kept],
+                                    fps=out_fps,
+                                )
+                            )
+                        else:
+                            contents.append(encode_avi(w, h, kept, fps=out_fps))
                     metas.append(
                         {
                             "width": w,

@@ -569,6 +569,224 @@ def llm_multimodal_avi(spark: SparkSession, sf: str) -> DataFrame:
 LLM_MULTIMODAL_AVI_SQL = LLM_MULTIMODAL_VIDEO_SQL
 
 
+# ------------------------------------------------- real JPEG tier (r5)
+#
+# JPEG is LOSSY, so these probes use the codec's determinism contract
+# (operators/jpeg.py): block-constant 8×8 inputs collapse the whole
+# encode→decode pipeline to the closed form
+#   v' = clamp(floor(QUANT[0]·floor(8·(v−128)/QUANT[0] + 0.5)/8 + 128.5))
+# per channel (exact DC fast paths both sides), and the RGB↔YCbCr
+# transforms are pure integer floor divisions — all replayable in SQL.
+# The roundtrip is idempotent (reconstructed values are fixed points),
+# which is what lets the MJPEG probe survive frame_sample's re-encode.
+_JPEG_RT = (
+    "greatest(0, least(255, CAST(floor(floor(8.0*({v} - 128)/16 + 0.5)"
+    " * 16 / 8.0 + 128.5) AS BIGINT)))"
+)
+
+
+def llm_multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 real-codec tier (compressed image, VERDICT r4 #5) —
+    end-to-end baseline JPEG, no media libs: each document's first 12
+    chars become a 16×16 RGB image of four 8×8 constant-color blocks,
+    encoded by the from-spec baseline encoder (Huffman + DCT,
+    operators/jpeg.py), decoded back through decode_image's native
+    JPEG path, and the probe emits exact per-channel pixel sums. The
+    oracle replays the closed-form DC roundtrip from the characters —
+    a Huffman mis-decode, zig-zag slip, wrong quantizer rounding, or
+    YCbCr coefficient error hash-mismatches.
+
+    Scale shape: 2-col pruned scan → narrow mapInPandas — no shuffle."""
+    import pandas as pd
+
+    from ..operators.dedup import _spread
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import decode_image
+
+    docs = _spread(
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 12)
+        .select("doc_id", F.substring("text", 1, 12).alias("t12"))
+    )
+
+    out_schema = (
+        "doc_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t12"]):
+                rgb = bytearray(16 * 16 * 3)
+                for y in range(16):
+                    for x in range(16):
+                        blk = (y // 8) * 2 + (x // 8)
+                        i = (y * 16 + x) * 3
+                        for c in range(3):
+                            rgb[i + c] = ord(t[blk * 3 + c]) % 256
+                decoded = decode_image(encode_jpeg(16, 16, bytes(rgb)))
+                if decoded is None:  # impossible for our own JPEG
+                    raise ValueError(f"JPEG decode failed for doc {doc_id}")
+                w, h, px = decoded
+                rows.append(
+                    (
+                        int(doc_id), w, h,
+                        sum(px[0::3]), sum(px[1::3]), sum(px[2::3]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return docs.mapInPandas(fn, out_schema)
+
+
+LLM_MULTIMODAL_JPEG_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substring(text, 1, 12) AS t12
+  FROM documents WHERE length(text) >= 12),
+blk AS (
+  SELECT doc_id,
+    ascii(substring(t12, b * 3 + 1, 1)) % 256 AS r,
+    ascii(substring(t12, b * 3 + 2, 1)) % 256 AS g,
+    ascii(substring(t12, b * 3 + 3, 1)) % 256 AS b
+  FROM t, unnest([0, 1, 2, 3]) AS tb(b)),
+ycc AS (
+  SELECT doc_id,
+    greatest(0, least(255, CAST(floor((299*r + 587*g + 114*b + 500) / 1000.0) AS BIGINT))) AS y,
+    greatest(0, least(255, 128 + CAST(floor((-168736*r - 331264*g + 500000*b + 500000) / 1000000.0) AS BIGINT))) AS cb,
+    greatest(0, least(255, 128 + CAST(floor((500000*r - 418688*g - 81312*b + 500000) / 1000000.0) AS BIGINT))) AS cr
+  FROM blk),
+rt AS (
+  SELECT doc_id,
+    {_JPEG_RT.format(v="y")} AS y2,
+    {_JPEG_RT.format(v="cb")} AS cb2,
+    {_JPEG_RT.format(v="cr")} AS cr2
+  FROM ycc),
+rgb AS (
+  SELECT doc_id,
+    greatest(0, least(255, CAST(floor((1000*y2 + 1402*(cr2 - 128) + 500) / 1000.0) AS BIGINT))) AS r2,
+    greatest(0, least(255, CAST(floor((100000*y2 - 34414*(cb2 - 128) - 71414*(cr2 - 128) + 50000) / 100000.0) AS BIGINT))) AS g2,
+    greatest(0, least(255, CAST(floor((1000*y2 + 1772*(cb2 - 128) + 500) / 1000.0) AS BIGINT))) AS b2
+  FROM rt)
+SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+  CAST(64 * sum(r2) AS BIGINT) AS sum_r,
+  CAST(64 * sum(g2) AS BIGINT) AS sum_g,
+  CAST(64 * sum(b2) AS BIGINT) AS sum_b
+FROM rgb GROUP BY doc_id
+"""
+
+
+def llm_multimodal_mjpeg(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 real-codec tier (compressed video, VERDICT r4 #5) — MJPEG
+    inside AVI through the REAL frame_sample operator: each document's
+    first 4 chars become 4 constant GRAY 8×8 frames (gray is a fixed
+    point of the integer YCbCr transforms, so only the DC roundtrip
+    moves values), each encoded as a baseline JPEG and wrapped in a
+    'vids'/'MJPG' RIFF container; frame_sample decodes, keeps frames
+    0 and 2, and re-encodes MJPEG (the DC roundtrip is idempotent, so
+    the second lossy pass changes nothing); the probe decodes the
+    re-encoded bytes and emits exact pixel stats the oracle replays
+    from the characters.
+
+    Scale shape: 2-col pruned scan → narrow mapInPandas chain (build →
+    sample → stats), zero shuffles."""
+    import pandas as pd
+
+    from ..operators.dedup import _spread
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_avi,
+        encode_mjpeg_avi,
+        frame_sample,
+    )
+
+    docs = _spread(
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 4)
+        .select("doc_id", F.substring("text", 1, 4).alias("t4"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t4"]):
+                jpegs = [
+                    encode_jpeg(8, 8, bytes([(ord(t[f]) * (f + 1)) % 256] * 192))
+                    for f in range(4)
+                ]
+                rows.append(
+                    (
+                        int(doc_id),
+                        "video",
+                        encode_mjpeg_avi(8, 8, jpegs, fps=20),
+                        {"width": 8, "height": 8, "sample_rate": None, "n_frames": 4},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(build, MEDIA_SCHEMA)
+    sampled = frame_sample(media, every_n=2)
+
+    stats_schema = (
+        "doc_id long, width int, height int, n_frames_kept int, "
+        "px_sum long, px_peak long, motion_abs long"
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                decoded = decode_avi(bytes(content))
+                if decoded is None:  # impossible for our own MJPEG
+                    raise ValueError(f"MJPEG decode failed for doc {media_id}")
+                w, h, frames = decoded
+                gray = [f[0::3] for f in frames]
+                rows.append(
+                    (
+                        int(media_id),
+                        w,
+                        h,
+                        len(gray),
+                        sum(sum(f) for f in gray),
+                        max(max(f) for f in gray),
+                        sum(abs(a - b) for a, b in zip(gray[0], gray[-1])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames_kept",
+                    "px_sum", "px_peak", "motion_abs",
+                ],
+            )
+
+    return sampled.mapInPandas(stats, stats_schema)
+
+
+LLM_MULTIMODAL_MJPEG_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substring(text, 1, 4) AS t4
+  FROM documents WHERE length(text) >= 4),
+v AS (
+  SELECT doc_id, f, (ascii(substring(t4, f + 1, 1)) * (f + 1)) % 256 AS v0
+  FROM t, unnest([0, 2]) AS tf(f)),
+rt AS (SELECT doc_id, f, {_JPEG_RT.format(v="v0")} AS vr FROM v)
+SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+  CAST(2 AS INTEGER) AS n_frames_kept,
+  CAST(64 * sum(vr) AS BIGINT) AS px_sum,
+  CAST(max(vr) AS BIGINT) AS px_peak,
+  CAST(64 * abs(max(CASE WHEN f = 0 THEN vr END)
+              - max(CASE WHEN f = 2 THEN vr END)) AS BIGINT) AS motion_abs
+FROM rt GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------ real resize tier
 def llm_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     """B32 real-codec tier (resize) — end-to-end pixel resample through
@@ -669,5 +887,9 @@ PROBES = [
     Probe("llm_multimodal_audio", "B32", llm_multimodal_audio, LLM_MULTIMODAL_AUDIO_SQL),
     Probe("llm_multimodal_video", "B32", llm_multimodal_video, LLM_MULTIMODAL_VIDEO_SQL),
     Probe("llm_multimodal_avi", "B32", llm_multimodal_avi, LLM_MULTIMODAL_AVI_SQL),
+    Probe("llm_multimodal_jpeg", "B32", llm_multimodal_jpeg, LLM_MULTIMODAL_JPEG_SQL),
+    Probe(
+        "llm_multimodal_mjpeg", "B32", llm_multimodal_mjpeg, LLM_MULTIMODAL_MJPEG_SQL,
+    ),
     Probe("llm_multimodal_resize", "B32", llm_multimodal_resize, LLM_MULTIMODAL_RESIZE_SQL),
 ]

@@ -85,6 +85,10 @@ HEADLINE = [
     "b08_percentile_hist",
     "llm_multimodal_avi",
     "llm_domain_cap_sharded",
+    # round-5 additions: JPEG/MJPEG codec tier + IVF×SemDeDup composition
+    "llm_multimodal_jpeg",
+    "llm_multimodal_mjpeg",
+    "llm_semantic_dedup_ivf",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
