@@ -32,7 +32,8 @@ from ark_invest_api_rust_data_spark.plans import all_probes  # noqa: E402
 from ark_invest_api_rust_data_spark.session import get_spark  # noqa: E402
 
 SFS = ["0.001", "0.01", "0.1"]
-SF_DIRS = {"1": "/tmp/testdata/sf1"}  # beyond driver testdata (make_sf.py)
+# beyond driver testdata (make_sf.py: sf0.1 ×10 → sf1, sf1 ×10 → sf10)
+SF_DIRS = {"1": "/tmp/testdata/sf1", "10": "/tmp/testdata/sf10"}
 # quadratic-by-design probes (labeled oracle/verifier tiers): skip at
 # sf>=1. llm_semantic_dedup's pairwise stage is O(n_cluster^2) at the
 # probe's FIXED k=8 (the oracle needs unrolled CTEs); production scales
