@@ -990,13 +990,17 @@ def decode_avi(b: bytes) -> tuple[int, int, list[bytes]] | None:
 
 def decode_video_gray(b: bytes) -> tuple[int, int, list[bytes]] | None:
     """Unified video decode to GRAY byte frames (w·h bytes each): GIF
-    frames are already gray palette indices; AVI RGB frames fold to
-    exact-integer (r+g+b)//3 luma. None when no codec recognizes the
-    payload."""
+    frames are already gray palette indices; AVI (DIB or MJPEG) and
+    MP4 (MJPEG samples) RGB frames fold to exact-integer (r+g+b)//3
+    luma. None when no codec recognizes the payload."""
     g = decode_gif_frames(b)
     if g is not None:
         return g
     a = decode_avi(b)
+    if a is None:
+        from .mp4 import decode_mp4
+
+        a = decode_mp4(b)
     if a is None:
         return None
     w, h, frames = a
@@ -1008,7 +1012,7 @@ def decode_video_gray(b: bytes) -> tuple[int, int, list[bytes]] | None:
 
 
 def parse_video_meta(b: bytes) -> tuple[int, int, int] | None:
-    """(width, height, n_frames) for GIF/AVI video payloads, None else."""
+    """(width, height, n_frames) for GIF/AVI/MP4 video payloads, None else."""
     decoded = decode_video_gray(b)
     if decoded is None:
         return None
@@ -1249,9 +1253,11 @@ def frame_sample(
     payloads re-encode at the SOURCE frame rate scaled by the sampling
     (``max(1, src_fps // every_n)``, recovered from strh dwRate/dwScale
     via ``avi_fps``), preserving playback duration instead of stamping
-    encode_avi's default. Narrow map, no shuffle. Undecodable payloads
-    follow the strict contract (raise / metadata-only shrink when
-    strict=False)."""
+    encode_avi's default. MP4 payloads (MJPEG sample track,
+    operators/mp4.py) re-encode each kept frame as baseline JPEG back
+    into an MP4 at the same scaled rate (``mp4_fps``). Narrow map, no
+    shuffle. Undecodable payloads follow the strict contract (raise /
+    metadata-only shrink when strict=False)."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
     strict_eff = STRICT_DECODE if strict is None else strict
@@ -1262,15 +1268,37 @@ def frame_sample(
             for payload, meta in zip(pdf["content"], pdf["meta"]):
                 decoded = decode_gif_frames(payload)
                 avi = None if decoded is not None else decode_avi(payload)
-                if decoded is not None or avi is not None:
-                    w, h, frames = decoded if decoded is not None else avi
+                mp4 = None
+                if decoded is None and avi is None:
+                    from .mp4 import decode_mp4
+
+                    mp4 = decode_mp4(payload)
+                if decoded is not None or avi is not None or mp4 is not None:
+                    w, h, frames = (
+                        decoded
+                        if decoded is not None
+                        else (avi if avi is not None else mp4)
+                    )
                     kept = frames[::every_n]
                     # re-encode in the SOURCE container/codec: GIF
                     # frames are palette indices, AVI frames RGB
-                    # streams — DIB or MJPEG to match the input — at
-                    # the sampling-adjusted source rate
+                    # streams — DIB or MJPEG to match the input — and
+                    # MP4 MJPEG samples re-wrap as MP4, all at the
+                    # sampling-adjusted source rate
                     if decoded is not None:
                         contents.append(encode_gif(w, h, kept))
+                    elif mp4 is not None:
+                        from .jpeg import encode_jpeg
+                        from .mp4 import encode_mp4, mp4_fps
+
+                        src_fps = mp4_fps(payload) or 10
+                        contents.append(
+                            encode_mp4(
+                                w, h,
+                                [encode_jpeg(w, h, f) for f in kept],
+                                fps=max(1, src_fps // every_n),
+                            )
+                        )
                     else:
                         src_fps = avi_fps(payload) or 10
                         out_fps = max(1, src_fps // every_n)

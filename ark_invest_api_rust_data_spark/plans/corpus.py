@@ -787,6 +787,100 @@ FROM rt GROUP BY doc_id
 """
 
 
+def llm_multimodal_mp4(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 real-codec tier (ISO-BMFF container, VERDICT r4 "missing"
+    #3) — MJPEG inside MP4 through the REAL frame_sample operator:
+    the same 4 constant GRAY 8×8 JPEG frames as the MJPEG-AVI probe,
+    but wrapped in a from-spec ISO base-media container ('jpeg' sample
+    entries, stsc×stsz×stco sample table — operators/mp4.py);
+    frame_sample decodes via the bounded box walker, keeps frames 0
+    and 2, re-encodes per-frame JPEG and re-wraps as MP4 at the
+    sampling-scaled source rate; the probe decodes the re-encoded
+    bytes AGAIN and emits exact pixel stats. Shares the MJPEG oracle —
+    identical pixel math, different container — so a sample-offset
+    slip, stsz misread, or box-size lie hash-mismatches.
+
+    Scale shape: 2-col pruned scan → narrow mapInPandas chain (build →
+    sample → stats), zero shuffles."""
+    import pandas as pd
+
+    from ..operators.dedup import _spread
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.mp4 import decode_mp4, encode_mp4, mp4_fps
+    from ..operators.multimodal import MEDIA_SCHEMA, frame_sample
+
+    docs = _spread(
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 4)
+        .select("doc_id", F.substring("text", 1, 4).alias("t4"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t4"]):
+                jpegs = [
+                    encode_jpeg(8, 8, bytes([(ord(t[f]) * (f + 1)) % 256] * 192))
+                    for f in range(4)
+                ]
+                rows.append(
+                    (
+                        int(doc_id),
+                        "video",
+                        encode_mp4(8, 8, jpegs, fps=20),
+                        {"width": 8, "height": 8, "sample_rate": None, "n_frames": 4},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(build, MEDIA_SCHEMA)
+    sampled = frame_sample(media, every_n=2)
+
+    stats_schema = (
+        "doc_id long, width int, height int, n_frames_kept int, "
+        "px_sum long, px_peak long, motion_abs long"
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(content)
+                decoded = decode_mp4(payload)
+                if decoded is None:  # impossible for our own MP4
+                    raise ValueError(f"MP4 decode failed for doc {media_id}")
+                if mp4_fps(payload) != 10:  # 20 fps // every_n=2
+                    raise ValueError(f"MP4 fps not rescaled for doc {media_id}")
+                w, h, frames = decoded
+                gray = [f[0::3] for f in frames]
+                rows.append(
+                    (
+                        int(media_id),
+                        w,
+                        h,
+                        len(gray),
+                        sum(sum(f) for f in gray),
+                        max(max(f) for f in gray),
+                        sum(abs(a - b) for a, b in zip(gray[0], gray[-1])),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames_kept",
+                    "px_sum", "px_peak", "motion_abs",
+                ],
+            )
+
+    return sampled.mapInPandas(stats, stats_schema)
+
+
+# identical pixel math, different container
+LLM_MULTIMODAL_MP4_SQL = LLM_MULTIMODAL_MJPEG_SQL
+
+
 # ------------------------------------------------------ real resize tier
 def llm_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     """B32 real-codec tier (resize) — end-to-end pixel resample through
@@ -891,5 +985,6 @@ PROBES = [
     Probe(
         "llm_multimodal_mjpeg", "B32", llm_multimodal_mjpeg, LLM_MULTIMODAL_MJPEG_SQL,
     ),
+    Probe("llm_multimodal_mp4", "B32", llm_multimodal_mp4, LLM_MULTIMODAL_MP4_SQL),
     Probe("llm_multimodal_resize", "B32", llm_multimodal_resize, LLM_MULTIMODAL_RESIZE_SQL),
 ]

@@ -89,6 +89,7 @@ HEADLINE = [
     "llm_multimodal_jpeg",
     "llm_multimodal_mjpeg",
     "llm_semantic_dedup_ivf",
+    "llm_multimodal_mp4",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
