@@ -514,6 +514,15 @@ def _decode_scan(data, pos, w, h, comps, quant, huff, dri):
     max_v = max(c["vs"] for c in comps)
     mcux = (w + 8 * max_h - 1) // (8 * max_h)
     mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+    # Plausibility gate before any plane allocation: every 8x8 block costs
+    # at least 2 entropy bits (a DC Huffman code + EOB), so a header whose
+    # declared dims imply more blocks than the remaining scan bytes could
+    # encode is a lying/adversarial payload — reject instead of allocating
+    # w*h-sized planes (a ~100-byte file claiming 65535x65535 would
+    # otherwise allocate ~4 GB per component).
+    total_blocks = mcux * mcuy * sum(c["hs"] * c["vs"] for c in comps)
+    if total_blocks > max(0, len(data) - pos) * 4:
+        return None
     for c in comps:
         c["pw"] = mcux * c["hs"] * 8
         c["ph"] = mcuy * c["vs"] * 8

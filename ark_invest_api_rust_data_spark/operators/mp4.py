@@ -249,6 +249,11 @@ def _sample_table(b: bytes) -> tuple[int, int, list[tuple[int, int]], int] | Non
     if n < 1:
         return None
     if fixed:
+        # Bound the declared sample count against the payload: each sample
+        # needs >= 1 byte in-file, so n > len(b) (or fixed*n past the file)
+        # is a lying header — reject before materializing a huge list.
+        if n > len(b) or fixed > len(b):
+            return None
         sizes = [fixed] * n
     else:
         if len(stsz) < 8 + 4 * n:
@@ -324,7 +329,9 @@ def _sample_table(b: bytes) -> tuple[int, int, list[tuple[int, int]], int] | Non
             timescale = int.from_bytes(mp[8:12], "big")
             delta = int.from_bytes(stts[8:12], "big")
             if timescale > 0 and delta > 0:
-                fps = max(1, timescale // delta)
+                # round-to-nearest like avi_fps: 30000/1001 → 30, not 29
+                # (frame_sample stamps this back into re-encoded output)
+                fps = max(1, (timescale + delta // 2) // delta)
     return (width, height, samples, fps)
 
 

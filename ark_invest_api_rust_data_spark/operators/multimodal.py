@@ -936,7 +936,13 @@ def avi_fps(b: bytes) -> int | None:
             scale = int.from_bytes(s[20:24], "little")
             rate = int.from_bytes(s[24:28], "little")
             if rate > 0:
-                return max(1, rate // max(1, scale))
+                # round-to-nearest, not floor: 30000/1001 must read as
+                # 30, not 29 — frame_sample stamps this back into the
+                # re-encoded container, so a floor is permanent metadata
+                # drift on standard 29.97fps sources (ADVICE r5), and
+                # nearest better preserves playback duration.
+                scale = max(1, scale)
+                return max(1, (rate + scale // 2) // scale)
     return None
 
 

@@ -58,7 +58,24 @@ def exact_percentile_hist(
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     cum = hist.withColumn("_cum", F.sum("_c").over(w))
     tot = hist.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
-    j = cum.join(tot, group_cols)  # tot is O(groups): AQE broadcasts
+    # NULL group keys are regular groups for percentile_disc (windows
+    # and groupBy treat null as a value), so both joins must match null
+    # keys: equality keys would emit null percentiles for them
+    # (ADVICE r5). eqNullSafe on every group col keeps the bit-
+    # equivalence claim for null-keyed groups too.
+    def _nullsafe(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+        cond = None
+        for c in group_cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        out = left.join(right, cond, how)
+        return out.select(
+            *[left[c] for c in group_cols],
+            *[c for c in right.columns if c not in group_cols],
+            *[c for c in left.columns if c not in group_cols],
+        )
+
+    j = _nullsafe(cum, tot, "inner")  # tot is O(groups): AQE broadcasts
     ratio = F.col("_cum").cast("double") / F.col("_n").cast("double")
     res = j.groupBy(*group_cols).agg(
         *[
@@ -66,4 +83,4 @@ def exact_percentile_hist(
             for name, p in percentiles.items()
         ]
     )
-    return df.select(*group_cols).distinct().join(res, group_cols, "left")
+    return _nullsafe(df.select(*group_cols).distinct(), res, "left")

@@ -152,6 +152,14 @@ def start_incremental_dedup_stream(
             .write.mode("overwrite")
             .parquet(f"{store_root}/bands/src={me}")
         )
+        # BATCH-ID REUSE SAFETY: a stream restarted with a FRESH
+        # checkpoint restarts batch ids at b0. If a past compaction
+        # tombstoned src=b0, this batch's overwrite would succeed but
+        # read_band_store would keep pruning it and the next compaction
+        # would delete it — new data silently invisible, then destroyed.
+        # Un-tombstone our own src after the write so a re-created
+        # partition is live again.
+        _unretire(store_root, me)
 
     writer = (
         stream_docs.writeStream.foreachBatch(process_batch)
@@ -199,6 +207,16 @@ def _write_retired(store_root: str, srcs: list[str]) -> None:
     with open(tmp, "w") as f:
         json.dump({"retired": sorted(srcs)}, f)
     os.replace(tmp, f"{base}/{_RETIRED_MARKER}")  # atomic on POSIX
+
+
+def _unretire(store_root: str, src: str) -> None:
+    """Remove ``src`` from the tombstone set if present — called after a
+    per-batch write so a partition re-created under a reused batch id
+    (fresh-checkpoint restart) is live again instead of being pruned by
+    every reader and destroyed by the next compaction."""
+    retired = retired_band_srcs(store_root)
+    if src in retired:
+        _write_retired(store_root, [s for s in retired if s != src])
 
 
 def read_band_store(spark: SparkSession, store_root: str) -> DataFrame:

@@ -86,6 +86,33 @@ def test_mp4_rejects_truncations_and_lying_sizes():
     assert decode_mp4(wrong) is None
 
 
+def test_mp4_rejects_huge_fixed_stsz_count():
+    """ADVICE r5: the fixed-sample-size stsz path must bound the raw
+    u32 count against the payload BEFORE materializing sizes — a
+    crafted tiny file declaring n=2^31 would otherwise allocate a
+    billions-element list and OOM the executor."""
+    blob = _gray_mp4([10])
+    i = blob.find(b"stsz")
+    assert i > 0
+    # layout after fourcc: verflags(4) fixed(4) count(4) [sizes...]
+    lying = (
+        blob[: i + 8]
+        + (16).to_bytes(4, "big")  # fixed sample size != 0
+        + (2**31 - 1).to_bytes(4, "big")  # absurd declared count
+        + blob[i + 16 :]
+    )
+    assert decode_mp4(lying) is None
+    assert mp4_fps(lying) is None
+    # a fixed size larger than the whole file is equally a lie
+    lying2 = (
+        blob[: i + 8]
+        + (2**30).to_bytes(4, "big")
+        + (1).to_bytes(4, "big")
+        + blob[i + 16 :]
+    )
+    assert decode_mp4(lying2) is None
+
+
 def test_mp4_rejects_pathological_box_nesting():
     # a self-nesting moov chain deeper than any real file: bounded walk
     inner = (16).to_bytes(4, "big") + b"trak" + b"\x00" * 8

@@ -115,6 +115,32 @@ def test_rejects_junk_truncation_progressive():
     assert decode_jpeg(blob[:j] + bytes([0x10]) + blob[j + 1 :]) is None
 
 
+def test_rejects_implausible_declared_dims():
+    """ADVICE r5: a crafted tiny JPEG declaring 65535x65535 must be
+    rejected BEFORE the per-component plane allocation (~4 GB per
+    component otherwise) — each 8x8 block needs >= 2 entropy bits, so
+    dims implying more blocks than the scan bytes could encode are a
+    lying header."""
+    blob = encode_jpeg(8, 8, bytes(192))
+    i = blob.index(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) height(2) width(2) ...
+    lying = (
+        blob[: i + 5]
+        + (65535).to_bytes(2, "big")
+        + (65535).to_bytes(2, "big")
+        + blob[i + 9 :]
+    )
+    import time
+
+    t0 = time.monotonic()
+    assert decode_jpeg(lying) is None
+    assert time.monotonic() - t0 < 2.0  # rejected up-front, not decoded
+    # a legitimate image well above the old implicit cap still decodes
+    big = encode_jpeg_gray(640, 480, bytes(640 * 480))
+    out = decode_jpeg(big)
+    assert out is not None and out[0] == 640 and out[1] == 480
+
+
 def test_encoder_validates():
     with pytest.raises(ValueError):
         encode_jpeg(0, 8, b"")

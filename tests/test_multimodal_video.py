@@ -331,6 +331,55 @@ def test_frame_sample_avi_preserves_source_fps(spark):
     assert avi_fps(bytes(row["content"])) == 15
 
 
+def test_avi_fps_rounds_to_nearest():
+    """ADVICE r5: NTSC-style rational rates must round to nearest, not
+    floor — 30000/1001 is 29.97fps and must read 30, not 29 (the value
+    is stamped back into re-encoded containers by frame_sample)."""
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        avi_fps,
+        encode_avi,
+    )
+
+    blob = encode_avi(3, 3, [bytes(27)], fps=30)
+    i = blob.find(b"strh")
+    assert i > 0
+    # strh payload starts at i+8; dwScale at +20, dwRate at +24
+    patched = (
+        blob[: i + 8 + 20]
+        + (1001).to_bytes(4, "little")
+        + (30000).to_bytes(4, "little")
+        + blob[i + 8 + 28 :]
+    )
+    assert avi_fps(patched) == 30
+    # 24000/1001 (23.976) → 24; floor would say 23
+    patched2 = (
+        blob[: i + 8 + 20]
+        + (1001).to_bytes(4, "little")
+        + (24000).to_bytes(4, "little")
+        + blob[i + 8 + 28 :]
+    )
+    assert avi_fps(patched2) == 24
+
+    from ark_invest_api_rust_data_spark.operators.jpeg import encode_jpeg
+    from ark_invest_api_rust_data_spark.operators.mp4 import encode_mp4, mp4_fps
+
+    # mp4_fps: timescale 30000 with per-sample delta 1001 → 30
+    mp4 = encode_mp4(8, 8, [encode_jpeg(8, 8, bytes(192))], fps=30)
+    j = mp4.find(b"mdhd")
+    patched3 = (
+        mp4[: j + 4 + 12]
+        + (30000).to_bytes(4, "big")
+        + mp4[j + 4 + 16 :]
+    )
+    k = patched3.find(b"stts")
+    patched3 = (
+        patched3[: k + 4 + 12]
+        + (1001).to_bytes(4, "big")
+        + patched3[k + 4 + 16 :]
+    )
+    assert mp4_fps(patched3) == 30
+
+
 def test_extract_features_avi_real(spark):
     """kind='video' feature extraction decodes AVI via the gray
     dispatcher — REAL features, not the fake fallback."""

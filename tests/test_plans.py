@@ -353,3 +353,46 @@ def test_exact_percentile_hist_nulls_and_validation(spark):
         exact_percentile_hist(df, ["g"], "v", {})
     with pytest.raises(ValueError):
         exact_percentile_hist(df, ["g"], "v", {"p": 1.5})
+
+
+def test_exact_percentile_hist_null_group_keys(spark):
+    """ADVICE r5: a NULL group key is a regular group for
+    percentile_disc (groupBy treats null as a value) — the histogram
+    tier's joins must be null-safe or such groups get null percentiles
+    (single-col and multi-col keys, including partially-null tuples)."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.percentile import (
+        exact_percentile_hist,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 5.0), (None, 9.0), (None, None)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: r["p50"]
+        for r in exact_percentile_hist(df, ["g"], "v", {"p50": 0.5}).collect()
+    }
+    want = {
+        r["g"]: r["p50"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50"))
+        .collect()
+    }
+    assert got == want == {"a": 1.0, None: 5.0}
+
+    df2 = spark.createDataFrame(
+        [("a", None, 2.0), ("a", None, 4.0), (None, None, 7.0), ("a", "x", 1.0)],
+        "g1 string, g2 string, v double",
+    )
+    res = exact_percentile_hist(df2, ["g1", "g2"], "v", {"p50": 0.5})
+    got2 = {(r["g1"], r["g2"]): r["p50"] for r in res.collect()}
+    want2 = {
+        (r["g1"], r["g2"]): r["p50"]
+        for r in df2.groupBy("g1", "g2")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").alias("p50"))
+        .collect()
+    }
+    assert got2 == want2
+    assert got2[("a", None)] == 2.0 and got2[(None, None)] == 7.0

@@ -843,28 +843,36 @@ def test_band_store_compaction_replay_equivalence(spark, tmp_path):
 
     # replay ACROSS the boundary: rerun the whole stream with a fresh
     # checkpoint — b0/b1 partitions reappear NEXT TO the compacted
-    # generation (duplicate band rows), decisions must not change
+    # generation (duplicate band rows), decisions must not change.
+    # ADVICE r5: the re-created srcs UN-TOMBSTONE themselves (fresh-
+    # checkpoint restarts reuse batch ids; a still-retired re-created
+    # partition would be invisible then destroyed), so only corpus
+    # stays retired and the duplicates are live until the next fold.
     run_stream("ckpt2")
     assert kept_ids() == before_kept
     assert probe_pairs() == before_pairs
     assert spark.read.parquet(f"{store_root}/docs").count() == len(stream_rows)
+    assert retired_band_srcs(store_root) == ["corpus"]
+    assert band_rows() == before_bands  # dup band rows collapse in the set
 
     # second compaction: the deferred delete fires for round 1's
-    # tombstones, and the replayed b0/b1 (re-created under retired
-    # names with identical content) go with them — their rows live on
-    # in compact_g1, which is what gets folded into generation 2
+    # corpus tombstone; the replayed (now-live) b0/b1 fold together
+    # with compact_g1 into generation 2 — dropDuplicates collapses the
+    # duplicate rows, nothing is lost
     info2 = compact_band_store(spark, store_root)
     assert info2["generation"] == 2
-    assert sorted(info2["deleted"]) == ["b0", "b1", "corpus"]
-    assert info2["folded"] == ["compact_g1"]
-    assert sorted(band_store_srcs(store_root)) == ["compact_g1", "compact_g2"]
+    assert info2["deleted"] == ["corpus"]
+    assert sorted(info2["folded"]) == ["b0", "b1", "compact_g1"]
+    assert sorted(band_store_srcs(store_root)) == [
+        "b0", "b1", "compact_g1", "compact_g2",
+    ]
     assert band_rows() == before_bands
 
     # retirement: drop a corpus doc's bands
     victim = corpus.select("doc_id").orderBy("doc_id").limit(1)
     vid = victim.first()["doc_id"]
     info3 = compact_band_store(spark, store_root, retired_ids=victim)
-    assert info3["deleted"] == ["compact_g1"]
+    assert sorted(info3["deleted"]) == ["b0", "b1", "compact_g1"]
     assert {t for t in band_rows() if t[0] == vid} == set()
     assert {t[0] for t in before_bands} - {t[0] for t in band_rows()} == {vid}
 
@@ -922,3 +930,62 @@ def test_band_store_compaction_skips_inflight_partition(spark, tmp_path):
         for r in spark.read.parquet(f"{store_root}/bands/src=compact_g1").collect()
     }
     assert not (comp & inflight_rows)
+
+
+def test_band_store_batch_id_reuse_after_fresh_checkpoint(spark, tmp_path):
+    """ADVICE r5: a stream restarted with a FRESH checkpoint restarts
+    batch ids at b0. If a past compaction tombstoned src=b0, the new
+    run's overwrite of that src must become LIVE again (un-tombstoned)
+    — otherwise its brand-new band rows are pruned by every reader and
+    destroyed by the next compaction, with no error."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        compact_band_store,
+        read_band_store,
+        retired_band_srcs,
+        seed_band_store,
+        start_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 6)
+    wave1 = docs.filter(F.col("doc_id") % 10 == 6)
+    wave2 = docs.filter(F.col("doc_id") % 10 == 7)
+
+    def run_wave(wave, dirname, ckpt):
+        p = str(tmp_path / dirname)
+        wave.coalesce(1).write.mode("overwrite").parquet(p)
+        stream_in = spark.readStream.schema(docs.schema).parquet(p)
+        q = start_incremental_dedup_stream(
+            spark, stream_in, corpus, store_root,
+            checkpoint=str(tmp_path / ckpt), threshold=0.5,
+        )
+        q.awaitTermination()
+
+    store_root = str(tmp_path / "store")
+    seed_band_store(corpus, store_root)
+    run_wave(wave1, "arr1", "ckpt1")  # writes src=b0
+    compact_band_store(spark, store_root)
+    assert sorted(retired_band_srcs(store_root)) == ["b0", "corpus"]
+
+    # fresh checkpoint + NEW data → batch ids restart at 0 → src=b0 is
+    # overwritten with wave2's bands while still tombstoned
+    run_wave(wave2, "arr2", "ckpt2")
+    assert retired_band_srcs(store_root) == ["corpus"]  # un-tombstoned
+    wave2_ids = {r["doc_id"] for r in wave2.select("doc_id").collect()}
+    live_ids = {
+        r["doc_id"]
+        for r in read_band_store(spark, store_root).select("doc_id").collect()
+    }
+    assert wave2_ids <= live_ids  # new data visible, not pruned
+
+    # the next compaction folds (not deletes) the re-created b0: wave2
+    # band rows survive into generation 2
+    info = compact_band_store(spark, store_root)
+    assert "b0" in info["folded"] and info["deleted"] == ["corpus"]
+    live_ids2 = {
+        r["doc_id"]
+        for r in read_band_store(spark, store_root).select("doc_id").collect()
+    }
+    assert wave2_ids <= live_ids2
