@@ -301,9 +301,24 @@ class IvfIndex:
     nearest clusters, exact quantized cosine top-k within.
     """
 
-    def __init__(self, centroids, assigned: DataFrame, id_col: str, vec_col: str):
+    def __init__(
+        self,
+        centroids,
+        assigned: DataFrame,
+        id_col: str,
+        vec_col: str,
+        assignments: DataFrame | None = None,
+    ):
         self.centroids = centroids  # (k, dim) float64 ndarray
         self.assigned = assigned  # input df + 'cluster' int column
+        # bare (id, cluster) view — for consumers that don't need the
+        # vectors (e.g. semantic_dedup(assignments=...)): avoids
+        # re-evaluating the df-join per downstream reference (the
+        # assignments frame is referenced 3x inside semantic_dedup)
+        self.assignments = (
+            assignments if assignments is not None
+            else assigned.select(id_col, "cluster")
+        )
         self.id_col, self.vec_col = id_col, vec_col
 
     @staticmethod
@@ -389,7 +404,10 @@ class IvfIndex:
             / 1e6
         )
         assigned = df.join(asg, id_col)
-        return IvfIndex(cents, assigned, id_col, vec_col)
+        # asg is already a materialized localCheckpoint of (id, cluster)
+        # — hand it out directly so assignments-only consumers skip the
+        # df join entirely
+        return IvfIndex(cents, assigned, id_col, vec_col, assignments=asg)
 
     def save(self, path: str) -> None:
         """Persist centroid-partitioned (→ partition pruning on query)."""

@@ -261,9 +261,11 @@ def llm_semantic_dedup_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     k = scaled_k(emb.count(), _SCALED_TARGET)
     index = IvfIndex.build_exact(emb, n_centroids=k, iters=_SCALED_ITERS)
-    out = semantic_dedup(
-        emb, threshold=0.45, assignments=index.assigned.select("vec_id", "cluster")
-    )
+    # index.assignments is the bare materialized (id, cluster) frame —
+    # semantic_dedup references its assignments 3x (both pair sides +
+    # the primary join), so handing it the df-joined index.assigned
+    # would re-run that join per reference for no semantic gain
+    out = semantic_dedup(emb, threshold=0.45, assignments=index.assignments)
     return out.withColumn("cluster", F.col("cluster").cast("int"))
 
 
