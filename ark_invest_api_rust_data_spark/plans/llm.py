@@ -1137,3 +1137,105 @@ FROM packed
 """
 
 PROBES.append(Probe("llm_corpus_pipeline", "B31", llm_corpus_pipeline, LLM_PIPELINE_SQL))
+
+
+# ----------------------------------------------- BPE vocabulary learning
+_BPE_MERGES = 8
+
+
+def llm_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — distributed BPE merge learning (Sennrich et al. 2016,
+    operators/bpe.py): word-frequency vocabulary (one corpus shuffle),
+    then 8 merge steps, each an O(distinct pairs) aggregation with a
+    one-row driver crossing, ties broken lexicographically so the
+    learned table is bit-reproducible. The oracle unrolls the merge
+    loop as CTE blocks (the Lloyd's-oracle technique): an iterative
+    algorithm with a FULL SQL oracle, no rows-only concession."""
+    from ..operators.bpe import bpe_merge_table
+
+    docs = load_table(spark, sf, "documents")
+    return bpe_merge_table(docs, n_merges=_BPE_MERGES)
+
+
+def llm_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — apply the learned merges back to the corpus: per document,
+    replay the 8 merges in learned order (narrow chained replaces, zero
+    shuffle) and emit post-BPE token counts — the sequence-budgeting
+    number a training pipeline packs batches with."""
+    from ..operators.bpe import bpe_learn, bpe_segment
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe_learn(docs, n_merges=_BPE_MERGES)
+    return bpe_segment(docs, merges)
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """w0 (vocab) + per-step pair-count/best/apply CTE blocks."""
+    blocks = [
+        """w0 AS (
+  SELECT array_to_string(list_transform(regexp_extract_all(word, '.'),
+                                        c -> '<' || c || '>'), ' ') AS seq,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+  GROUP BY 1)"""
+    ]
+    for k in range(1, n_merges + 1):
+        blocks.append(
+            f"""p{k} AS (
+  SELECT u.pair AS pair, CAST(SUM(w.freq) AS BIGINT) AS cnt
+  FROM w{k - 1} w, LATERAL (
+    SELECT unnest(list_transform(
+        generate_series(1, len(string_split(w.seq, ' ')) - 1),
+        i -> string_split(w.seq, ' ')[i] || ' ' || string_split(w.seq, ' ')[i + 1]
+    )) AS pair) u
+  GROUP BY u.pair),
+b{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
+w{k} AS (SELECT replace(w.seq, b.pair, replace(b.pair, '> <', '')) AS seq, w.freq
+         FROM w{k - 1} w, b{k} b)"""
+        )
+    return ",\n".join(blocks)
+
+
+def _bpe_learn_sql(n_merges: int) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, "
+        f"replace(replace(string_split(pair, ' ')[1], '<', ''), '>', '') AS left_sym, "
+        f"replace(replace(string_split(pair, ' ')[2], '<', ''), '>', '') AS right_sym, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"WITH\n{_bpe_ctes(n_merges)}\n{selects}"
+
+
+def _bpe_segment_sql(n_merges: int) -> str:
+    # replay the merges in learned order: nested replace chain with
+    # scalar subqueries against the b<k> CTEs
+    seq = (
+        "array_to_string(list_transform(regexp_extract_all(word, '.'),"
+        " c -> '<' || c || '>'), ' ')"
+    )
+    for k in range(1, n_merges + 1):
+        seq = (
+            f"replace({seq}, (SELECT pair FROM b{k}),"
+            f" (SELECT replace(pair, '> <', '') FROM b{k}))"
+        )
+    return f"""WITH
+{_bpe_ctes(n_merges)},
+doc_words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents),
+seg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(string_split({seq}, ' '))) AS BIGINT) AS n_bpe_tokens
+  FROM doc_words GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_words, 0) AS n_words,
+       coalesce(s.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN seg s USING (doc_id)"""
+
+
+PROBES.append(Probe("llm_bpe_learn", "B31", llm_bpe_learn, _bpe_learn_sql(_BPE_MERGES)))
+PROBES.append(
+    Probe("llm_bpe_segment", "B31", llm_bpe_segment, _bpe_segment_sql(_BPE_MERGES))
+)

@@ -90,6 +90,9 @@ HEADLINE = [
     "llm_multimodal_mjpeg",
     "llm_semantic_dedup_ivf",
     "llm_multimodal_mp4",
+    # round-6: distributed BPE vocabulary learning + segmentation
+    "llm_bpe_learn",
+    "llm_bpe_segment",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
