@@ -1,0 +1,221 @@
+"""Product quantization (PQ) — the compressed-vector ANN tier
+(Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+Search"): split each embedding into ``m`` contiguous subvectors, learn
+a small k-means codebook per subspace, store each vector as ``m``
+small codes, and answer queries with asymmetric distance computation
+(ADC) — a table lookup per subspace instead of a full float scan.
+
+At 100 TB this is the memory story for similarity search: a 64-dim
+float64 embedding is 512 bytes; its PQ code at m=4/k=16 is 4 nibbles.
+The IVF index (similarity.py) prunes WHICH partitions are scanned;
+PQ shrinks WHAT is scanned. The two compose (IVF-PQ) by training PQ
+on each IVF partition's residuals — here they stay orthogonal
+operators, both individually oracle-checked.
+
+Spark-first shape:
+
+* training: ``m`` independent exact distributed Lloyd's runs
+  (clustering.kmeans_fit) over sliced views of the embedding column —
+  narrow ``F.slice`` projections, no extra shuffle beyond the k-means
+  updates' O(k) aggregations; determinism (lowest-id seeding, int64
+  sums, left-to-right IEEE folds) is inherited, which is what lets the
+  ENTIRE train → encode → search pipeline hash-match a SQL oracle
+  (plans/corpus.py llm_pq_topk unrolls the per-subspace Lloyd's the
+  same way the llm_kmeans oracle does);
+* encoding: the per-subspace assignment frames (two-long rows,
+  localCheckpoint'ed by kmeans_fit) joined on the id — the codes table
+  is ``m`` ints per row;
+* search: the query's per-subspace distance table (k·m doubles) is
+  computed driver-side from the collected codebooks — a bounded
+  crossing, the codebook IS driver-sized by construction — and
+  embedded as array literals; the scan is then a narrow
+  ``element_at`` lookup + ``m``-term add, no Python in the hot path,
+  ordered (distance, id) for a deterministic top-k.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MU = 1_000_000  # quantization grid, matches clustering._quantize
+
+
+class PqModel:
+    """Trained PQ: ``codebooks[j]`` maps code id → centroid coords ON
+    THE QUANTIZED GRID (doubles; divide by 1e6 for raw space) for
+    subspace ``j``; ``codes`` is (id, code_0..code_{m-1}); ``sub`` is
+    the per-subspace dimensionality."""
+
+    def __init__(self, codebooks, codes: DataFrame, sub: int, id_col: str):
+        self.codebooks = codebooks
+        self.codes = codes
+        self.sub = sub
+        self.id_col = id_col
+
+    @property
+    def m(self) -> int:
+        return len(self.codebooks)
+
+
+def _assign_expr(q: F.Column, flat: F.Column, k: int, dim: int) -> F.Column:
+    """Nearest-centroid id for quantized subvector ``q`` against
+    flattened coords ``flat`` — the clustering._assign_expr_from math
+    (left-to-right IEEE distance folds, first-occurrence argmin =
+    lowest-cid tie-break), parameterized by the q column so one row can
+    carry all ``m`` subspace assignments in a single pass."""
+
+    def dist(c: F.Column) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(q, i).cast("double") - F.element_at(flat, c * F.lit(dim) + i))
+            * (F.element_at(q, i).cast("double") - F.element_at(flat, c * F.lit(dim) + i)),
+        )
+
+    dists = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist)
+    return (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PqModel:
+    """Train per-subspace codebooks and encode every row — JOINTLY:
+    the corpus is read ONCE into a cached (id, q_0..q_{m-1}) working
+    set and all ``m`` Lloyd's runs share it, computing the ``m``
+    assignment columns in a single narrow pass per iteration (m
+    independent kmeans_fit calls would scan and quantize the corpus
+    m·(2·iters−1) times). Per-subspace math is bit-identical to
+    clustering.kmeans_fit — lowest-id seeding, int64 sums, one double
+    division per coordinate — so the oracle can still unroll each
+    subspace's chain independently. Bounded driver crossings: the k
+    seed rows once, and k rows per (subspace, update).
+
+    The vector dimensionality must divide evenly by ``m`` (PQ's
+    contiguous-split contract); dim is probed from one row."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    dim = int(first["d"])
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    from .dedup import _spread
+    from .similarity import _quantize
+
+    spark = df.sparkSession
+    base = _spread(df).select(
+        F.col(id_col),
+        *[
+            _quantize(F.slice(F.col(vec_col), j * sub + 1, sub)).alias(f"_q{j}")
+            for j in range(m)
+        ],
+    ).persist()
+    try:
+        seed_rows = base.orderBy(id_col).limit(k).collect()
+        if not seed_rows:
+            raise ValueError("pq_train: empty input")
+        codebooks = [
+            {cid: [float(v) for v in row[f"_q{j}"]] for cid, row in enumerate(seed_rows)}
+            for j in range(m)
+        ]
+        k_eff = len(seed_rows)
+
+        def flat(j: int) -> list[float]:
+            cb = codebooks[j]
+            return [float(v) for cid in range(len(cb)) for v in cb[cid]]
+
+        for it in range(1, iters + 1):
+            cdf = spark.createDataFrame(
+                [tuple(flat(j) for j in range(m))],
+                ", ".join(f"_cflat{j}: array<double>" for j in range(m)),
+            )
+            assigned = base.crossJoin(F.broadcast(cdf)).select(
+                F.col(id_col),
+                *[F.col(f"_q{j}") for j in range(m)],
+                *[
+                    _assign_expr(
+                        F.col(f"_q{j}"), F.col(f"_cflat{j}"), k_eff, sub
+                    ).alias(f"code_{j}")
+                    for j in range(m)
+                ],
+            )
+            if it == iters:
+                codes = assigned.select(
+                    id_col, *[f"code_{j}" for j in range(m)]
+                ).localCheckpoint(eager=True)
+                return PqModel(codebooks, codes, sub, id_col)
+            for j in range(m):
+                sums = assigned.groupBy(f"code_{j}").agg(
+                    F.count("*").alias("cnt"),
+                    *[
+                        F.sum(F.element_at(f"_q{j}", i)).alias(f"s{i}")
+                        for i in range(1, sub + 1)
+                    ],
+                )
+                for row in sums.collect():
+                    cnt = row["cnt"]
+                    codebooks[j][row[f"code_{j}"]] = [
+                        row[f"s{i}"] / cnt for i in range(1, sub + 1)
+                    ]
+        raise AssertionError("unreachable")
+    finally:
+        base.unpersist()
+
+
+def adc_tables(model: PqModel, query: list[float]) -> list[list[float]]:
+    """Per-subspace ADC distance tables for ``query`` (raw embedding
+    space): table[j][code] = squared distance between the query's j-th
+    quantized subvector and that code's centroid, folded left-to-right
+    in IEEE doubles — the same arithmetic the SQL oracle replays."""
+    qq = [float(math.floor(float(x) * MU)) for x in query]
+    tables = []
+    for j, cb in enumerate(model.codebooks):
+        base = j * model.sub
+        tab = []
+        for cid in range(len(cb)):
+            coords = cb[cid]
+            d = 0.0
+            for i in range(model.sub):
+                diff = qq[base + i] - coords[i]
+                d = d + diff * diff
+            tab.append(d)
+        tables.append(tab)
+    return tables
+
+
+def pq_adc_topk(
+    model: PqModel, query: list[float], topk: int = 10
+) -> DataFrame:
+    """ADC top-k over the codes table: per subspace a code →
+    distance-literal lookup, summed left-to-right, ordered
+    (adc_dist, id) for determinism. The scan never touches the float
+    vectors — that is the point of PQ."""
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    tables = adc_tables(model, query)
+    expr = None
+    for j, tab in enumerate(tables):
+        dj = F.element_at(
+            F.array(*[F.lit(x) for x in tab]), F.col(f"code_{j}") + 1
+        )
+        expr = dj if expr is None else expr + dj
+    return (
+        model.codes.select(
+            model.id_col,
+            *[F.col(f"code_{j}").cast("int").alias(f"code_{j}") for j in range(model.m)],
+            expr.alias("adc_dist"),
+        )
+        .orderBy("adc_dist", model.id_col)
+        .limit(topk)
+    )

@@ -990,3 +990,98 @@ PROBES = [
     Probe("llm_multimodal_mp4", "B32", llm_multimodal_mp4, LLM_MULTIMODAL_MP4_SQL),
     Probe("llm_multimodal_resize", "B32", llm_multimodal_resize, LLM_MULTIMODAL_RESIZE_SQL),
 ]
+
+
+# --------------------------------------------------- product quantization
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_TOPK = 4, 16, 2, 16, 10
+
+
+def llm_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — product quantization (operators/pq.py, Jégou et al. 2011):
+    4 subspaces × 16-dim, 16-code codebooks from the exact distributed
+    Lloyd's, ADC top-10 for the lowest-id vector as query. The whole
+    train → encode → search pipeline hash-matches an oracle that
+    unrolls all four per-subspace Lloyd's runs and replays the ADC
+    table arithmetic — compressed-domain ANN with a full SQL oracle."""
+    from ..operators.pq import pq_adc_topk, pq_train
+
+    emb = load_table(spark, sf, "embeddings")
+    model = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    query = list(emb.orderBy("vec_id").limit(1).select("embedding").first()[0])
+    return pq_adc_topk(model, query, topk=_PQ_TOPK)
+
+
+def _pq_sql(m: int, k: int, iters: int, sub: int, topk: int) -> str:
+    """Unrolled per-subspace Lloyd's chains + ADC table + top-k —
+    the _kmeans_ctes technique applied once per subspace over a sliced
+    quantized view of the embedding column."""
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (CAST(e.q[i] AS DOUBLE) - c.coords[i])"
+        " * (CAST(e.q[i] AS DOUBLE) - c.coords[i])), (a, b) -> a + b)"
+    )
+    qdist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (CAST(qt.qq[i] AS DOUBLE) - c.coords[i])"
+        " * (CAST(qt.qq[i] AS DOUBLE) - c.coords[i])), (a, b) -> a + b)"
+    )
+    parts = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"""e{j} AS (SELECT vec_id, list_transform(embedding[{lo}:{hi}],
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM embeddings),
+c0_{j} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+  list_transform(q, x -> CAST(x AS DOUBLE)) AS coords
+  FROM e{j} ORDER BY vec_id LIMIT {k})"""
+        )
+        for it in range(1, iters + 1):
+            parts.append(
+                f"""a{it}_{j} AS (
+  SELECT vec_id, q, cid AS cluster FROM (
+    SELECT e.vec_id, e.q, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM e{j} e CROSS JOIN c{it - 1}_{j} c) WHERE rn = 1)"""
+            )
+            if it < iters:
+                parts.append(
+                    f"""c{it}_{j}_s AS (
+  SELECT cluster AS cid, i, CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS cnt
+  FROM a{it}_{j}, unnest(generate_series(1, {sub})) AS t(i) GROUP BY cluster, i),
+c{it}_{j}_new AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS coords
+  FROM c{it}_{j}_s GROUP BY cid),
+c{it}_{j} AS (
+  SELECT p.cid, coalesce(n.coords, p.coords) AS coords
+  FROM c{it - 1}_{j} p LEFT JOIN c{it}_{j}_new n ON p.cid = n.cid)"""
+                )
+        parts.append(
+            f"""qt{j} AS (SELECT q AS qq FROM e{j} ORDER BY vec_id LIMIT 1),
+dt{j} AS (SELECT c.cid, {qdist} AS d
+  FROM c{iters - 1}_{j} c CROSS JOIN qt{j} qt)"""
+        )
+    code_cols = ", ".join(
+        f"CAST(a{iters}_{j}.cluster AS INTEGER) AS code_{j}" for j in range(m)
+    )
+    dist_sum = " + ".join(f"dt{j}.d" for j in range(m))
+    joins = f"a{iters}_0"
+    for j in range(1, m):
+        joins += f" JOIN a{iters}_{j} USING (vec_id)"
+    for j in range(m):
+        joins += f" JOIN dt{j} ON a{iters}_{j}.cluster = dt{j}.cid"
+    body = ",\n".join(parts)
+    return f"""WITH
+{body}
+SELECT vec_id, {code_cols}, {dist_sum} AS adc_dist
+FROM {joins}
+ORDER BY adc_dist, vec_id LIMIT {topk}"""
+
+
+PROBES.append(
+    Probe(
+        "llm_pq_topk",
+        "B30",
+        llm_pq_topk,
+        _pq_sql(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_TOPK),
+    )
+)

@@ -90,9 +90,11 @@ HEADLINE = [
     "llm_multimodal_mjpeg",
     "llm_semantic_dedup_ivf",
     "llm_multimodal_mp4",
-    # round-6: distributed BPE vocabulary learning + segmentation
+    # round-6: distributed BPE vocabulary learning + segmentation,
+    # product-quantization ANN (joint codebook training + ADC top-k)
     "llm_bpe_learn",
     "llm_bpe_segment",
+    "llm_pq_topk",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
