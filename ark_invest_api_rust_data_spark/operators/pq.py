@@ -194,6 +194,64 @@ def adc_tables(model: PqModel, query: list[float]) -> list[list[float]]:
     return tables
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the FAISS index architecture as Spark plans: a coarse
+    exact-Lloyd's quantizer (clustering.kmeans_fit) partitions the
+    corpus; PQ codes compress it; a query ranks the coarse centroids
+    driver-side (k rows — bounded), keeps its ``nprobe`` nearest
+    partitions, and ADC-scans ONLY their codes. At 100 TB the coarse
+    assignment is the partition-pruning predicate (store the codes
+    ``partitionBy(cluster)``) and the scan reads nprobe/n_centroids of
+    a corpus that is itself ~100× smaller than the float vectors.
+
+    Centroid ranking uses the same quantized-grid left-to-right fold
+    as ``adc_tables`` with (dist, cid) tie-break, so the whole
+    composed pipeline is bit-reproducible against a SQL oracle
+    (plans/corpus.py llm_ivfpq_topk)."""
+    from .clustering import kmeans_fit
+
+    cents_q, asg = kmeans_fit(
+        df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    model = pq_train(df, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    qq = [float(math.floor(float(x) * MU)) for x in query]
+    ranked = []
+    for cid in range(len(cents_q)):
+        d = 0.0
+        for i, c in enumerate(cents_q[cid]):
+            diff = qq[i] - c
+            d = d + diff * diff
+        ranked.append((d, cid))
+    probe_ids = [cid for _, cid in sorted(ranked)[: max(1, nprobe)]]
+    cand = asg.filter(F.col("cluster").isin(probe_ids)).select(id_col, "cluster")
+    scan = model.codes.join(cand, id_col)
+    tables = adc_tables(model, query)
+    expr = None
+    for j, tab in enumerate(tables):
+        dj = F.element_at(F.array(*[F.lit(x) for x in tab]), F.col(f"code_{j}") + 1)
+        expr = dj if expr is None else expr + dj
+    return (
+        scan.select(
+            id_col,
+            F.col("cluster").cast("int").alias("cluster"),
+            expr.alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )
+
+
 def pq_adc_topk(
     model: PqModel, query: list[float], topk: int = 10
 ) -> DataFrame:

@@ -1011,10 +1011,11 @@ def llm_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_adc_topk(model, query, topk=_PQ_TOPK)
 
 
-def _pq_sql(m: int, k: int, iters: int, sub: int, topk: int) -> str:
-    """Unrolled per-subspace Lloyd's chains + ADC table + top-k —
-    the _kmeans_ctes technique applied once per subspace over a sliced
-    quantized view of the embedding column."""
+def _pq_parts(m: int, k: int, iters: int, sub: int) -> list[str]:
+    """Unrolled per-subspace Lloyd's chains + per-subspace ADC tables
+    (CTE fragments e{j}/c*_{j}/a*_{j}/qt{j}/dt{j}) — the _kmeans_ctes
+    technique applied once per subspace over a sliced quantized view
+    of the embedding column. Shared by the PQ and IVF-PQ oracles."""
     dist = (
         f"list_reduce(list_transform(generate_series(1, {sub}), "
         "i -> (CAST(e.q[i] AS DOUBLE) - c.coords[i])"
@@ -1060,6 +1061,11 @@ c{it}_{j} AS (
 dt{j} AS (SELECT c.cid, {qdist} AS d
   FROM c{iters - 1}_{j} c CROSS JOIN qt{j} qt)"""
         )
+    return parts
+
+
+def _pq_sql(m: int, k: int, iters: int, sub: int, topk: int) -> str:
+    parts = _pq_parts(m, k, iters, sub)
     code_cols = ", ".join(
         f"CAST(a{iters}_{j}.cluster AS INTEGER) AS code_{j}" for j in range(m)
     )
@@ -1083,5 +1089,76 @@ PROBES.append(
         "B30",
         llm_pq_topk,
         _pq_sql(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_TOPK),
+    )
+)
+
+
+# ------------------------------------------------------------- IVF-PQ
+_IVFPQ_NC, _IVFPQ_NPROBE = 16, 2
+
+
+def llm_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — IVF-PQ composition (operators/pq.py ivfpq_topk): the
+    FAISS index architecture end-to-end — a 16-centroid exact-Lloyd's
+    coarse quantizer prunes the corpus to the query's 2 nearest
+    partitions, whose PQ codes are ADC-scanned for the top-10. Both
+    trainings, the centroid ranking, and the compressed scan all
+    hash-match one SQL oracle (coarse chain = the llm_kmeans CTE
+    unroll; subspace chains + ADC = the llm_pq_topk unroll)."""
+    from ..operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    query = list(emb.orderBy("vec_id").limit(1).select("embedding").first()[0])
+    return ivfpq_topk(
+        emb,
+        query,
+        n_centroids=_IVFPQ_NC,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        topk=_PQ_TOPK,
+    )
+
+
+def _ivfpq_sql(
+    nc: int, nprobe: int, m: int, k: int, iters: int, sub: int, topk: int
+) -> str:
+    dim = m * sub
+    coarse = _kmeans_ctes(k_limit=str(nc), iters=iters)[len("WITH ") :]
+    qfold = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (CAST(qv.qq[i] AS DOUBLE) - c.coords[i])"
+        " * (CAST(qv.qq[i] AS DOUBLE) - c.coords[i])), (a, b) -> a + b)"
+    )
+    parts = _pq_parts(m, k, iters, sub)
+    dist_sum = " + ".join(f"dt{j}.d" for j in range(m))
+    joins = f"cand JOIN a{iters}_0 ON cand.vec_id = a{iters}_0.vec_id"
+    for j in range(1, m):
+        joins += f" JOIN a{iters}_{j} ON cand.vec_id = a{iters}_{j}.vec_id"
+    for j in range(m):
+        joins += f" JOIN dt{j} ON a{iters}_{j}.cluster = dt{j}.cid"
+    body = ",\n".join(parts)
+    return f"""WITH {coarse},
+{body},
+qv AS (SELECT q AS qq FROM e ORDER BY vec_id LIMIT 1),
+qd AS (SELECT c.cid, {qfold} AS d FROM c{iters - 1} c CROSS JOIN qv),
+sel AS (SELECT cid FROM qd ORDER BY d, cid LIMIT {nprobe}),
+cand AS (SELECT vec_id, cluster FROM a{iters}
+         WHERE cluster IN (SELECT cid FROM sel))
+SELECT cand.vec_id, CAST(cand.cluster AS INTEGER) AS cluster,
+       {dist_sum} AS adc_dist
+FROM {joins}
+ORDER BY adc_dist, cand.vec_id LIMIT {topk}"""
+
+
+PROBES.append(
+    Probe(
+        "llm_ivfpq_topk",
+        "B30",
+        llm_ivfpq_topk,
+        _ivfpq_sql(
+            _IVFPQ_NC, _IVFPQ_NPROBE, _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_TOPK
+        ),
     )
 )

@@ -99,6 +99,51 @@ def test_adc_ranks_near_duplicates_of_query_first(spark):
     assert len(set(top) & set(exact)) >= 1
 
 
+def test_ivfpq_prunes_to_probe_clusters_and_matches_restricted_adc(spark):
+    """IVF-PQ semantics: results come ONLY from the query's nprobe
+    nearest coarse partitions, and within them the ranking equals the
+    unrestricted ADC ranking restricted to those partitions."""
+    import math as _math
+
+    from ark_invest_api_rust_data_spark.operators.clustering import kmeans_fit
+    from ark_invest_api_rust_data_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark)
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    query = rows[min(rows)]
+    got = ivfpq_topk(
+        emb, query, n_centroids=8, nprobe=2, m=4, k=8, iters=2, topk=10
+    ).collect()
+    assert len(got) == 10
+    assert len({r["cluster"] for r in got}) <= 2  # pruned scan
+
+    cents_q, asg = kmeans_fit(emb, k=8, iters=2)
+    qq = [float(_math.floor(x * MU)) for x in query]
+    ranked = sorted(
+        (
+            sum((qq[i] - c) ** 2 for i, c in enumerate(cents_q[cid])),
+            cid,
+        )
+        for cid in range(len(cents_q))
+    )
+    probe_ids = {cid for _, cid in ranked[:2]}
+    assert {r["cluster"] for r in got} <= probe_ids
+
+    model = pq_train(emb, m=4, k=8, iters=2)
+    tables = adc_tables(model, query)
+    clusters = {r["vec_id"]: r["cluster"] for r in asg.collect()}
+    codes = {
+        r["vec_id"]: [r[f"code_{j}"] for j in range(4)]
+        for r in model.codes.collect()
+    }
+    ref = sorted(
+        (sum(tables[j][c[j]] for j in range(4)), vid)
+        for vid, c in codes.items()
+        if clusters[vid] in probe_ids
+    )[:10]
+    assert [(r["adc_dist"], r["vec_id"]) for r in got] == ref
+
+
 def test_pq_validates(spark):
     emb = _emb(spark)
     with pytest.raises(ValueError):
