@@ -1,0 +1,279 @@
+"""Probabilistic sketches for corpus-scale set membership and
+frequency estimation — the operators that replace exact broadcast
+structures once the "small" side stops being small (driver north star:
+training-data pipeline at 100 TB).
+
+Two sketches, both built from pure integer math so a SQL oracle can
+recompute them bit-for-bit:
+
+* **Bloom filter** (Bloom 1970) — ``bloom_build`` folds a key stream
+  into an m-bit bitmap (one ``array<long>`` row); ``bloom_contains``
+  probes it via a broadcast of that single row. The decontamination
+  tier ``bloom_decontaminate`` replaces
+  ``contamination_overlap``'s broadcast of the full benchmark shingle
+  SET with a constant-size bitmap: at 100 TB the benchmark shingle set
+  can be GBs (too big to broadcast, forcing a corpus-wide shuffle
+  join), while a 2^20-bit Bloom is 128 KiB forever. False positives
+  only — the safe direction for decontamination (a clean doc may be
+  flagged, a dirty doc is never missed).
+
+* **Count-min sketch** (Cormode & Muthukrishnan 2005) —
+  ``cms_build`` aggregates token counts into a d×w matrix (d·w rows,
+  one shuffle with map-side combine, O(d·w) result no matter the
+  corpus size); ``cms_heavy_hitters`` runs the classic
+  candidates-then-verify: CMS estimates (which only ever
+  OVER-estimate) select candidate tokens above the threshold, then one
+  exact count pass confirms — the same shape as MinHash-LSH's
+  candidate/verify split (operators/dedup.py).
+
+Hash family: ``pos_i(x) = ((A_i·h(x) + B_i) mod P) mod m`` where
+``h`` is the 31-fold 32-bit token hash (operators/text.token_hash32)
+and P = 2^61-1. With A_i < 2^31 and h < 2^32 the product stays under
+2^63 — exact in int64 on both engines, no overflow, no floats.
+
+The reference (a single-node ETL, SURVEY.md §2 Part B evidence of
+absence) has no sketches; this extends the corpus-prep family
+B28-B31.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import token_hash32
+
+# 2^61 - 1 (Mersenne prime): A*h + B < 2^63 for A < 2^31, h < 2^32,
+# so the mod chain is exact int64 arithmetic in any engine.
+MERSENNE61 = (1 << 61) - 1
+
+# Deterministic multiply-shift coefficients, i = 0..k-1. 1103515245 is
+# the classic LCG multiplier; the strides keep every A_i < 2^31.
+_A_BASE, _A_STEP = 1103515245, 12345
+_B_BASE, _B_STEP = 12345, 999331
+
+
+def _coef(i: int) -> tuple[int, int]:
+    return _A_BASE + i * _A_STEP, _B_BASE + i * _B_STEP
+
+
+def hash_positions(key: Column, n_hashes: int, modulus: int) -> Column:
+    """Array of ``n_hashes`` positions in [0, modulus) for a string
+    key — the shared Bloom/CMS hash family (module docstring)."""
+    h = token_hash32(key)
+    return F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)) % F.lit(modulus)
+            for a, b in (_coef(i) for i in range(n_hashes))
+        ]
+    )
+
+
+def sql_hash_positions(key_sql: str, n_hashes: int, modulus: int, hash_sql: str) -> list[str]:
+    """DuckDB fragments mirroring ``hash_positions`` — ``hash_sql`` is
+    the token-hash expression for ``key_sql`` (plans/llm.py _sql_hash).
+    Kept next to the Spark side so the two can never drift apart."""
+    return [
+        f"((({a} * {hash_sql}) + {b}) % {MERSENNE61}) % {modulus}"
+        for a, b in (_coef(i) for i in range(n_hashes))
+    ]
+
+
+def _bit_masks() -> Column:
+    """64-entry lookup array: masks[b+1] = the long with only bit b
+    set. A lookup instead of shiftleft because PySpark's shiftleft
+    takes a Python int shift amount, not a Column; entry 63 is the
+    sign bit (Long.MIN_VALUE) — bitwiseAND/bit_or are sign-agnostic."""
+    return F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+
+
+# ------------------------------------------------------------ bloom
+def bloom_build(
+    df: DataFrame, key_col: str = "key", m_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """Fold a key stream into one bitmap row ``(bitmap: array<long>)``
+    of ceil(m_bits/64) words.
+
+    Shape: keys → k bit positions each (narrow) → distinct
+    (word, mask) → per-word bit-OR (ONE shuffle of at most m_bits
+    rows after map-side combine) → single-row assembly via
+    map_from_entries + a sequence fill — no driver crossing, no UDF.
+    At 100 TB the shuffle is bounded by the bitmap size, never the
+    corpus.
+    """
+    n_words = (m_bits + 63) // 64
+    pos = df.select(
+        F.explode(hash_positions(F.col(key_col), k, m_bits)).alias("_pos")
+    )
+    words = (
+        pos.select(
+            (F.col("_pos") / 64).cast("long").alias("_word"),
+            F.element_at(
+                _bit_masks(), (F.col("_pos") % 64).cast("int") + 1
+            ).alias("_mask"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_mask").alias("_bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("_word", "_bits"))).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(F.element_at("_m", i), F.lit(0).cast("long")),
+        ).alias("bitmap")
+    )
+
+
+def bloom_contains(key: Column, bitmap: Column, m_bits: int, k: int = 4) -> Column:
+    """True iff every one of the key's k bits is set in ``bitmap``
+    (an ``array<long>`` column, normally from a broadcast one-row
+    cross join of ``bloom_build``'s output)."""
+    masks = _bit_masks()
+    return F.aggregate(
+        hash_positions(key, k, m_bits),
+        F.lit(True),
+        lambda acc, p: acc
+        & (
+            F.element_at(bitmap, (p / 64).cast("int") + 1).bitwiseAND(
+                F.element_at(masks, (p % 64).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Constant-memory benchmark decontamination: build a Bloom filter
+    over the benchmark's distinct word n-grams, then flag corpus
+    documents whose shingles hit it. Returns flagged docs only:
+    ``(id_col, n_bloom_hits)`` — distinct shingles of the doc that the
+    filter reports as (possibly) present.
+
+    vs ``contamination_overlap`` (operators/contamination.py): the
+    exact operator broadcasts the benchmark shingle set itself — fine
+    while eval suites are MBs, impossible when the protected set grows
+    to GBs. This tier broadcasts ceil(m_bits/64) longs regardless of
+    benchmark size, at the price of a tunable false-positive rate
+    ((1-e^{-kn/m})^k); flagged docs are a SUPERSET of the truly
+    contaminated, so a downstream exact check only needs to look at
+    the flagged minority.
+    """
+    from .contamination import _shingles
+
+    bloom = bloom_build(
+        _shingles(benchmark, id_col, text_col, n, "_bid")
+        .select(F.col("shingle").alias("key"))
+        .distinct(),
+        m_bits=m_bits,
+        k=k,
+    )
+    # _shingles explodes array_distinct — already one row per distinct
+    # (doc, shingle), so the count below needs no extra dedup shuffle
+    corp = _shingles(corpus, id_col, text_col, n, id_col)
+    return (
+        corp.crossJoin(F.broadcast(bloom))
+        .filter(bloom_contains(F.col("shingle"), F.col("bitmap"), m_bits, k))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bloom_hits"))
+    )
+
+
+# ------------------------------------------------------------ count-min
+def cms_build(
+    df: DataFrame, key_col: str = "key", depth: int = 4, width: int = 1 << 12
+) -> DataFrame:
+    """Count-min sketch of a key stream as a (depth·width)-row table
+    ``(row, pos, cnt)`` — zero cells omitted. ONE shuffle whose
+    map-side-combined output is bounded by d·w, never the corpus;
+    the result is broadcastable by construction (d=4, w=4096 →
+    ≤16 384 rows)."""
+    pos = df.select(
+        F.posexplode(hash_positions(F.col(key_col), depth, width)).alias(
+            "row", "pos"
+        )
+    )
+    return pos.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(key: Column, depth: int, width: int) -> Column:
+    """Positions array for a key — callers join each (row, pos)
+    against the sketch and take ``min(cnt)`` (see
+    ``cms_heavy_hitters`` for the canonical join shape)."""
+    return hash_positions(key, depth, width)
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "key",
+    threshold: int = 100,
+    depth: int = 4,
+    width: int = 1 << 12,
+) -> DataFrame:
+    """Tokens with exact count ≥ threshold, found sketch-first:
+    ``(key, est, cnt)``.
+
+    1. Build the CMS (one bounded shuffle over the full stream).
+    2. Candidates: DISTINCT keys whose sketch estimate (min over d
+       rows of the broadcast sketch) ≥ threshold. CMS never
+       under-counts, so no true heavy hitter is missed.
+    3. Verify: exact count restricted to candidates (broadcast semi
+       join — the candidate set is small by construction), keep
+       cnt ≥ threshold.
+
+    At 100 TB the exact groupBy in step 3 would be safe anyway
+    (O(vocab) shuffle) — the point of the shape is step 2's pruning
+    when the verify phase is expensive (multi-column keys, joins),
+    and parity with how a streaming CMS would be consumed. The
+    returned ``est`` ≥ ``cnt`` always (over-count-only error).
+    """
+    sketch = (
+        cms_build(df, key_col, depth, width)
+        .withColumnRenamed("cnt", "_scnt")
+        .persist()
+    )
+    try:
+        sketch.count()  # materialize once; probed below
+        candidates = (
+            df.select(key_col)
+            .distinct()
+            .select(
+                key_col,
+                F.posexplode(cms_estimate(F.col(key_col), depth, width)).alias(
+                    "row", "pos"
+                ),
+            )
+            .join(F.broadcast(sketch), ["row", "pos"])
+            .groupBy(key_col)
+            # a missing sketch row can't happen for a probed key (its
+            # own inserts put >=1 in every one of its d cells)
+            .agg(F.min("_scnt").alias("est"))
+            .filter(F.col("est") >= threshold)
+        )
+        exact = (
+            df.join(F.broadcast(candidates), key_col, "left_semi")
+            .groupBy(key_col)
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= threshold)
+        )
+        out = exact.join(F.broadcast(candidates), key_col).select(
+            key_col, "est", "cnt"
+        )
+        # cut lineage so the sketch can be released before return
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sketch.unpersist()
+    return out

@@ -38,6 +38,7 @@ def all_probes() -> dict[str, Probe]:
         llm,
         parity,
         relational,
+        sketch,
         tpch_extra,
         udf_tier,
         warehouse,
@@ -56,6 +57,7 @@ def all_probes() -> dict[str, Probe]:
         curation,
         events,
         warehouse,
+        sketch,
     ):
         for p in mod.PROBES:
             if p.name in out:

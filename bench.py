@@ -95,6 +95,10 @@ HEADLINE = [
     "llm_bpe_learn",
     "llm_bpe_segment",
     "llm_pq_topk",
+    # round-6 session 2: sketch tier (Bloom decontamination at
+    # constant broadcast size; CMS candidates-then-verify)
+    "llm_bloom_decontaminate",
+    "llm_heavy_hitters",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -1,0 +1,119 @@
+"""Sketch operators (operators/sketch.py): Bloom-filter membership /
+decontamination and count-min-sketch heavy hitters.
+
+The probabilistic guarantees under test are one-sided and exact:
+Bloom never misses an inserted key (no false negatives), CMS never
+under-counts — so the derived operators have provable set relations
+against their exact twins (superset of exact contamination; equality
+of the verified heavy-hitter set), which is what these tests pin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ark_invest_api_rust_data_spark.operators.contamination import (
+    contamination_overlap,
+)
+from ark_invest_api_rust_data_spark.operators.sketch import (
+    bloom_build,
+    bloom_contains,
+    bloom_decontaminate,
+    cms_build,
+    cms_heavy_hitters,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+def test_bloom_no_false_negatives(spark):
+    inserted = [f"tok{i}" for i in range(200)]
+    bloom = bloom_build(_keys_df(spark, inserted), m_bits=1 << 12, k=4)
+    hits = (
+        _keys_df(spark, inserted)
+        .crossJoin(F.broadcast(bloom))
+        .filter(bloom_contains(F.col("key"), F.col("bitmap"), 1 << 12, 4))
+        .count()
+    )
+    assert hits == len(inserted)  # every inserted key must be found
+
+
+def test_bloom_rejects_most_absent_keys(spark):
+    inserted = [f"tok{i}" for i in range(200)]
+    absent = [f"other{i}" for i in range(500)]
+    bloom = bloom_build(_keys_df(spark, inserted), m_bits=1 << 16, k=4)
+    fp = (
+        _keys_df(spark, absent)
+        .crossJoin(F.broadcast(bloom))
+        .filter(bloom_contains(F.col("key"), F.col("bitmap"), 1 << 16, 4))
+        .count()
+    )
+    # 200 keys in 2^16 bits at k=4: theoretical FPR ~ (1-e^{-kn/m})^4
+    # ~ 1e-8; allow slack without letting a broken hash family pass
+    assert fp <= 2
+
+
+def test_bloom_bitmap_word_count_and_type(spark):
+    bloom = bloom_build(_keys_df(spark, ["a", "b"]), m_bits=1 << 12, k=4).collect()
+    assert len(bloom) == 1
+    bitmap = bloom[0]["bitmap"]
+    assert len(bitmap) == (1 << 12) // 64
+    assert all(isinstance(w, int) for w in bitmap)
+    assert any(w != 0 for w in bitmap)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = contamination_overlap(corpus, bench, n=3)
+    approx = bloom_decontaminate(corpus, bench, n=3, m_bits=1 << 16, k=4)
+    exact_rows = {
+        r["doc_id"]: r["n_shingle_hits"] for r in exact.collect()
+    }
+    approx_rows = {r["doc_id"]: r["n_bloom_hits"] for r in approx.collect()}
+    assert exact_rows, "fixture must contain contaminated docs"
+    # no false negatives: every exactly-contaminated doc is flagged,
+    # with at least as many shingle hits (false positives only inflate)
+    for doc_id, n_exact in exact_rows.items():
+        assert doc_id in approx_rows
+        assert approx_rows[doc_id] >= n_exact
+
+
+def test_cms_never_undercounts(spark):
+    rows = [(f"k{i % 7}",) for i in range(210)]  # 7 keys x 30
+    df = spark.createDataFrame(rows, "key string")
+    # tiny width forces collisions — estimates may inflate, never deflate
+    sketch = cms_build(df, width=8, depth=3)
+    cells = {(r["row"], r["pos"]): r["cnt"] for r in sketch.collect()}
+    assert sum(c for (r, _), c in cells.items() if r == 0) == 210
+    hh = cms_heavy_hitters(df, threshold=30, depth=3, width=8).collect()
+    assert {r["key"] for r in hh} == {f"k{i}" for i in range(7)}
+    for r in hh:
+        assert r["cnt"] == 30
+        assert r["est"] >= r["cnt"]
+
+
+def test_cms_heavy_hitters_equals_exact_filter(spark, docs):
+    from ark_invest_api_rust_data_spark.operators.text import tokens
+
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("key"))
+    got = cms_heavy_hitters(toks, threshold=25, depth=4, width=1 << 12)
+    want = (
+        toks.groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 25)
+    )
+    got_rows = {r["key"]: r["cnt"] for r in got.collect()}
+    want_rows = {r["key"]: r["cnt"] for r in want.collect()}
+    assert want_rows, "fixture must contain heavy hitters"
+    # CMS over-counts only, and the verify pass re-filters exactly —
+    # the sketch-first answer must equal the exact answer
+    assert got_rows == want_rows
