@@ -69,11 +69,15 @@ def word_freq_table(
     """(seq, freq) vocabulary: lowercase ``[a-z0-9]+`` words across the
     corpus, counted, each as its initial character-level symbol
     sequence. The one corpus-scale aggregation of BPE learning."""
+    from .dedup import _spread
+
     words = F.explode(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
     ).alias("word")
     return (
-        df.select(words)
+        # spread BEFORE the explode: the regex scan is the expensive
+        # part and must not serialize on a single-split file scan
+        _spread(df).select(words)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .select(_word_seq(F.col("word")).alias("seq"), "freq")

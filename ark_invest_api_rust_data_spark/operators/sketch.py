@@ -194,19 +194,33 @@ def bloom_decontaminate(
 
 # ------------------------------------------------------------ count-min
 def cms_build(
-    df: DataFrame, key_col: str = "key", depth: int = 4, width: int = 1 << 12
+    df: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 1 << 12,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch of a key stream as a (depth·width)-row table
     ``(row, pos, cnt)`` — zero cells omitted. ONE shuffle whose
     map-side-combined output is bounded by d·w, never the corpus;
     the result is broadcastable by construction (d=4, w=4096 →
-    ≤16 384 rows)."""
-    pos = df.select(
+    ≤16 384 rows).
+
+    ``weight_col`` builds from a pre-aggregated (key, weight) table —
+    cell-identical to inserting each key ``weight`` times, but the
+    hash fold runs once per DISTINCT key instead of once per
+    instance (the shape ``cms_heavy_hitters`` uses).
+    """
+    from .dedup import _spread
+
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    pos = _spread(df).select(
+        w.alias("_w"),
         F.posexplode(hash_positions(F.col(key_col), depth, width)).alias(
             "row", "pos"
-        )
+        ),
     )
-    return pos.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+    return pos.groupBy("row", "pos").agg(F.sum("_w").alias("cnt"))
 
 
 def cms_estimate(key: Column, depth: int, width: int) -> Column:
@@ -226,54 +240,58 @@ def cms_heavy_hitters(
     """Tokens with exact count ≥ threshold, found sketch-first:
     ``(key, est, cnt)``.
 
-    1. Build the CMS (one bounded shuffle over the full stream).
-    2. Candidates: DISTINCT keys whose sketch estimate (min over d
-       rows of the broadcast sketch) ≥ threshold. CMS never
-       under-counts, so no true heavy hitter is missed.
-    3. Verify: exact count restricted to candidates (broadcast semi
-       join — the candidate set is small by construction), keep
-       cnt ≥ threshold.
+    1. Build the CMS (weighted — see below).
+    2. Candidates: keys whose sketch estimate (min over d rows of the
+       broadcast sketch) ≥ threshold. CMS never under-counts, so no
+       true heavy hitter is missed.
+    3. Verify: exact count ≥ threshold (over-estimated candidates
+       drop out here).
 
-    At 100 TB the exact groupBy in step 3 would be safe anyway
-    (O(vocab) shuffle) — the point of the shape is step 2's pruning
-    when the verify phase is expensive (multi-column keys, joins),
-    and parity with how a streaming CMS would be consumed. The
+    Plan shape: ONE corpus scan feeding one vocab-bounded count
+    shuffle (map-side combined — the same canonical shape as
+    llm_vocab_topk), then everything downstream (weighted sketch
+    build, estimates, verify) runs on the tiny counts table: the
+    sketch is built with per-key weights (cell-identical to
+    per-instance inserts, hash fold once per DISTINCT key), estimates
+    come from a broadcast of the ≤ d·w-row sketch, and the verify is
+    a filter on the counts already in hand. At 100 TB nothing past
+    the first aggregation ever sees a corpus-sized row stream. The
     returned ``est`` ≥ ``cnt`` always (over-count-only error).
     """
-    sketch = (
-        cms_build(df, key_col, depth, width)
-        .withColumnRenamed("cnt", "_scnt")
+    from .dedup import _spread
+
+    counts = (
+        _spread(df)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
         .persist()
     )
     try:
-        sketch.count()  # materialize once; probed below
-        candidates = (
-            df.select(key_col)
-            .distinct()
-            .select(
+        sketch = cms_build(
+            counts, key_col, depth, width, weight_col="cnt"
+        ).withColumnRenamed("cnt", "_scnt")
+        est = (
+            counts.select(
                 key_col,
+                "cnt",
                 F.posexplode(cms_estimate(F.col(key_col), depth, width)).alias(
                     "row", "pos"
                 ),
             )
             .join(F.broadcast(sketch), ["row", "pos"])
-            .groupBy(key_col)
+            .groupBy(key_col, "cnt")
             # a missing sketch row can't happen for a probed key (its
             # own inserts put >=1 in every one of its d cells)
             .agg(F.min("_scnt").alias("est"))
-            .filter(F.col("est") >= threshold)
         )
-        exact = (
-            df.join(F.broadcast(candidates), key_col, "left_semi")
-            .groupBy(key_col)
-            .agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") >= threshold)
+        out = (
+            est.filter(
+                (F.col("est") >= threshold) & (F.col("cnt") >= threshold)
+            )
+            .select(key_col, "est", "cnt")
+            # cut lineage so the counts cache can be released on return
+            .localCheckpoint(eager=True)
         )
-        out = exact.join(F.broadcast(candidates), key_col).select(
-            key_col, "est", "cnt"
-        )
-        # cut lineage so the sketch can be released before return
-        out = out.localCheckpoint(eager=True)
     finally:
-        sketch.unpersist()
+        counts.unpersist()
     return out

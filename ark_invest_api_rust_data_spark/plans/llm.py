@@ -955,11 +955,14 @@ def llm_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     combined, O(vocab) shuffle rows) → TakeOrderedAndProject. At
     100 TB the shuffle is bounded by vocabulary size, not corpus
     size."""
+    from ..operators.dedup import _spread
     from ..operators.text import tokens
 
     docs = load_table(spark, sf, "documents")
+    # spread before the explode: the tokenize fold dominates and must
+    # not serialize on a single-split scan
     return (
-        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        _spread(docs).select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))
@@ -987,11 +990,14 @@ def llm_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
     df aggregation broadcast back — two linear map-side-combined
     shuffles + one broadcast join, no row explosion past the gram
     stream."""
+    from ..operators.dedup import _spread
     from ..operators.text import tokens
 
     docs = load_table(spark, sf, "documents")
     tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        # spread before the explode (single-split scan serialization)
+        _spread(docs)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )

@@ -89,10 +89,16 @@ def llm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     then one exact pass over the candidate-restricted stream confirms
     (operators/sketch.py cms_heavy_hitters). Returns
     (gram, est, cnt) with est ≥ cnt by construction."""
+    from ..operators.dedup import _spread
     from ..operators.text import tokens, word_ngrams
 
     docs = load_table(spark, sf, "documents")
-    grams = docs.select(
+    # spread BEFORE the explode: a single-file scan is one split, and
+    # the tokenize+ngram fold is the expensive part — repartitioning
+    # the doc stream first parallelizes it (measured 5.4s -> 0.6s at
+    # sf0.1); spreading the exploded stream parallelizes only the
+    # (cheap) aggregation
+    grams = _spread(docs).select(
         F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("gram")
     )
     return cms_heavy_hitters(
