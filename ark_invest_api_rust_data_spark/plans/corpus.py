@@ -1162,3 +1162,54 @@ PROBES.append(
         ),
     )
 )
+
+
+# ------------------------------------------------------------- SQ8
+_SQ_DIM, _SQ_TOPK = 64, 10
+
+
+def llm_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — scalar quantization (operators/sq.py, the FAISS
+    ScalarQuantizer/QT_8bit design): per-dim [min,max] grids learned
+    in ONE exact aggregation pass, 8-bit codes, ADC top-10 against
+    code midpoints for the lowest-id query. Training, encoding, and
+    the distance fold are all pure int64 arithmetic on the μ grid —
+    the oracle replays every step exactly (no float folds anywhere,
+    unlike PQ's IEEE distance chains)."""
+    from ..operators.sq import sq_adc_topk, sq_train
+
+    emb = load_table(spark, sf, "embeddings")
+    model = sq_train(emb)
+    query = list(emb.orderBy("vec_id").limit(1).select("embedding").first()[0])
+    return sq_adc_topk(model, query, topk=_SQ_TOPK)
+
+
+def _sq8_sql(dim: int, topk: int) -> str:
+    return f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings),
+dims AS (
+  SELECT d, min(qe[d]) AS mn, max(qe[d]) AS mx
+  FROM q CROSS JOIN generate_series(1, {dim}) AS t(d)
+  GROUP BY d),
+qv AS (SELECT qe AS qq FROM q ORDER BY vec_id LIMIT 1),
+codes AS (
+  SELECT q.vec_id, dm.d,
+    CASE WHEN dm.mx = dm.mn THEN 0
+         ELSE least(255, ((q.qe[dm.d] - dm.mn) * 256) // (dm.mx - dm.mn)) END AS c
+  FROM q CROSS JOIN dims dm),
+dist AS (
+  SELECT cd.vec_id,
+    CAST(SUM(
+      (qv.qq[cd.d] - (dm.mn + CASE WHEN dm.mx = dm.mn THEN 0
+           ELSE ((2 * cd.c + 1) * (dm.mx - dm.mn)) // 512 END))
+      * (qv.qq[cd.d] - (dm.mn + CASE WHEN dm.mx = dm.mn THEN 0
+           ELSE ((2 * cd.c + 1) * (dm.mx - dm.mn)) // 512 END))
+    ) AS BIGINT) AS sq_dist
+  FROM codes cd JOIN dims dm ON cd.d = dm.d CROSS JOIN qv
+  GROUP BY cd.vec_id)
+SELECT vec_id, sq_dist FROM dist ORDER BY sq_dist, vec_id LIMIT {topk}"""
+
+
+PROBES.append(Probe("llm_sq8_topk", "B30", llm_sq8_topk, _sq8_sql(_SQ_DIM, _SQ_TOPK)))

@@ -95,6 +95,8 @@ HEADLINE = [
     "llm_bpe_learn",
     "llm_bpe_segment",
     "llm_pq_topk",
+    "llm_ivfpq_topk",
+    "llm_sq8_topk",
     # round-6 session 2: sketch tier (Bloom decontamination at
     # constant broadcast size; CMS candidates-then-verify)
     "llm_bloom_decontaminate",
