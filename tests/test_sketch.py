@@ -117,3 +117,27 @@ def test_cms_heavy_hitters_equals_exact_filter(spark, docs):
     # CMS over-counts only, and the verify pass re-filters exactly —
     # the sketch-first answer must equal the exact answer
     assert got_rows == want_rows
+
+
+def test_explode_fold_runs_above_spread_exchange(spark, sf_dir):
+    """Regression (round-6 microbench): the tokenize/regex fold behind
+    an explode must run ABOVE the _spread exchange — attached to a
+    single-split scan it serializes on one task (measured 5.4s ->
+    0.6s at sf0.1 when spread first). cms_heavy_hitters returns a
+    checkpointed frame (plan gone), so pin the shape on BPE's
+    word_freq_table, which shares it; llm_vocab_topk /
+    llm_tfidf_topterms / the heavy-hitters gram stream are built the
+    same way."""
+    from ark_invest_api_rust_data_spark.operators.bpe import word_freq_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        word_freq_table(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    i_gen = plan.find("Generate")
+    i_ex = plan.find("RoundRobinPartitioning")
+    assert i_ex != -1, "spread exchange missing:\n" + plan[:2000]
+    assert 0 <= i_gen < i_ex, (
+        "explode fold was attached to the scan stage below the spread "
+        "exchange:\n" + plan[:2000]
+    )
