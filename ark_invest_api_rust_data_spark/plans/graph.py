@@ -1,0 +1,77 @@
+"""Graph probes: exact integer PageRank over a co-purchase graph
+(operators/graph.py).  The oracle unrolls the rank iterations as CTEs
+with the identical int64 fixed-point contract — the same
+full-SQL-oracle discipline as the exact k-means (plans/corpus.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.graph import copurchase_edges, pagerank
+from .base import Probe
+
+PROBES: list[Probe] = []
+
+_ITERS = 5
+_BASE = 10**15
+
+# Directed co-purchase edges: within each order (sorted by line
+# number) an edge from each part to the next; self-loops dropped.
+_EDGES_CTE = """SELECT src, dst FROM (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS dst
+  FROM lineitem)
+WHERE dst IS NOT NULL AND dst <> src"""
+
+
+def _pagerank_ctes(iters: int = _ITERS, base: int = _BASE) -> str:
+    """Unrolled integer PageRank mirroring operators/graph.pagerank
+    step for step: r0 = base div n; per iteration the per-edge
+    contribution r div deg, a dst-sum, and
+    (15·(base div n)) div 100 + (85·s) div 100."""
+    parts = [
+        f"e AS ({_EDGES_CTE})",
+        """nodes AS (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e))""",
+        "g AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT v, {base} // n AS r FROM nodes CROSS JOIN g)",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""s{it} AS (
+  SELECT e.dst AS v, sum(r.r // d.deg) AS s
+  FROM e JOIN deg d USING (src) JOIN r{it - 1} r ON r.v = e.src
+  GROUP BY 1),
+r{it} AS (
+  SELECT n0.v,
+         (15 * ({base} // g.n)) // 100 + (85 * coalesce(s.s, 0)) // 100 AS r
+  FROM nodes n0 CROSS JOIN g LEFT JOIN s{it} s ON s.v = n0.v)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — host/item-graph PageRank, the link-analysis
+    quality signal a web-scale pretraining pipeline derives before
+    filtering (Common-Crawl-style host ranks).  Exact int64 fixed
+    point end to end; 5 unrolled iterations hash-match the CTE
+    oracle."""
+    li = load_table(spark, sf, "lineitem")
+    edges = copurchase_edges(li)
+    return pagerank(edges, iters=_ITERS, base=_BASE).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+GRAPH_PAGERANK_SQL = (
+    _pagerank_ctes()
+    + f"""
+SELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS rank FROM r{_ITERS}"""
+)
+
+PROBES.append(Probe("graph_pagerank", "B31", graph_pagerank, GRAPH_PAGERANK_SQL))

@@ -1,0 +1,112 @@
+"""Retrieval + entity-matching probes: exact-integer BM25 top-k
+(operators/bm25.py) and blocked fuzzy entity resolution
+(operators/entity.py).  Both hash-match full SQL oracles — BM25's idf
+is the one transcendental, computed in CPython/libm on the driver so
+it is bit-identical to DuckDB's ln (the JVM's Math.log is not; see
+operators/bm25.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators.bm25 import bm25_topk
+from ..operators.entity import fuzzy_best_match
+from .base import Probe
+from .llm import _W
+
+PROBES: list[Probe] = []
+
+_QUERY = ["spark", "hash", "merge", "window", "scan"]
+_TOPK = 10
+
+
+def llm_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — BM25 keyword retrieval over the corpus
+    (k1=1.2, b=0.75 as exact rationals, idf quantized floor(ln·2^20)).
+    Top-10 by int64 score, ties broken on doc_id."""
+    docs = load_table(spark, sf, "documents")
+    return bm25_topk(docs, _QUERY, k=_TOPK)
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _QUERY)
+
+LLM_BM25_SQL = f"""
+WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+d AS (SELECT doc_id AS id, len(w) AS dl, w FROM t),
+g AS (SELECT count(*) AS n, sum(dl) AS l FROM d),
+a AS (SELECT n, l, (1000000 * l) // n AS avg_q FROM g),
+tok AS (SELECT id, dl, unnest(w) AS term FROM d),
+tf AS (SELECT id, dl, term, count(*) AS tf FROM tok
+       WHERE term IN ({_TERMS_SQL}) GROUP BY 1, 2, 3),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+idf AS (SELECT term,
+        CAST(floor(ln(1.0 + (a.n - df + 0.5) / (df + 0.5)) * 1048576.0)
+             AS BIGINT) AS idf_q
+        FROM dfx CROSS JOIN a),
+s AS (SELECT id,
+      sum((idf_q * 44 * tf * avg_q) //
+          (20 * tf * avg_q + 6 * avg_q + 18000000 * dl)) AS score
+      FROM tf JOIN idf USING (term) CROSS JOIN a GROUP BY 1),
+r AS (SELECT id, score,
+      row_number() OVER (ORDER BY score DESC, id) AS rank FROM s)
+SELECT id AS doc_id, CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {_TOPK}
+"""
+
+PROBES.append(Probe("llm_bm25_topk", "B31", llm_bm25_topk, LLM_BM25_SQL))
+
+
+# ------------------------------------------------ fuzzy entity match
+_DIRTY_CASE = """CASE p_partkey % 3
+  WHEN 0 THEN substring(p_name, 1, length(p_name) - 1)
+  WHEN 1 THEN concat('x', substring(p_name, 2))
+  ELSE p_name END"""
+
+
+def er_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """B15 scale tier — entity resolution of a dirty name batch
+    (deterministic planted edits: dropped last char / replaced first
+    char) against the part catalog via prefix/suffix blocking +
+    Levenshtein best-match — the fuzzy generalization of the
+    reference's per-typo company rule chain, without the O(n·m) cross
+    join."""
+    part = load_table(spark, sf, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.expr(_DIRTY_CASE).alias("dirty_name"),
+    )
+    catalog = part.select(
+        F.col("p_partkey").alias("match_id"),
+        F.col("p_name").alias("match_name"),
+    )
+    out = fuzzy_best_match(dirty, catalog, max_dist=2, block_len=4)
+    return out.withColumn("dist", F.col("dist").cast("int"))
+
+
+ER_FUZZY_SQL = f"""
+WITH dirty AS (
+  SELECT p_partkey AS dirty_id, {_DIRTY_CASE} AS dirty_name
+  FROM part WHERE p_partkey % 7 = 0),
+cat AS (SELECT p_partkey AS match_id, p_name AS match_name FROM part),
+dk AS (SELECT *, substring(dirty_name, 1, 4) AS bp,
+              right(dirty_name, 4) AS bs FROM dirty),
+ck AS (SELECT *, substring(match_name, 1, 4) AS bp,
+              right(match_name, 4) AS bs FROM cat),
+cand AS (
+  SELECT DISTINCT dirty_id, dirty_name, match_id, match_name FROM (
+    SELECT dk.dirty_id, dk.dirty_name, ck.match_id, ck.match_name
+    FROM dk JOIN ck USING (bp)
+    UNION ALL
+    SELECT dk.dirty_id, dk.dirty_name, ck.match_id, ck.match_name
+    FROM dk JOIN ck ON dk.bs = ck.bs)),
+v AS (SELECT *, levenshtein(dirty_name, match_name) AS dist FROM cand),
+r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+                                   ORDER BY dist, match_id) AS rn
+      FROM v WHERE dist <= 2)
+SELECT dirty_id, dirty_name, match_id, match_name, CAST(dist AS INT) AS dist
+FROM r WHERE rn = 1
+"""
+
+PROBES.append(Probe("er_fuzzy_match", "B15", er_fuzzy_match, ER_FUZZY_SQL))

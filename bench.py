@@ -101,6 +101,11 @@ HEADLINE = [
     # constant broadcast size; CMS candidates-then-verify)
     "llm_bloom_decontaminate",
     "llm_heavy_hitters",
+    # round-6 session 3: integer PageRank (link-analysis quality
+    # signal), exact-integer BM25 retrieval, blocked fuzzy ER join
+    "graph_pagerank",
+    "llm_bm25_topk",
+    "er_fuzzy_match",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

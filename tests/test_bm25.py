@@ -1,0 +1,87 @@
+"""BM25 (operators/bm25.py): exact equality against an independent
+pure-Python implementation of the integer contract, plus ranking
+sanity (rarer terms dominate) and the idf quantization invariant."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ark_invest_api_rust_data_spark.operators.bm25 import (
+    IDF_SCALE,
+    bm25_topk,
+    idf_quantized,
+)
+
+DOCS = [
+    (1, "spark shuffle join spark spark"),
+    (2, "hash join merge sort"),
+    (3, "spark hash hash window scan scan scan"),
+    (4, "the quick brown fox"),
+    (5, "merge merge merge merge merge window"),
+    (6, "scan"),
+]
+
+
+def _py_bm25(docs, terms, k):
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    total = sum(len(w) for w in toks.values())
+    avg_q = (1_000_000 * total) // n
+    tf = {
+        (i, t): w.count(t)
+        for i, w in toks.items()
+        for t in set(w)
+        if t in terms
+    }
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    idf = {
+        t: math.floor(
+            math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * IDF_SCALE
+        )
+        for t, d in df.items()
+    }
+    score: dict[int, int] = {}
+    for (i, t), f in tf.items():
+        dl = len(toks[i])
+        c = (idf[t] * 44 * f * avg_q) // (
+            20 * f * avg_q + 6 * avg_q + 18_000_000 * dl
+        )
+        score[i] = score.get(i, 0) + c
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [
+        (i, s, r + 1) for r, (i, s) in enumerate(ranked)
+    ]
+
+
+def test_bm25_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    terms = ["spark", "hash", "scan", "merge"]
+    got = [tuple(r) for r in bm25_topk(df, terms, k=10).collect()]
+    assert sorted(got) == sorted(_py_bm25(DOCS, terms, 10))
+
+
+def test_bm25_rare_term_dominates(spark):
+    # 'fox' appears once in one doc; a common filler everywhere else
+    docs = [(i, "filler filler filler") for i in range(1, 20)] + [
+        (99, "filler fox filler")
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    top = bm25_topk(df, ["fox", "filler"], k=1).collect()
+    assert top[0]["doc_id"] == 99
+
+
+def test_bm25_empty_query_raises(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def test_idf_quantized_monotone_decreasing():
+    n = 1000
+    vals = [idf_quantized(n, d) for d in range(1, n + 1)]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[-1] >= 0  # ln(1 + eps) > 0 for df = n
