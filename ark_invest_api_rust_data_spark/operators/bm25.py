@@ -112,3 +112,32 @@ def bm25_topk(
         top.withColumn("rank", F.row_number().over(w))
         .select(F.col("id").alias(id_col), "score", "rank")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    postings_cap: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index construction — the build-side companion of
+    bm25_topk: per term, the document frequency and the first
+    ``postings_cap`` doc ids of the sorted posting list.
+
+    Scale shape: distinct (doc, term) pairs out of the tokenize
+    explode (map-side combined), ONE shuffle on term, posting arrays
+    capped so no group materializes an unbounded list — real posting
+    lists shard by (term, doc-range) beyond the cap, which the cap
+    column makes explicit.  sort_array fixes collect_list's
+    nondeterministic arrival order."""
+    pairs = (
+        _spread(docs)
+        .select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.slice(F.sort_array(F.collect_list("id")), 1, postings_cap).alias(
+            "postings"
+        ),
+    )

@@ -107,3 +107,87 @@ def retention_cohorts(
         )
         .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
     )
+
+
+def ewma(
+    df: DataFrame,
+    alpha_den: int = 4,
+    value_scale: int = 1000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user exponential moving average of the event value stream —
+    the staple time-series smoothing operator — in exact integer fixed
+    point so it hash-matches a SQL oracle.
+
+    Contract: values quantize to ``floor(value·value_scale)`` int64
+    (one IEEE multiply + floor — identical in any engine), the stream
+    sorts on (ts, event_id) (event ids are unique, so the order is
+    total), and the fold is ``r' = ((alpha_den−1)·r + v) fdiv
+    alpha_den`` seeded with the first value (α = 1/alpha_den; fdiv is
+    FLOOR division via the pmod identity — Spark's ``div`` truncates
+    toward zero and would disagree with DuckDB's ``//`` on negative
+    values).  Returns (user, n_events, ewma).
+
+    Scale shape: ONE shuffle (groupBy user) into a sorted array, then
+    a doc-local expression fold — events-per-user is the bounded
+    quantity, same as funnel/sessionize."""
+    q = F.floor(F.col(value_col) * F.lit(value_scale)).cast("long")
+    per_user = (
+        df.select(
+            F.col(user_col),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(event_col).alias("eid"),
+                q.alias("v"),
+            ).alias("_e"),
+        )
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list("_e")).alias("_evs"))
+    )
+    a1 = alpha_den - 1
+    step = (
+        lambda acc, x: (
+            (a1 * acc + x["v"])
+            - F.pmod(a1 * acc + x["v"], F.lit(alpha_den))
+        )
+        / alpha_den
+    )
+    return per_user.select(
+        user_col,
+        F.size("_evs").cast("long").alias("n_events"),
+        F.aggregate(
+            F.slice("_evs", 2, F.size("_evs") - 1),
+            F.get(F.col("_evs"), 0)["v"].cast("long"),
+            lambda acc, x: step(acc, x).cast("long"),
+        ).alias("ewma"),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Markov transition counts over per-user event sequences: how
+    often event type A is immediately followed by type B — the
+    session-path mining primitive behind "next action" analytics.
+    One window shuffle on the user key; the (ts, event_id) sort is
+    total (unique event ids), so the bigram multiset is
+    deterministic.  Returns (prev_type, next_type, n)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, event_col)
+    return (
+        df.select(
+            F.col(type_col).alias("prev_type"),
+            F.lead(type_col).over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -51,13 +51,17 @@ def pagerank(
     (node, rank) with rank int64-scaled by ``base``.
     """
     src, dst = F.col(src_col), F.col(dst_col)
+    # persisted: every iteration's teleport left-join reuses the node
+    # set — without it each iteration re-runs the distinct shuffle
     nodes = (
         edges.select(src.alias("node"))
         .union(edges.select(dst.alias("node")))
         .distinct()
+        .persist()
     )
     n = nodes.count()  # bounded driver crossing: one scalar (|V|)
     if n == 0:
+        nodes.unpersist()
         raise ValueError("pagerank: empty edge list")
     r0 = base // n
     tele = (15 * r0) // 100
@@ -96,6 +100,7 @@ def pagerank(
         return ranks
     finally:
         ed.unpersist()
+        nodes.unpersist()
 
 
 def copurchase_edges(

@@ -1213,3 +1213,29 @@ SELECT vec_id, sq_dist FROM dist ORDER BY sq_dist, vec_id LIMIT {topk}"""
 
 
 PROBES.append(Probe("llm_sq8_topk", "B30", llm_sq8_topk, _sq8_sql(_SQ_DIM, _SQ_TOPK)))
+
+
+# ------------------------------------------------------ gram matrix
+def llm_gram_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 extension — exact int64 gram (uncentered covariance) matrix
+    over μ-quantized embeddings (operators/linalg.py): per-Arrow-batch
+    numpy ``q.T @ q`` partials, one n_batches·d²-row final reduce —
+    the PCA-whitening building block with a full SQL oracle."""
+    from ..operators.linalg import gram_matrix
+
+    emb = load_table(spark, sf, "embeddings")
+    return gram_matrix(emb, dim=_DIM)
+
+
+LLM_GRAM_SQL = f"""
+WITH e AS (SELECT list_transform(embedding,
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings)
+SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+       CAST(sum(q[i] * q[j]) AS BIGINT) AS s
+FROM e, unnest(generate_series(1, {_DIM})) AS t(i),
+     unnest(generate_series(1, {_DIM})) AS u(j)
+GROUP BY 1, 2
+"""
+
+PROBES.append(Probe("llm_gram_matrix", "B30", llm_gram_matrix, LLM_GRAM_SQL))

@@ -64,3 +64,53 @@ PROBES = [
     Probe("b12_funnel", "B12", b12_funnel, B12_FUNNEL_SQL),
     Probe("b16_retention", "B16", b16_retention, B16_RETENTION_SQL),
 ]
+
+
+def b12_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """B12 extension — per-user integer EWMA (α = 1/4) of the event
+    value stream: one groupBy-user shuffle into a (ts, event_id)-sorted
+    array, doc-local integer fold (floor division via the pmod
+    identity, matching DuckDB's ``//``); the oracle replays the fold
+    with list_reduce."""
+    from ..operators.events import ewma
+
+    return ewma(load_table(spark, sf, "events"))
+
+
+B12_EWMA_SQL = """
+WITH e AS (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+                  ts, event_id FROM events),
+u AS (SELECT user_id, list(v ORDER BY ts, event_id) AS vs
+      FROM e GROUP BY 1)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+       CAST(list_reduce(vs, (acc, x) -> (3 * acc + x) // 4) AS BIGINT)
+         AS ewma
+FROM u
+"""
+
+
+def b12_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """B12 extension — Markov transition counts of event-type bigrams
+    per user sequence (the session-path mining primitive); one window
+    shuffle, total (ts, event_id) sort."""
+    from ..operators.events import transition_counts
+
+    return transition_counts(load_table(spark, sf, "events"))
+
+
+B12_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+"""
+
+PROBES.extend(
+    [
+        Probe("b12_ewma", "B12", b12_ewma, B12_EWMA_SQL),
+        Probe("b12_transitions", "B12", b12_transitions, B12_TRANSITIONS_SQL),
+    ]
+)

@@ -110,3 +110,28 @@ FROM r WHERE rn = 1
 """
 
 PROBES.append(Probe("er_fuzzy_match", "B15", er_fuzzy_match, ER_FUZZY_SQL))
+
+
+# ------------------------------------------------ inverted index
+def llm_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — inverted-index build (BM25's index side): per
+    term the document frequency and the first 20 sorted posting ids.
+    Distinct pairs → one term shuffle; capped arrays keep groups
+    bounded."""
+    from ..operators.bm25 import inverted_index
+
+    docs = load_table(spark, sf, "documents")
+    return inverted_index(docs, postings_cap=20)
+
+
+LLM_INVERTED_INDEX_SQL = f"""
+WITH p AS (SELECT DISTINCT doc_id AS id, unnest({_W}) AS term
+           FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       (list(id ORDER BY id))[1:20] AS postings
+FROM p GROUP BY term
+"""
+
+PROBES.append(
+    Probe("llm_inverted_index", "B31", llm_inverted_index, LLM_INVERTED_INDEX_SQL)
+)

@@ -106,6 +106,10 @@ HEADLINE = [
     "graph_pagerank",
     "llm_bm25_topk",
     "er_fuzzy_match",
+    "llm_inverted_index",
+    "llm_gram_matrix",
+    "b12_ewma",
+    "b12_transitions",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -85,3 +85,23 @@ def test_idf_quantized_monotone_decreasing():
     vals = [idf_quantized(n, d) for d in range(1, n + 1)]
     assert vals == sorted(vals, reverse=True)
     assert vals[-1] >= 0  # ln(1 + eps) > 0 for df = n
+
+
+def test_inverted_index_reference_and_cap(spark):
+    from ark_invest_api_rust_data_spark.operators.bm25 import inverted_index
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = {
+        r["term"]: (r["df"], list(r["postings"]))
+        for r in inverted_index(df, postings_cap=2).collect()
+    }
+    # independent reference
+    ref: dict[str, set[int]] = {}
+    for i, t in DOCS:
+        for w in set(t.split()):
+            ref.setdefault(w, set()).add(i)
+    assert set(out) == set(ref)
+    for term, docs in ref.items():
+        df_, postings = out[term]
+        assert df_ == len(docs)
+        assert postings == sorted(docs)[:2]  # capped + sorted

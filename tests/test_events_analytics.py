@@ -98,3 +98,79 @@ def test_retention_cohorts(spark):
         ("2024-01-02", 0): 1,
         ("2024-01-02", 2): 1,
     }
+
+
+# ------------------------------------------------ EWMA + transitions
+def _py_ewma(vals: list[int], den: int = 4) -> int:
+    r = vals[0]
+    for v in vals[1:]:
+        # floor division (Python // floors — the operator's contract)
+        r = ((den - 1) * r + v) // den
+    return r
+
+
+def test_ewma_matches_reference_including_negatives(spark):
+    from datetime import datetime
+
+    from ark_invest_api_rust_data_spark.operators.events import ewma
+
+    rows = [
+        # (event_id, ts, user, value) — negative values exercise the
+        # floor-div (pmod) path where `div` would truncate instead
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, 10.5),
+        (2, datetime(2024, 1, 1, 0, 0, 1), 1, -3.2),
+        (3, datetime(2024, 1, 1, 0, 0, 2), 1, 7.9),
+        (4, datetime(2024, 1, 1, 0, 0, 0), 2, -1.0),
+        (5, datetime(2024, 1, 1, 0, 0, 3), 2, -2.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma(df).collect()
+    }
+    import math
+
+    def q(v):
+        return math.floor(v * 1000)
+
+    assert got == {
+        1: (3, _py_ewma([q(10.5), q(-3.2), q(7.9)])),
+        2: (2, _py_ewma([q(-1.0), q(-2.5)])),
+    }
+
+
+def test_ewma_single_event_is_identity(spark):
+    from datetime import datetime
+
+    from ark_invest_api_rust_data_spark.operators.events import ewma
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 9, 2.25)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    out = ewma(df).collect()
+    assert out[0]["ewma"] == 2250 and out[0]["n_events"] == 1
+
+
+def test_transitions_deterministic_under_ts_ties(spark):
+    from datetime import datetime
+
+    from ark_invest_api_rust_data_spark.operators.events import (
+        transition_counts,
+    )
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (2, t, 1, "b"),  # same ts — event_id orders: a (id 1) then b
+        (1, t, 1, "a"),
+        (3, datetime(2024, 1, 2), 1, "c"),
+        (4, t, 2, "a"),
+    ]
+    cols = "event_id long, ts timestamp, user_id long, event_type string"
+    a = spark.createDataFrame(rows, cols)
+    b = spark.createDataFrame(list(reversed(rows)), cols)
+    ta = sorted(map(tuple, transition_counts(a).collect()))
+    tb = sorted(map(tuple, transition_counts(b).collect()))
+    assert ta == tb == [("a", "b", 1), ("b", "c", 1)]
