@@ -174,3 +174,82 @@ def user_sessions_stateful(events: DataFrame, gap: str = "30 minutes") -> DataFr
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------- EWMA
+EWMA_OUTPUT_SCHEMA = "user_id long, n_events long, ewma long"
+EWMA_STATE_SCHEMA = "n long, r long, last_ts_us long, last_eid long"
+
+
+def _update_ewma_state(alpha_den: int, value_scale: int):
+    """applyInPandasWithState updater for the streaming EWMA twin of
+    operators/events.ewma — same integer contract (floor(value·scale)
+    quantization, r' = ((alpha_den−1)·r + v) floor-div alpha_den,
+    (ts, event_id) order), state is (n, r, last-key): O(users), not
+    O(events).
+
+    Order contract: the fold is order-SENSITIVE, so the stream must
+    deliver micro-batches in non-decreasing (ts, event_id) order per
+    user (a partitioned ingest naturally does); rows WITHIN a batch
+    are sorted here.  Cross-batch disorder raises loudly instead of
+    silently computing a different fold."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            n, r, lts, leid = state.get
+        else:
+            n, r, lts, leid = 0, 0, -(2**63), -(2**63)
+        rows = []
+        for pdf in pdfs:
+            for ts, eid, val in zip(
+                pdf["ts"], pdf["event_id"], pdf["value"]
+            ):
+                rows.append(
+                    (int(pd.Timestamp(ts).value // 1000), int(eid), float(val))
+                )
+        rows.sort()
+        a1 = alpha_den - 1
+        for ts_us, eid, val in rows:
+            if (ts_us, eid) <= (lts, leid):
+                raise ValueError(
+                    "ewma_stateful: out-of-order delivery across "
+                    "micro-batches violates the ordered-fold contract "
+                    f"(user {user_id}: saw key ({ts_us}, {eid}) after "
+                    f"({lts}, {leid}))"
+                )
+            import math
+
+            v = math.floor(val * value_scale)
+            r = v if n == 0 else (a1 * r + v) // alpha_den  # // floors
+            n += 1
+            lts, leid = ts_us, eid
+        state.update((n, r, lts, leid))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ewma": [r]}
+        )
+
+    return update
+
+
+def user_ewma_stateful(
+    events: DataFrame, alpha_den: int = 4, value_scale: int = 1000
+) -> DataFrame:
+    """B22/B24 custom tier — streaming twin of the batch integer EWMA
+    (operators/events.ewma): per-user smoothed value maintained across
+    micro-batches with O(users) state.  Streaming frames only; the
+    batch twin IS operators.events.ewma (equivalence pytest-proven on
+    in-order delivery; disorder fails loudly)."""
+    if not events.isStreaming:
+        from ..operators.events import ewma
+
+        return ewma(events)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma_state(alpha_den, value_scale),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -989,3 +989,105 @@ def test_band_store_batch_id_reuse_after_fresh_checkpoint(spark, tmp_path):
         for r in read_band_store(spark, store_root).select("doc_id").collect()
     }
     assert wave2_ids <= live_ids2
+
+
+@pytest.fixture(scope="module")
+def ordered_event_dir(spark, tmp_path_factory):
+    """sf0.001 events as 5 parquet files in EVENT-TIME order (file k
+    holds the k-th ts-range slice; mtimes ascend so the file source
+    replays them in order) — the delivery the ordered-fold operators
+    (streaming EWMA) contract on."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    root = tmp_path_factory.mktemp("events_ordered")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = ev.count()
+    ranked = ev.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    out = root / "files"
+    out.mkdir()
+    per = (n + 4) // 5
+    now = time.time()
+    for b in range(5):
+        part = ranked.filter(
+            (F.col("_rk") > b * per) & (F.col("_rk") <= (b + 1) * per)
+        ).drop("_rk")
+        part.coalesce(1).write.mode("overwrite").parquet(f"{root}/o{b}_tmp")
+        for i, f in enumerate(sorted(glob.glob(f"{root}/o{b}_tmp/part-*.parquet"))):
+            dst = out / f"batch_{b}_{i}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + b, now + b))  # ascending mtimes
+        shutil.rmtree(f"{root}/o{b}_tmp")
+    return str(out)
+
+
+def test_streaming_ewma_matches_batch_on_ordered_delivery(
+    spark, ordered_event_dir
+):
+    from ark_invest_api_rust_data_spark.operators.events import ewma
+    from ark_invest_api_rust_data_spark.streaming.stateful import (
+        user_ewma_stateful,
+    )
+
+    stream = user_ewma_stateful(
+        stream_events(spark, ordered_event_dir, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    emitted = spark.table("t_ewma")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = ewma(spark.read.parquet(ordered_event_dir))
+    assert _rows(final) == _rows(batch)
+    # the stream really ran as multiple micro-batches (update rows
+    # accumulate), not one big fold
+    assert emitted.count() > final.count()
+
+
+def test_streaming_ewma_rejects_out_of_order_delivery(spark, event_dir):
+    """The shuffled-order fixture violates the ordered-fold contract —
+    the stream must fail loudly, not fold a different sequence."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ark_invest_api_rust_data_spark.streaming.stateful import (
+        user_ewma_stateful,
+    )
+
+    stream = user_ewma_stateful(
+        stream_events(spark, event_dir, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_ewma_ooo")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        q.awaitTermination()
+
+
+def test_ewma_stateful_batch_fallback_matches_operator(spark, event_dir):
+    from ark_invest_api_rust_data_spark.operators.events import ewma
+    from ark_invest_api_rust_data_spark.streaming.stateful import (
+        user_ewma_stateful,
+    )
+
+    df = spark.read.parquet(event_dir)
+    assert _rows(user_ewma_stateful(df)) == _rows(ewma(df))
