@@ -57,8 +57,11 @@ def write_lake(
 ) -> str:
     """Scale sink: hive-partitioned by (ticker, date) by default. With
     ``partitionOverwriteMode=dynamic`` an incremental merge rewrites
-    only the date partitions present in ``df``."""
-    path = f"{root}/holdings"
+    only the date partitions present in ``df``. Writes land in the
+    CURRENT generation directory (manifest-addressed; ``holdings`` for
+    a fresh lake) — compaction retires whole generations, it never
+    mutates one (see compact_lake)."""
+    path = _lake_dir(root)
     (
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         if hasattr(df, "sparkSession")
@@ -68,9 +71,25 @@ def write_lake(
     return path
 
 
-def read_lake(spark: SparkSession, root: str) -> DataFrame:
+def read_lake(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Read the lake at HEAD, or pinned at ``version`` (time travel /
+    snapshot isolation): each compaction commits a NEW generation
+    directory and retires — never mutates — the old one, so a reader
+    that resolved version v keeps a consistent file set even while a
+    compaction swaps HEAD underneath it (until vacuum_lake reclaims
+    that generation, at which point this raises FileNotFoundError)."""
     tune(spark)
-    return spark.read.parquet(f"{root}/holdings")
+    if version is None:
+        return spark.read.parquet(_lake_dir(root))
+    for entry in reversed(read_lake_history(root)):
+        if int(entry["version"]) == version:
+            path = f"{root}/{entry['data_dir']}"
+            if not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"lake version {version} was vacuumed ({path} gone)"
+                )
+            return spark.read.parquet(path)
+    raise ValueError(f"unknown lake version {version} (no history entry)")
 
 
 def write_lake_bucketed_by_cusip(
@@ -137,24 +156,61 @@ def _manifest_path(root: str) -> str:
     return f"{root}/_LAKE_MANIFEST"
 
 
-def read_lake_version(root: str) -> int:
-    """Committed lake version; 0 for a lake without a manifest yet."""
+def _history_path(root: str) -> str:
+    return f"{root}/_LAKE_HISTORY.jsonl"
+
+
+def _read_manifest(root: str) -> tuple[int, str]:
+    """(version, data_dir). Manifest v1 lakes (no data_dir key) and
+    manifest-less lakes resolve to the original ``holdings`` dir."""
     import json
 
     try:
         with open(_manifest_path(root)) as f:
-            return int(json.load(f)["version"])
+            m = json.load(f)
+        return int(m["version"]), str(m.get("data_dir", "holdings"))
     except (FileNotFoundError, ValueError, KeyError):
-        return 0
+        return 0, "holdings"
 
 
-def _write_manifest(root: str, version: int) -> None:
+def read_lake_version(root: str) -> int:
+    """Committed lake version; 0 for a lake without a manifest yet."""
+    return _read_manifest(root)[0]
+
+
+def _lake_dir(root: str) -> str:
+    """Absolute path of the CURRENT generation's data directory."""
+    return f"{root}/{_read_manifest(root)[1]}"
+
+
+def read_lake_history(root: str) -> list[dict]:
+    """Commit log: one {version, data_dir} per committed version,
+    oldest first. Torn trailing lines (crash mid-append) are skipped —
+    the manifest, not the history, is the source of truth for HEAD."""
+    import json
+
+    out = []
+    try:
+        with open(_history_path(root)) as f:
+            for line in f:
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    continue
+    except FileNotFoundError:
+        pass
+    return out
+
+
+def _write_manifest(root: str, version: int, data_dir: str = "holdings") -> None:
     import json
 
     os.makedirs(root, exist_ok=True)
+    with open(_history_path(root), "a") as f:
+        f.write(json.dumps({"version": version, "data_dir": data_dir}) + "\n")
     tmp = f"{_manifest_path(root)}.tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
+        json.dump({"version": version, "data_dir": data_dir}, f)
     os.replace(tmp, _manifest_path(root))  # atomic on same filesystem
 
 
@@ -201,9 +257,9 @@ def write_lake_committed(
     rewrite never hold it. Returns the committed version."""
     with lake_lock(root, timeout=lock_timeout):
         write_lake(df, root, mode=mode, partition_cols=partition_cols)
-        v = read_lake_version(root) + 1
-        _write_manifest(root, v)
-        return v
+        v, data_dir = _read_manifest(root)
+        _write_manifest(root, v + 1, data_dir)  # same generation, new version
+        return v + 1
 
 
 def compact_lake(
@@ -230,11 +286,17 @@ def compact_lake(
     dirs (measured in SCALE.md finding 4: random layout inflated
     downstream shuffle bytes ~2.4×).
 
-    Crash safety: the rewrite lands in a SIBLING directory and is
-    swapped in only on success (old data kept as ``holdings_pre_compact``
-    until the swap completes) — an in-place dynamic overwrite has a
-    commit window where a crash after partitions are deleted loses data
-    with no backup.
+    Crash safety + READER snapshot isolation: the rewrite lands in a
+    staged sibling and commits as a brand-new GENERATION directory
+    (``holdings@v{N}``) — the old generation is retired, never mutated
+    or renamed, so a reader (or a long analytic job) that resolved its
+    file set before the commit keeps reading a consistent snapshot
+    while HEAD moves on.  The pre-snapshot design re-pointed the live
+    directory with os.replace, which yanked files out from under
+    in-flight scans at exactly the moment compaction is most needed.
+    Old generations are reclaimed by ``vacuum_lake`` (deferred, like
+    the band-store tombstones) — until then ``read_lake(version=)``
+    time-travels to them.
 
     Concurrent-writer safety: the swap is an OPTIMISTIC commit against
     the manifest version. The big rewrite runs without the lock; under
@@ -248,11 +310,10 @@ def compact_lake(
     after compaction."""
     import glob as _glob
 
-    path = f"{root}/holdings"
     staged = f"{root}/.holdings_compacting"
-    backup = f"{root}/holdings_pre_compact"
     for _ in range(attempts):
-        v_scanned = read_lake_version(root)
+        v_scanned, dir_scanned = _read_manifest(root)
+        path = f"{root}/{dir_scanned}"
         shutil.rmtree(staged, ignore_errors=True)
         df = spark.read.parquet(path)
         (
@@ -265,16 +326,40 @@ def compact_lake(
         with lake_lock(root):
             if read_lake_version(root) != v_scanned:
                 continue  # an ingest landed mid-rewrite: staged is stale
-            # both renames are metadata-only on the same filesystem; the
-            # data is never in a partially-deleted state
-            shutil.rmtree(backup, ignore_errors=True)
-            os.replace(path, backup)
-            os.replace(staged, path)
-            _write_manifest(root, v_scanned + 1)
-        shutil.rmtree(backup, ignore_errors=True)
-        return len(_glob.glob(f"{path}/*/*/*.parquet"))
+            new_dir = f"holdings@v{v_scanned + 1}"
+            os.replace(staged, f"{root}/{new_dir}")  # metadata-only
+            _write_manifest(root, v_scanned + 1, new_dir)
+        return len(_glob.glob(f"{root}/{new_dir}/*/*/*.parquet"))
     shutil.rmtree(staged, ignore_errors=True)
     raise RuntimeError(
         f"compact_lake lost the commit race {attempts} times under "
         f"sustained ingest; schedule compaction into an ingest pause"
     )
+
+
+def vacuum_lake(root: str, keep: int = 2) -> list[str]:
+    """Reclaim retired generation directories, keeping the ``keep``
+    most recent distinct generations (HEAD always survives).  Deferred
+    deletion is what makes the snapshot guarantee real: run vacuum on
+    a schedule longer than the longest analytic job, the same
+    contract as the band store's tombstone cycle.  Only directories
+    recorded as a ``data_dir`` in the commit history are candidates —
+    vacuum never touches anything it did not commit.  Returns the
+    deleted paths."""
+    hist = read_lake_history(root)
+    _, head_dir = _read_manifest(root)
+    seen: list[str] = []
+    for e in hist:  # oldest → newest; keep order of first commit
+        d = str(e["data_dir"])
+        if d not in seen:
+            seen.append(d)
+    keep_set = set(seen[-keep:]) | {head_dir}
+    deleted = []
+    for d in seen:
+        if d in keep_set:
+            continue
+        path = f"{root}/{d}"
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            deleted.append(path)
+    return deleted

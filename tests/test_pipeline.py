@@ -557,3 +557,90 @@ def test_lake_concurrent_compaction_and_ingest_chaos(spark, tmp_path):
     assert len(keys) == n_batches * 3 * 20, (
         f"lost rows: {len(keys)} != {n_batches * 3 * 20}"
     )
+
+
+def test_lake_time_travel_and_reader_snapshot_isolation(spark, tmp_path):
+    """Compaction commits a NEW generation dir and retires the old one
+    untouched: a reader that resolved its file set before the commit
+    keeps a consistent snapshot, and read_lake(version=) time-travels
+    until vacuum."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.sources.parquet_store import (
+        compact_lake,
+        read_lake,
+        read_lake_version,
+        vacuum_lake,
+        write_lake_committed,
+    )
+
+    root = str(tmp_path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def frame(tick, n):
+        rows = [(tick, "2024-02-01", f"{tick}_{j}", float(j)) for j in range(n)]
+        return (
+            spark.createDataFrame(
+                rows, "ticker string, date string, cusip string, weight double"
+            ).withColumn("date", F.to_date("date"))
+        )
+
+    v1 = write_lake_committed(frame("A", 5), root)
+    assert v1 == 1
+    pinned = read_lake(spark, root)  # resolves the v1 generation dir
+
+    compact_lake(spark, root)  # -> generation holdings@v2, retires v1 dir
+    write_lake_committed(frame("B", 7), root)  # v3, same generation
+
+    # pinned pre-compaction reader still sees its consistent snapshot
+    assert sorted(r["cusip"] for r in pinned.collect()) == [
+        f"A_{j}" for j in range(5)
+    ]
+    # explicit time travel to v1; HEAD sees both batches
+    assert read_lake(spark, root, version=1).count() == 5
+    head = read_lake(spark, root)
+    assert head.count() == 12
+    assert read_lake_version(root) == 3
+
+    # vacuum keeps the current generation, reclaims the v1 dir
+    deleted = vacuum_lake(root, keep=1)
+    assert deleted and deleted[0].endswith("/holdings")
+    assert read_lake(spark, root).count() == 12  # HEAD unaffected
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_lake(spark, root, version=1).count()
+    with _pytest.raises(ValueError):
+        read_lake(spark, root, version=99)
+
+
+def test_lake_vacuum_keeps_n_generations(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.sources.parquet_store import (
+        compact_lake,
+        read_lake,
+        vacuum_lake,
+        write_lake_committed,
+    )
+
+    root = str(tmp_path)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df = (
+        spark.createDataFrame(
+            [("A", "2024-02-01", "c1", 1.0)],
+            "ticker string, date string, cusip string, weight double",
+        ).withColumn("date", F.to_date("date"))
+    )
+    write_lake_committed(df, root)        # v1 in holdings
+    g2 = compact_lake(spark, root)        # v2 -> holdings@v2
+    write_lake_committed(df, root)        # v3 (rewrites same partition)
+    compact_lake(spark, root)             # v4 -> holdings@v4
+    assert g2 >= 1
+    # keep=2: holdings@v2 + holdings@v4 survive, original holdings goes
+    deleted = vacuum_lake(root, keep=2)
+    assert [d.rsplit("/", 1)[1] for d in deleted] == ["holdings"]
+    assert read_lake(spark, root, version=2).count() == 1  # retained gen
+    assert read_lake(spark, root).count() == 1
+    # a second vacuum is a no-op (idempotent)
+    assert vacuum_lake(root, keep=2) == []
