@@ -256,3 +256,128 @@ def test_dedupe_fixpoint_property(rows):
     )
     merged = concat_dedupe([df, df])
     assert _rows(merged) == _rows(df.dropDuplicates())
+
+
+# ------------------------------------------------ round-6 session 3
+_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(_EDGE, min_size=1, max_size=12),
+    iters=st.integers(min_value=1, max_value=3),
+)
+def test_pagerank_matches_reference_on_random_graphs(edges, iters):
+    """The distributed integer PageRank equals the sequential
+    reference fold on arbitrary multigraphs (parallel edges,
+    self-referencing cycles, dangling nodes)."""
+    from ark_invest_api_rust_data_spark.operators.graph import pagerank
+
+    base = 10**15
+    nodes = sorted({v for e in edges for v in e})
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ref = {v: base // len(nodes) for v in nodes}
+    tele = (15 * (base // len(nodes))) // 100
+    for _ in range(iters):
+        s_in = {v: 0 for v in nodes}
+        for s, d in edges:
+            s_in[d] += ref[s] // deg[s]
+        ref = {v: tele + (85 * s_in[v]) // 100 for v in nodes}
+
+    spark = _get_spark()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=iters).collect()}
+    assert got == ref
+
+
+_VOCAB = ["spark", "hash", "scan", "merge", "the", "a"]
+_DOC = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_DOC, min_size=1, max_size=6))
+def test_bm25_matches_reference_on_random_corpora(texts):
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.bm25 import (
+        IDF_SCALE,
+        bm25_topk,
+    )
+
+    docs = list(enumerate(texts))
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avg_q = (1_000_000 * sum(len(w) for w in toks.values())) // n
+    terms = ["spark", "hash", "scan"]
+    tf = {
+        (i, t): w.count(t) for i, w in toks.items() for t in set(w) if t in terms
+    }
+    dfreq: dict[str, int] = {}
+    for (_, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    idf = {
+        t: math.floor(math.log(1.0 + (n - d + 0.5) / (d + 0.5)) * IDF_SCALE)
+        for t, d in dfreq.items()
+    }
+    score: dict[int, int] = {}
+    for (i, t), f in tf.items():
+        dl = len(toks[i])
+        score[i] = score.get(i, 0) + (idf[t] * 44 * f * avg_q) // (
+            20 * f * avg_q + 6 * avg_q + 18_000_000 * dl
+        )
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ref = [(i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+
+    spark = _get_spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in bm25_topk(df, terms, k=10).collect()]
+    assert sorted(got) == sorted(ref)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_ewma_matches_reference_on_random_sequences(vals):
+    """Integer EWMA fold equals the Python reference, including
+    negative values where floor- and truncating-division diverge."""
+    import datetime
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.events import ewma
+
+    spark = _get_spark()
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i), 7, float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = ewma(df).collect()
+    q = [math.floor(v * 1000) for v in vals]
+    r = q[0]
+    for v in q[1:]:
+        r = (3 * r + v) // 4
+    assert out[0]["ewma"] == r and out[0]["n_events"] == len(vals)
