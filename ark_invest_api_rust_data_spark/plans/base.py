@@ -35,6 +35,7 @@ def all_probes() -> dict[str, Probe]:
         events,
         formats,
         graph,
+        imagedup,
         lake,
         llm,
         parity,
@@ -62,6 +63,7 @@ def all_probes() -> dict[str, Probe]:
         sketch,
         graph,
         retrieval,
+        imagedup,
     ):
         for p in mod.PROBES:
             if p.name in out:
