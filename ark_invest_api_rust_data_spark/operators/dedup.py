@@ -63,7 +63,14 @@ def exact_dedup(df: DataFrame, keys: list[str], order_cols: list[Column]) -> Dat
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (the Jaccard/MinHash unit)."""
+    """Distinct word n-grams (the Jaccard/MinHash unit).
+
+    Precondition: documents have >= n whitespace tokens (ANSI
+    element_at raises on shorter ones). Real pipelines hold this by
+    construction — the quality gate drops sub-n-token docs before any
+    shingle-based stage — and the oracle's NULL-gram semantics for
+    short docs would diverge from concat_ws anyway, so failing loudly
+    beats silently disagreeing."""
     toks = F.split(F.trim(text), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
@@ -394,6 +401,90 @@ def ngram_jaccard_pairs(
     b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jc", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jc") >= threshold)
+        .select("doc_a", "doc_b", "jc")
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ t (= t_num/t_den) via PPJoin-style
+    prefix filtering (Chaudhuri et al. SSJoin 2006; Xiao et al. PPJoin
+    WWW 2008) — the LINEAR-ish production path whose output is
+    IDENTICAL to ``ngram_jaccard_pairs``'s O(n²) cross join, so the
+    exact operator doubles as its oracle.
+
+    Filter chain, every step exact-integer so completeness is provable:
+
+    * global token order: shingles sorted by (corpus frequency ASC,
+      shingle ASC) — rarest first, which both maximizes pruning and
+      keeps the candidate join's per-key buckets small;
+    * prefix: the first ``|d| − ⌈t·|d|⌉ + 1`` shingles of each doc in
+      that order (⌈·⌉ as ``(t_num·|d| + t_den − 1) div t_den``). If
+      J(a,b) ≥ t then |a∩b| ≥ ⌈t·max(|a|,|b|)⌉, and two sets whose
+      prefixes (under ANY shared total order) are disjoint have
+      |a∩b| < that bound — so every qualifying pair shares a prefix
+      token;
+    * length filter on candidates: J ≥ t ⟹ t·max(|a|,|b|) ≤
+      min(|a|,|b|), checked as ``t_num·max ≤ t_den·min`` (no floats);
+    * verify: exact Jaccard on the full shingle arrays, same
+      expression as the quadratic tier (bit-identical ``jc``).
+
+    Scale shape: one corpus-frequency agg (map-side combined), one
+    per-doc window (docs are small — the window partition is one doc's
+    shingles), one equi-join on prefix tokens whose fan-out is bounded
+    by the rare-token ordering, then a candidate-only verify join. No
+    cross join anywhere; at 100 TB the candidate set — not the corpus
+    square — is the cost.
+    """
+    threshold = t_num / t_den
+    base = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), n).alias("_sh"),
+        )
+        .withColumn("_sz", F.size("_sh"))
+        .filter(F.col("_sz") > 0)
+    )
+    ex = base.select("_id", "_sz", F.explode("_sh").alias("_tok"))
+    freq = ex.groupBy("_tok").agg(F.count("*").alias("_tf"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_tf"), F.asc("_tok"))
+    ceil_t_sz = F.expr(f"({t_num} * _sz + {t_den - 1}) div {t_den}")
+    pref = (
+        ex.join(freq, "_tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_sz") - ceil_t_sz + F.lit(1))
+        .select("_id", "_sz", "_tok")
+    )
+    pa = pref.select(
+        F.col("_id").alias("doc_a"), F.col("_sz").alias("_sza"), "_tok"
+    )
+    pb = pref.select(
+        F.col("_id").alias("doc_b"), F.col("_sz").alias("_szb"), "_tok"
+    )
+    cand = (
+        pa.join(pb, "_tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.lit(t_num) * F.greatest("_sza", "_szb")
+            <= F.lit(t_den) * F.least("_sza", "_szb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    sh_b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .withColumn("jc", jaccard(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jc") >= threshold)
         .select("doc_a", "doc_b", "jc")

@@ -1,4 +1,5 @@
-"""Distributed link analysis: exact integer PageRank.
+"""Distributed graph analytics: exact integer PageRank, O(log n)-round
+connected components, and degree-ordered triangle counting.
 
 A large-scale pretraining pipeline scores web documents by the link
 structure of their hosts (Common-Crawl-style host-level PageRank feeds
@@ -36,6 +37,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from .dedup import _release_checkpoint
 
 
 def pagerank(
@@ -101,6 +104,207 @@ def pagerank(
     finally:
         ed.unpersist()
         nodes.unpersist()
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — returns ``(node, cluster)`` with cluster =
+    min node id in the component, the SAME output contract as
+    ``operators/dedup.dedup_clusters``.
+
+    Why a second CC operator: min-label propagation converges in
+    O(diameter) rounds — perfect for near-clique dedup graphs (diameter
+    2-3), catastrophic for high-diameter graphs (a 1M-node chain needs
+    1M shuffle rounds). Large-star/small-star converges in O(log n)
+    rounds REGARDLESS of diameter (pytest pins a 512-node path graph
+    to <= 30 rounds), so it is the tier a 100 TB pipeline uses when
+    the pair graph's shape is unknown.
+
+    Per round: large-star hangs every neighbor v > u off u's component
+    minimum m = min(Γ(u) ∪ {u}); small-star re-parents every neighbor
+    v <= u (plus u itself) onto m. Both phases preserve connectivity
+    and strictly shrink a potential function until the edge set is the
+    star {(min, v)} per component — checked by set equality against
+    the previous round (the sets are distinct-canonical, so emptiness
+    of one EXCEPT plus a count match proves equality).
+
+    Scale shape: each phase is one groupBy (map-side combined, output
+    O(nodes)) + one join on the grouping key + one distinct — O(edges)
+    shuffle per round, O(log n) rounds, lineage cut per round with an
+    eager localCheckpoint (superseded checkpoints released). No driver
+    crossing carries data: per round, one count + one limit(1) scalar.
+    """
+    a, b = F.col("_a"), F.col("_b")
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(a < b)
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .persist()  # read twice: the final label join + its count
+    )
+    cur = canon.localCheckpoint(eager=True)
+    prev_cnt = cur.count()
+    rounds = 0
+    try:
+        while True:
+            rounds += 1
+            if rounds > max_rounds:
+                raise RuntimeError(
+                    f"connected_components: no convergence in {max_rounds} rounds"
+                )
+            # ---- large-star: for each u, m = min(nbrs ∪ {u});
+            # re-hang every LARGER neighbor v on m. Emitted pairs
+            # (m, v) are already canonical (m <= u < v).
+            nbr = cur.select(a.alias("_u"), b.alias("_v")).union(
+                cur.select(b.alias("_u"), a.alias("_v"))
+            )
+            mins = nbr.groupBy("_u").agg(F.min("_v").alias("_mv"))
+            mins = mins.select("_u", F.least(F.col("_u"), F.col("_mv")).alias("_m"))
+            large = (
+                nbr.join(mins, "_u")
+                .filter(F.col("_v") > F.col("_u"))
+                .select(F.col("_m").alias("_a"), F.col("_v").alias("_b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            large_cnt = large.count()
+            # ---- small-star: direct each pair large→small; for each u,
+            # m = min of its smaller neighbors; re-parent them AND u on
+            # m. (m <= v <= u, so (m, v) and (m, u) are canonical;
+            # self-loops dropped.)
+            dire = large.select(b.alias("_u"), a.alias("_v"))
+            smins = dire.groupBy("_u").agg(F.min("_v").alias("_m"))
+            small = (
+                dire.join(smins, "_u")
+                .filter(F.col("_v") != F.col("_m"))
+                .select(F.col("_m").alias("_a"), F.col("_v").alias("_b"))
+                .union(
+                    smins.filter(F.col("_u") != F.col("_m")).select(
+                        F.col("_m").alias("_a"), F.col("_u").alias("_b")
+                    )
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            small_cnt = small.count()
+            # Converged iff BOTH phases were identities this round: a
+            # simultaneous fixpoint of large- and small-star is
+            # necessarily the per-component star {(min, v)} (a
+            # small-star-only fixpoint is not — e.g. the chain
+            # {(1,2),(2,3)} — so comparing across the full round is
+            # load-bearing). Sets are distinct-canonical, so equality
+            # = count match + empty one-sided EXCEPT.
+            converged = (
+                large_cnt == prev_cnt
+                and small_cnt == large_cnt
+                and large.exceptAll(cur).limit(1).count() == 0
+                and small.exceptAll(large).limit(1).count() == 0
+            )
+            _release_checkpoint(cur)
+            _release_checkpoint(large)
+            cur = small
+            prev_cnt = small_cnt
+            if converged:
+                break
+        # star set: every pair is (component-min, member)
+        labels = nodes.join(
+            cur.select(b.alias("node"), a.alias("_c")), "node", "left"
+        ).select(
+            "node", F.coalesce(F.col("_c"), F.col("node")).alias("cluster")
+        )
+        # materialize before releasing the star-set checkpoint
+        out = labels.localCheckpoint(eager=True)
+        _release_checkpoint(cur)
+        return out
+    finally:
+        nodes.unpersist()
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts ``(node, n_triangles)``
+    over the undirected simple graph induced by ``edges`` (direction,
+    multiplicity and self-loops dropped). Nodes in no triangle are
+    omitted.
+
+    Scale design — the "curse of the last reducer" (Suri &
+    Vassilvitskii, WWW 2011): a naive wedge join fans out by deg² and
+    one celebrity node serializes the stage. Orienting every edge from
+    the (degree, id)-SMALLER endpoint to the larger caps effective
+    out-degree at O(√m), so the wedge stage is balanced no matter the
+    degree skew; each triangle is enumerated exactly once (its nodes
+    appear in (deg, id) order). Three shuffles total: degree agg,
+    wedge self-join on the pivot, closing semi-equi-join on the
+    (v, w) pair — all key-partitioned, no broadcast assumption on the
+    edge set.
+    """
+    a, b = F.col("_a"), F.col("_b")
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(a < b)
+        .distinct()
+    )
+    deg = (
+        canon.select(a.alias("node"))
+        .union(canon.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient from (deg, id)-smaller to larger endpoint
+    da, db = F.col("_da"), F.col("_db")
+    oriented = (
+        canon.join(deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da")), "_a")
+        .join(deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db")), "_b")
+        .select(
+            F.when((da < db) | ((da == db) & (a < b)), a).otherwise(b).alias("_u"),
+            F.when((da < db) | ((da == db) & (a < b)), b).otherwise(a).alias("_w2"),
+            F.when((da < db) | ((da == db) & (a < b)), da).otherwise(db).alias("_ku"),
+            F.when((da < db) | ((da == db) & (a < b)), db).otherwise(da).alias("_kw"),
+        )
+        .select(
+            F.col("_u").alias("u"),
+            F.col("_w2").alias("v"),
+            F.col("_kw").alias("kv"),  # (deg, id) order key of the head
+        )
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("kv").alias("k2")
+    )
+    wedges = e1.join(
+        e2,
+        (F.col("u") == F.col("u2"))
+        & (
+            (F.col("k1") < F.col("k2"))
+            | ((F.col("k1") == F.col("k2")) & (F.col("v1") < F.col("v2")))
+        ),
+    ).select("u", "v1", "v2")
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    triples = wedges.join(closing, ["v1", "v2"])
+    return (
+        triples.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
 
 
 def copurchase_edges(

@@ -75,3 +75,68 @@ SELECT CAST(v AS BIGINT) AS node, CAST(r AS BIGINT) AS rank FROM r{_ITERS}"""
 )
 
 PROBES.append(Probe("graph_pagerank", "B31", graph_pagerank, GRAPH_PAGERANK_SQL))
+
+
+# ---------------------------------------------- connected components
+def graph_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — the SAME dedup-cluster closure as llm_dedup_clusters, but
+    through the alternating large-star/small-star algorithm
+    (operators/graph.connected_components): O(log n) rounds regardless
+    of graph diameter, vs min-label propagation's O(diameter). Output
+    contract identical, so the transitive-closure oracle is shared —
+    and the driver gate doubles as a star-vs-propagation equivalence
+    check."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), threshold=0.5, materialize=True
+    )
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+
+
+def _components_oracle() -> str:
+    from .llm import LLM_CLUSTERS_SQL
+
+    return LLM_CLUSTERS_SQL
+
+
+PROBES.append(
+    Probe("graph_components_star", "B29", graph_components_star, _components_oracle())
+)
+
+
+# ---------------------------------------------- triangle counting
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — per-node triangle counts over the undirected
+    co-purchase graph (operators/graph.triangle_counts): the local
+    clustering signal link-quality filters derive. Degree-ordered
+    orientation bounds wedge fan-out at O(√m) per node (Suri &
+    Vassilvitskii's last-reducer fix); the oracle is the canonical
+    three-way self-join."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf, "lineitem")
+    return triangle_counts(copurchase_edges(li)).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH raw AS ({_EDGES_CTE}),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([u, v, w]) AS node FROM tri)
+GROUP BY node
+"""
+
+PROBES.append(Probe("graph_triangles", "B31", graph_triangles, GRAPH_TRIANGLES_SQL))

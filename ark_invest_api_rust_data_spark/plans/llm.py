@@ -222,6 +222,33 @@ WHERE jc >= 0.5
 """
 
 
+# ------------------------------------------------------------ prefix-filter join
+def llm_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 production path — 3-gram Jaccard pairs ≥ 0.5 via PPJoin
+    prefix filtering (operators/dedup.jaccard_prefix_pairs): rare-first
+    prefix tokens generate candidates, a length filter prunes, an
+    exact verify confirms — output IDENTICAL to the O(n²) cross join,
+    which is therefore the oracle."""
+    from ..operators.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(
+        load_table(spark, sf, "documents"), n=3, t_num=1, t_den=2
+    )
+
+
+LLM_JACCARD_PREFIX_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(3)} AS s
+  FROM (SELECT doc_id, {_W} AS w FROM documents))
+SELECT doc_a, doc_b, jc FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jc >= 0.5
+"""
+
+
 # ------------------------------------------------------------ simhash
 def llm_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(load_table(spark, sf, "documents"))
@@ -308,6 +335,7 @@ PROBES = [
     Probe("llm_minhash_lsh", "B29", llm_minhash_lsh, LLM_MINHASH_SQL),
     Probe("llm_incremental_dedup", "B29", llm_incremental_dedup, LLM_INCREMENTAL_SQL),
     Probe("llm_ngram_jaccard", "B29", llm_ngram_jaccard, LLM_NGRAM_SQL),
+    Probe("llm_jaccard_prefix", "B29", llm_jaccard_prefix, LLM_JACCARD_PREFIX_SQL),
     Probe("llm_simhash", "B29", llm_simhash, _simhash_sql()),
     Probe("llm_fingerprint", "B29", llm_fingerprint, LLM_FINGERPRINT_SQL),
     Probe("llm_similarity_topk", "B30", llm_similarity_topk, LLM_SIMILARITY_SQL),

@@ -134,3 +134,44 @@ WHERE est >= {_HH_THRESHOLD} AND cnt >= {_HH_THRESHOLD}
 """
 
 PROBES.append(Probe("llm_heavy_hitters", "B31", llm_heavy_hitters, LLM_HEAVY_HITTERS_SQL))
+
+
+# ------------------------------------------------ k-mins distinct
+_KMINS_K = 32
+
+
+def llm_kmins_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """B9 sketch tier — distinct users per event type through the
+    k-mins sketch (operators/sketch.kmins_distinct): k=32 plain min
+    aggregates, so the shuffle is O(groups·k) after map-side combine
+    instead of O(distinct pairs), and registers merge (elementwise
+    min) across partitions/batches/days. Registers AND the integer
+    estimator are replayed bit-for-bit by the oracle."""
+    from ..operators.sketch import kmins_distinct
+
+    ev = load_table(spark, sf, "events")
+    return kmins_distinct(ev, "user_id", ["event_type"], k=_KMINS_K)
+
+
+def _kmins_sql() -> str:
+    from ..operators.sketch import KMINS_M, sql_kmins_positions
+
+    mins = sql_kmins_positions(_KMINS_K, "h")
+    min_cols = ",\n    ".join(f"min({e}) AS m{i}" for i, e in enumerate(mins))
+    arr = "[" + ", ".join(f"m{i}" for i in range(_KMINS_K)) + "]"
+    s = " + ".join(f"m{i}" for i in range(_KMINS_K))
+    num = (_KMINS_K - 1) * KMINS_M
+    return f"""
+WITH h AS (
+  SELECT event_type, {_sql_hash("CAST(user_id AS VARCHAR)")} AS h FROM events),
+r AS (
+  SELECT event_type,
+    {min_cols}
+  FROM h GROUP BY event_type)
+SELECT event_type, {arr} AS mins,
+  CAST(greatest(0, {num} // greatest({s}, 1) - 1) AS BIGINT) AS est_distinct
+FROM r
+"""
+
+
+PROBES.append(Probe("llm_kmins_distinct", "B9", llm_kmins_distinct, _kmins_sql()))

@@ -67,3 +67,128 @@ def test_copurchase_edges_deterministic_under_ties(spark):
     ea = sorted(map(tuple, copurchase_edges(a).collect()))
     eb = sorted(map(tuple, copurchase_edges(b).collect()))
     assert ea == eb == [(10, 12), (12, 11)]  # self-loop 7->7 dropped
+
+
+# ------------------------------------------------------------ components
+from ark_invest_api_rust_data_spark.operators.graph import (  # noqa: E402
+    connected_components,
+    triangle_counts,
+)
+
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+CC_GRAPHS = [
+    [(1, 2)],  # single pair
+    [(1, 2), (2, 3)],  # path — small-star-only fixpoint trap
+    [(1, 2), (2, 3), (1, 3), (7, 9)],  # triangle + disjoint pair
+    [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (11, 10)],  # chain + dup edge
+    [(i, i + 1) for i in range(20)] + [(100, 101)],  # longer path
+    [(2, 1), (3, 1), (4, 1), (5, 1)],  # star already
+]
+
+
+@pytest.mark.parametrize("edges", CC_GRAPHS)
+def test_components_star_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
+    assert got == _py_components(edges)
+
+
+def test_components_star_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
+    assert got == _py_components(edges)
+
+
+def test_components_star_high_diameter_logarithmic_rounds(spark):
+    # a 512-node path has diameter 511: min-label propagation needs
+    # ~511 rounds; large-star/small-star must land well under 30 —
+    # the O(log n) claim, pinned
+    edges = [(i, i + 1) for i in range(511)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df, max_rounds=30).collect()
+    assert len(out) == 512
+    assert all(r["cluster"] == 0 for r in out)
+
+
+def test_components_star_matches_label_propagation(spark):
+    from ark_invest_api_rust_data_spark.operators.dedup import dedup_clusters
+
+    edges = [(1, 5), (5, 9), (2, 6), (6, 2), (9, 3), (40, 41)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    star = {
+        r["node"]: r["cluster"]
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    prop = {r["node"]: r["cluster"] for r in dedup_clusters(df).collect()}
+    assert star == prop
+
+
+# ------------------------------------------------------------ triangles
+def _py_triangles(edges: list[tuple[int, int]]) -> dict[int, int]:
+    es = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = sorted({n for e in es for n in e})
+    nbr = {n: set() for n in nodes}
+    for u, v in es:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    counts: dict[int, int] = {}
+    for u, v, w in (
+        (u, v, w)
+        for u in nodes
+        for v in nbr[u]
+        if v > u
+        for w in nbr[u]
+        if w > v and w in nbr[v]
+    ):
+        for n in (u, v, w):
+            counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+TRI_GRAPHS = [
+    [(1, 2), (2, 3), (1, 3)],  # one triangle
+    [(1, 2), (2, 3), (1, 3), (3, 4)],  # triangle + pendant
+    [(1, 2), (2, 3), (3, 4), (4, 1)],  # square, no triangle
+    [(a, b) for a in range(4) for b in range(4) if a < b],  # K4
+    [(1, 2), (2, 1), (2, 3), (1, 3), (5, 5)],  # dup/reverse/self edges
+]
+
+
+@pytest.mark.parametrize("edges", TRI_GRAPHS)
+def test_triangle_counts_match_reference(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == _py_triangles(edges)
+
+
+def test_triangle_counts_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(240)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == _py_triangles(edges)

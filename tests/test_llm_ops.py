@@ -864,3 +864,61 @@ def test_quality_filter_tiers_equivalent(spark):
     a = {r["doc_id"]: (r["keep"], r["reason"]) for r in quality_filter(docs, tier="expr").collect()}
     b = {r["doc_id"]: (r["keep"], r["reason"]) for r in quality_filter(docs, tier="fused").collect()}
     assert a == b and len(a) > 0
+
+
+def test_jaccard_prefix_equals_exact_cross_join(spark):
+    """jaccard_prefix_pairs must return EXACTLY the O(n²) tier's rows
+    (same pairs, same jc) — the completeness of the prefix+length
+    filter chain is what makes the shared oracle valid."""
+    from ark_invest_api_rust_data_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = load_table(spark, SF, "documents")
+    fast = sorted(
+        (r["doc_a"], r["doc_b"], r["jc"])
+        for r in jaccard_prefix_pairs(docs, n=3, t_num=1, t_den=2).collect()
+    )
+    exact = sorted(
+        (r["doc_a"], r["doc_b"], r["jc"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    )
+    assert fast == exact
+    assert len(exact) > 0
+
+
+def test_jaccard_prefix_crafted_corners(spark):
+    """Boundary cases: identical docs (jc=1), just-at-threshold pairs,
+    size-filter kills (tiny vs huge), and a shared ultra-common token
+    that must NOT create candidates on its own (it sorts to the END of
+    the frequency order, out of every prefix)."""
+    from ark_invest_api_rust_data_spark.operators.dedup import jaccard_prefix_pairs
+
+    common = " ".join("the quick brown" for _ in range(1))
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),  # dup of 1
+        (3, "alpha beta gamma zeta"),  # 3-grams: overlap 1 of 2+2 -> jc 1/3
+        (4, common + " unrelated tail of words entirely different here"),
+        (5, common + " something else long and different again padded out"),
+        (6, "x y z"),  # exactly n tokens — one shingle (word_shingles
+        # requires >= n tokens; shorter docs are a pipeline
+        # precondition, filtered upstream by quality gates)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t_num, t_den in [(1, 2), (1, 3), (4, 5)]:
+        fast = sorted(
+            (r["doc_a"], r["doc_b"], r["jc"])
+            for r in jaccard_prefix_pairs(
+                docs, n=3, t_num=t_num, t_den=t_den
+            ).collect()
+        )
+        exact = sorted(
+            (r["doc_a"], r["doc_b"], r["jc"])
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=t_num / t_den
+            ).collect()
+        )
+        assert fast == exact
+    assert (1, 2, 1.0) in {
+        (r["doc_a"], r["doc_b"], r["jc"])
+        for r in jaccard_prefix_pairs(docs, n=3).collect()
+    }

@@ -141,3 +141,66 @@ def test_explode_fold_runs_above_spread_exchange(spark, sf_dir):
         "explode fold was attached to the scan stage below the spread "
         "exchange:\n" + plan[:2000]
     )
+
+
+# ------------------------------------------------------------ k-mins
+from ark_invest_api_rust_data_spark.operators.sketch import (  # noqa: E402
+    KMINS_M,
+    kmins_distinct,
+    kmins_merge,
+    kmins_sketch,
+)
+
+
+def _ids_df(spark, pairs):
+    return spark.createDataFrame(pairs, "grp string, user_id long")
+
+
+def test_kmins_deterministic_and_bounded(spark):
+    rows = [("a", i % 57) for i in range(500)] + [("b", i) for i in range(300)]
+    df = _ids_df(spark, rows)
+    a = kmins_distinct(df, "user_id", ["grp"]).collect()
+    b = kmins_distinct(df, "user_id", ["grp"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert len(r["mins"]) == 32
+        assert all(0 <= m < KMINS_M for m in r["mins"])
+        assert r["est_distinct"] >= 0
+
+
+def test_kmins_estimate_within_error_band(spark):
+    # D=57 and D=300 with k=32 (σ ≈ 18%): a [D/2, 2D] band is ~3σ
+    rows = [("a", i % 57) for i in range(500)] + [("b", i) for i in range(300)]
+    est = {
+        r["grp"]: r["est_distinct"]
+        for r in kmins_distinct(_ids_df(spark, rows), "user_id", ["grp"]).collect()
+    }
+    assert 57 / 2 <= est["a"] <= 57 * 2
+    assert 300 / 2 <= est["b"] <= 300 * 2
+
+
+def test_kmins_duplicates_do_not_move_registers(spark):
+    # distinct-ness: inserting each key once vs 100x gives identical
+    # registers (min of a constant set)
+    once = _ids_df(spark, [("g", i) for i in range(40)])
+    many = _ids_df(spark, [("g", i) for i in range(40) for _ in range(100)])
+    m1 = kmins_sketch(once, "user_id", ["grp"]).collect()[0]["mins"]
+    m2 = kmins_sketch(many, "user_id", ["grp"]).collect()[0]["mins"]
+    assert m1 == m2
+
+
+def test_kmins_merge_equals_union_sketch(spark):
+    import pyspark.sql.functions as F
+
+    left = _ids_df(spark, [("g", i) for i in range(0, 120)])
+    right = _ids_df(spark, [("g", i) for i in range(80, 250)])
+    both = left.union(right)
+    sk_l = kmins_sketch(left, "user_id", ["grp"]).withColumnRenamed("mins", "ml")
+    sk_r = kmins_sketch(right, "user_id", ["grp"]).withColumnRenamed("mins", "mr")
+    merged = (
+        sk_l.join(sk_r, "grp")
+        .select(kmins_merge(F.col("ml"), F.col("mr")).alias("mins"))
+        .collect()[0]["mins"]
+    )
+    whole = kmins_sketch(both, "user_id", ["grp"]).collect()[0]["mins"]
+    assert merged == whole
