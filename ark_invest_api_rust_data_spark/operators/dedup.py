@@ -434,6 +434,11 @@ def jaccard_prefix_pairs(
       token;
     * length filter on candidates: J ≥ t ⟹ t·max(|a|,|b|) ≤
       min(|a|,|b|), checked as ``t_num·max ≤ t_den·min`` (no floats);
+    * positional filter (PPJoin's core): a shared token at sorted
+      positions (i, j) bounds the overlap at ``min(i−1, j−1) + 1 +
+      min(|a|−i, |b|−j)``; J ≥ t needs overlap ≥ ⌈t(|a|+|b|)/(1+t)⌉,
+      and the bound ≥ true overlap at EVERY shared token, so dropping
+      join rows below the bound never drops a qualifying pair;
     * verify: exact Jaccard on the full shingle arrays, same
       expression as the quadratic tier (bit-identical ``jc``).
 
@@ -445,6 +450,16 @@ def jaccard_prefix_pairs(
     square — is the cost.
     """
     threshold = t_num / t_den
+    # cached: the shingle table feeds the frequency agg, both
+    # candidate sides and both verify sides — without the cache the
+    # whole fold re-runs per consumer (the same tier decision as
+    # minhash_lsh_pairs' materialize=True; caches released before
+    # returning, the tiny pair result checkpointed instead)
+    # NOTE no size filter: word_shingles always yields >= 1 gram, and
+    # a filter on size(_sh) would be pushed BELOW the projection,
+    # substituting the whole shingle fold into the predicate — the
+    # fold then runs twice per row (measured: 8-10s -> 2s at sf0.1,
+    # the same pushdown trap as the quality-filter plan guard).
     base = (
         _spread(df)
         .select(
@@ -452,7 +467,7 @@ def jaccard_prefix_pairs(
             word_shingles(F.col(text_col), n).alias("_sh"),
         )
         .withColumn("_sz", F.size("_sh"))
-        .filter(F.col("_sz") > 0)
+        .persist()
     )
     ex = base.select("_id", "_sz", F.explode("_sh").alias("_tok"))
     freq = ex.groupBy("_tok").agg(F.count("*").alias("_tf"))
@@ -462,13 +477,29 @@ def jaccard_prefix_pairs(
         ex.join(freq, "_tok")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_sz") - ceil_t_sz + F.lit(1))
-        .select("_id", "_sz", "_tok")
+        .select("_id", "_sz", "_rn", "_tok")
+        .persist()  # consumed by both candidate sides
     )
     pa = pref.select(
-        F.col("_id").alias("doc_a"), F.col("_sz").alias("_sza"), "_tok"
+        F.col("_id").alias("doc_a"),
+        F.col("_sz").alias("_sza"),
+        F.col("_rn").alias("_rna"),
+        "_tok",
     )
     pb = pref.select(
-        F.col("_id").alias("doc_b"), F.col("_sz").alias("_szb"), "_tok"
+        F.col("_id").alias("doc_b"),
+        F.col("_sz").alias("_szb"),
+        F.col("_rn").alias("_rnb"),
+        "_tok",
+    )
+    # overlap needed: o >= ceil(t·(|a|+|b|) / (1+t))
+    tau = F.expr(
+        f"({t_num} * (_sza + _szb) + {t_num + t_den - 1}) div {t_num + t_den}"
+    )
+    pos_bound = (
+        F.least(F.col("_rna") - 1, F.col("_rnb") - 1)
+        + F.lit(1)
+        + F.least(F.col("_sza") - F.col("_rna"), F.col("_szb") - F.col("_rnb"))
     )
     cand = (
         pa.join(pb, "_tok")
@@ -477,18 +508,27 @@ def jaccard_prefix_pairs(
             F.lit(t_num) * F.greatest("_sza", "_szb")
             <= F.lit(t_den) * F.least("_sza", "_szb")
         )
+        .filter(pos_bound >= tau)
         .select("doc_a", "doc_b")
         .distinct()
     )
     sh_a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
     sh_b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
-    return (
+    result = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jc", jaccard(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jc") >= threshold)
         .select("doc_a", "doc_b", "jc")
     )
+    try:
+        # materialize the (tiny) pair result while the shingle/prefix
+        # caches are live, then release executor storage
+        result = result.localCheckpoint(eager=True)
+    finally:
+        pref.unpersist()
+        base.unpersist()
+    return result
 
 
 # ------------------------------------------------------------------ simhash

@@ -283,6 +283,7 @@ def triangle_counts(
             F.col("_w2").alias("v"),
             F.col("_kw").alias("kv"),  # (deg, id) order key of the head
         )
+        .persist()  # consumed 3×: both wedge sides + the closing join
     )
     e1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
     e2 = oriented.select(
@@ -298,13 +299,19 @@ def triangle_counts(
     ).select("u", "v1", "v2")
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     triples = wedges.join(closing, ["v1", "v2"])
-    return (
+    out = (
         triples.select(
             F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
         )
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+    try:
+        # node-count-bounded result: materialize while `oriented` is
+        # cached, then release executor storage
+        return out.localCheckpoint(eager=True)
+    finally:
+        oriented.unpersist()
 
 
 def copurchase_edges(

@@ -224,15 +224,19 @@ WHERE jc >= 0.5
 
 # ------------------------------------------------------------ prefix-filter join
 def llm_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
-    """B29 production path — 3-gram Jaccard pairs ≥ 0.5 via PPJoin
+    """B29 production path — 3-gram Jaccard pairs ≥ 0.8 via PPJoin
     prefix filtering (operators/dedup.jaccard_prefix_pairs): rare-first
-    prefix tokens generate candidates, a length filter prunes, an
-    exact verify confirms — output IDENTICAL to the O(n²) cross join,
-    which is therefore the oracle."""
+    prefix tokens generate candidates, length + positional filters
+    prune, an exact verify confirms — output IDENTICAL to the O(n²)
+    cross join, which is therefore the oracle. t = 4/5 is the
+    production near-dup threshold; the prefix is then |d|/5 tokens, so
+    the candidate join touches a fifth of the shingle stream
+    (completeness at the nastier t = 1/2 is pytest-pinned against the
+    exact tier)."""
     from ..operators.dedup import jaccard_prefix_pairs
 
     return jaccard_prefix_pairs(
-        load_table(spark, sf, "documents"), n=3, t_num=1, t_den=2
+        load_table(spark, sf, "documents"), n=3, t_num=4, t_den=5
     )
 
 
@@ -245,7 +249,7 @@ SELECT doc_a, doc_b, jc FROM (
     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jc
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-WHERE jc >= 0.5
+WHERE jc >= 0.8
 """
 
 
