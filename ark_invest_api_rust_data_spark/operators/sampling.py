@@ -105,6 +105,83 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col)) < cutoff)
 
 
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """PPS (probability-proportional-to-size) systematic sampling:
+    ~``k`` rows per stratum, inclusion probability ∝ ``weight_col`` —
+    the corpus-mixing step when documents should be sampled by token
+    count / quality mass rather than uniformly.
+
+    Classic systematic sampling on the cumulative-weight line, made
+    deterministic and engine-portable:
+
+    * rows are laid on the line in (id-hash, id) order — a stable
+      pseudo-random shuffle with no RNG (the same 31-fold char hash as
+      ``split_assign``, so re-runs and engines agree row-for-row);
+    * selection points sit at ``anchor + m·step`` for m ≥ 0, with
+      ``step = max(1, total_weight div k)`` and ``anchor = step div
+      2`` (the fixed "random start" — documented, not drawn);
+    * a row is selected iff its cumulative-weight interval
+      ``(c_prev, c]`` contains a point: ``points_le(c) >
+      points_le(c_prev)`` where ``points_le(x) = (x − anchor) div
+      step + 1`` for x ≥ anchor else 0 — all nonneg int64, so Spark's
+      ``div`` and DuckDB's ``//`` agree.
+
+    Rows heavier than ``step`` are selected with certainty (their
+    interval always contains a point); multiplicity is NOT returned —
+    this is sampling WITHOUT replacement, one output row per selected
+    input row, so the realized sample size per stratum is ≤ k + 1 and
+    ≥ min(k, rows) in expectation terms.
+
+    Scale shape: one window shuffle on the stratum key plus a
+    same-partitioning total — identical to ``pack_sequences``; per-
+    stratum state is a running int sum. Zero floats, full SQL oracle.
+    """
+    order_h = token_hash32(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order_h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(strata_col)
+    staged = (
+        df.select(
+            id_col, strata_col, F.col(weight_col).cast("long").alias("_w")
+        )
+        .withColumn("_cum", F.sum("_w").over(w).cast("long"))
+        .withColumn("_tot", F.sum("_w").over(w_all).cast("long"))
+        .withColumn("_step", F.expr(f"greatest(CAST(1 AS BIGINT), _tot div {k})"))
+        .withColumn("_anchor", F.expr("_step div 2"))
+        # points_le(x) = #selection points ≤ x; both bounds nonneg so
+        # div (trunc) == floor == DuckDB //
+        .withColumn(
+            "_p_hi",
+            F.expr(
+                "CASE WHEN _cum >= _anchor"
+                " THEN (_cum - _anchor) div _step + 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "_p_lo",
+            F.expr(
+                "CASE WHEN _cum - _w >= _anchor"
+                " THEN (_cum - _w - _anchor) div _step + 1 ELSE 0 END"
+            ),
+        )
+    )
+    return staged.filter(F.col("_p_hi") > F.col("_p_lo")).select(
+        id_col,
+        strata_col,
+        F.col("_w").alias("weight"),
+        F.col("_cum").alias("cum_weight"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -224,6 +224,31 @@ def kmins_positions(key: Column, k: int) -> list[Column]:
     return out
 
 
+def py_kmins_positions(key: str, k: int) -> list[int]:
+    """Pure-Python replica of ``kmins_positions`` (same constants, same
+    two-stage fold) — the streaming twin's per-row hash
+    (streaming/stateful.kmins_distinct_stateful) and the unit tests'
+    independent reference. Kept adjacent so the three engines (Spark
+    expression, DuckDB SQL, Python state updater) can never drift."""
+    h = 0
+    for ch in key:
+        h = (h * 31 + ord(ch)) % (1 << 32)
+    out: list[int] = []
+    for i in range(k):
+        a1, b1 = _coef(i)
+        a2, b2 = _coef(i + k)
+        h1 = (a1 * h + b1) % (1 << 31)
+        out.append(((a2 * h1 + b2) % MERSENNE61) % KMINS_M)
+    return out
+
+
+def py_kmins_estimate(mins: list[int]) -> int:
+    """The integer estimator over a register array — mirrors
+    ``kmins_distinct``'s expression."""
+    k = len(mins)
+    return max(0, ((k - 1) * KMINS_M) // max(sum(mins), 1) - 1)
+
+
 def sql_kmins_positions(k: int, hash_sql: str) -> list[str]:
     """DuckDB fragments mirroring ``kmins_positions`` over a
     precomputed base-hash expression ``hash_sql`` — kept adjacent so

@@ -726,6 +726,47 @@ FROM b
 PROBES.append(Probe("llm_split_sample", "B31", llm_split_sample, LLM_SPLIT_SQL))
 
 
+# ------------------------------------------------ weighted PPS sample
+def llm_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — PPS systematic sampling: ~16 docs per source with
+    inclusion probability ∝ n_chars (operators/sampling.py
+    weighted_systematic_sample). Deterministic (id-hash order on the
+    cumulative-weight line, fixed anchor = step/2), all int64 — the
+    oracle replays the line construction cell-for-cell."""
+    from ..operators.sampling import weighted_systematic_sample
+
+    return weighted_systematic_sample(
+        load_table(spark, sf, "documents"), k=16, weight_col="n_chars"
+    )
+
+
+LLM_WEIGHTED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, ({_ID_HASH}) AS oh
+  FROM documents),
+c AS (
+  SELECT doc_id, source, w,
+    CAST(sum(w) OVER (PARTITION BY source ORDER BY oh, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM h),
+s AS (SELECT doc_id, source, w, cum, greatest(1, tot // 16) AS step FROM c),
+a AS (SELECT doc_id, source, w, cum, step, step // 2 AS anchor FROM s),
+p AS (
+  SELECT doc_id, source, w, cum,
+    CASE WHEN cum >= anchor THEN (cum - anchor) // step + 1 ELSE 0 END AS p_hi,
+    CASE WHEN cum - w >= anchor THEN (cum - w - anchor) // step + 1 ELSE 0 END AS p_lo
+  FROM a)
+SELECT doc_id, source, CAST(w AS BIGINT) AS weight,
+       CAST(cum AS BIGINT) AS cum_weight
+FROM p WHERE p_hi > p_lo
+"""
+
+PROBES.append(
+    Probe("llm_weighted_sample", "B31", llm_weighted_sample, LLM_WEIGHTED_SAMPLE_SQL)
+)
+
+
 # ------------------------------------------------ sequence packing
 def llm_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-prep — GPT-style concat-and-chunk sequence packing with a

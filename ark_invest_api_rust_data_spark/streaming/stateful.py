@@ -253,3 +253,77 @@ def user_ewma_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------ k-mins twin
+KMINS_OUTPUT_SCHEMA = (
+    "event_type string, n_rows_seen long, mins array<long>, est_distinct long"
+)
+KMINS_STATE_SCHEMA = "n long, mins array<long>"
+
+
+def _update_kmins_state(k: int):
+    """applyInPandasWithState updater for the streaming k-mins twin of
+    operators/sketch.kmins_distinct: per-group registers folded across
+    micro-batches by elementwise min — O(groups · k) state, and the
+    fold is order-INSENSITIVE (min is commutative), so unlike the EWMA
+    twin there is no delivery-order contract to enforce. The per-row
+    hash is operators.sketch.py_kmins_positions — the same constants
+    the JVM expression and the DuckDB oracle use."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        from ..operators.sketch import (
+            KMINS_M,
+            py_kmins_estimate,
+            py_kmins_positions,
+        )
+
+        (event_type,) = key
+        if state.exists:
+            n, mins = state.get
+            mins = list(mins)
+        else:
+            n, mins = 0, [KMINS_M] * k
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                pos = py_kmins_positions(str(int(uid)), k)
+                for i in range(k):
+                    if pos[i] < mins[i]:
+                        mins[i] = pos[i]
+                n += 1
+        state.update((n, mins))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_rows_seen": [n],
+                "mins": [mins],
+                "est_distinct": [py_kmins_estimate(mins)],
+            }
+        )
+
+    return update
+
+
+def kmins_distinct_stateful(events: DataFrame, k: int = 32) -> DataFrame:
+    """B9 streaming twin — distinct users per event type maintained
+    across micro-batches with O(groups · k) state; register-identical
+    to the batch sketch after any prefix of the stream (mins only ever
+    decrease; merge is elementwise min, the same operation
+    operators/sketch.kmins_merge exposes for batch unions).
+
+    Batch frames fall back to the batch operator (minus the
+    n_rows_seen column, which only exists to pick the latest update
+    row in a memory sink)."""
+    if not events.isStreaming:
+        from ..operators.sketch import kmins_distinct
+
+        return kmins_distinct(events, "user_id", ["event_type"], k=k)
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_kmins_state(k),
+        outputStructType=KMINS_OUTPUT_SCHEMA,
+        stateStructType=KMINS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

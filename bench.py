@@ -110,6 +110,13 @@ HEADLINE = [
     "llm_gram_matrix",
     "b12_ewma",
     "b12_transitions",
+    # round-7: O(log n)-round star connected components, degree-ordered
+    # triangle counting, k-mins distinct sketch, PPJoin prefix-filter
+    # Jaccard join (the exact-output production tier at t=4/5)
+    "graph_components_star",
+    "graph_triangles",
+    "llm_kmins_distinct",
+    "llm_jaccard_prefix",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

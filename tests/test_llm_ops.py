@@ -922,3 +922,75 @@ def test_jaccard_prefix_crafted_corners(spark):
         (r["doc_a"], r["doc_b"], r["jc"])
         for r in jaccard_prefix_pairs(docs, n=3).collect()
     }
+
+
+# ------------------------------------------------------------ PPS sample
+def _py_weighted_sample(rows, k):
+    """Independent reference for weighted_systematic_sample: rows =
+    [(id, stratum, w)] -> set of selected ids."""
+    def h32(s):
+        v = 0
+        for ch in s:
+            v = (v * 31 + ord(ch)) % (1 << 32)
+        return v
+
+    out = set()
+    strata = {}
+    for i, s, w in rows:
+        strata.setdefault(s, []).append((i, w))
+    for s, items in strata.items():
+        items.sort(key=lambda t: (h32(str(t[0])), t[0]))
+        tot = sum(w for _, w in items)
+        step = max(1, tot // k)
+        anchor = step // 2
+        cum = 0
+        for i, w in items:
+            lo, cum = cum, cum + w
+            p_hi = (cum - anchor) // step + 1 if cum >= anchor else 0
+            p_lo = (lo - anchor) // step + 1 if lo >= anchor else 0
+            if p_hi > p_lo:
+                out.add(i)
+    return out
+
+
+def test_weighted_sample_matches_reference(spark):
+    from ark_invest_api_rust_data_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(i, "s" + str(i % 3), (i * 37) % 90 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {
+        r["doc_id"]
+        for r in weighted_systematic_sample(df, k=8, weight_col="n_chars").collect()
+    }
+    assert got == _py_weighted_sample(rows, 8)
+    assert got  # nonempty
+
+
+def test_weighted_sample_heavy_row_always_selected_and_size_bounded(spark):
+    from ark_invest_api_rust_data_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    # one row carries >90% of the mass -> certain selection; realized
+    # per-stratum size stays <= k + 1
+    rows = [(i, "only", 1) for i in range(50)] + [(999, "only", 10_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    sel = weighted_systematic_sample(df, k=5, weight_col="n_chars").collect()
+    ids = {r["doc_id"] for r in sel}
+    assert 999 in ids
+    assert len(sel) <= 6
+
+
+def test_weighted_sample_row_order_invariant(spark):
+    from ark_invest_api_rust_data_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(i, "s" + str(i % 2), i % 13 + 1) for i in range(120)]
+    a = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    b = spark.createDataFrame(list(reversed(rows)), ["doc_id", "source", "n_chars"])
+    ra = sorted(map(tuple, weighted_systematic_sample(a, 7, "n_chars").collect()))
+    rb = sorted(map(tuple, weighted_systematic_sample(b, 7, "n_chars").collect()))
+    assert ra == rb

@@ -1091,3 +1091,51 @@ def test_ewma_stateful_batch_fallback_matches_operator(spark, event_dir):
 
     df = spark.read.parquet(event_dir)
     assert _rows(user_ewma_stateful(df)) == _rows(ewma(df))
+
+
+# ------------------------------------------------------------ k-mins twin
+def test_streaming_kmins_matches_batch_sketch(spark, event_dir):
+    """Register-identical to the batch sketch after full replay — and
+    order-INSENSITIVE, so the shuffled fixture is fine (min commutes);
+    intermediate updates accumulate (really micro-batched)."""
+    from ark_invest_api_rust_data_spark.operators.sketch import kmins_distinct
+    from ark_invest_api_rust_data_spark.streaming.stateful import (
+        kmins_distinct_stateful,
+    )
+    from pyspark.sql import Window
+
+    stream = kmins_distinct_stateful(
+        stream_events(spark, event_dir, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_kmins")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("t_kmins")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_rows_seen"))
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "mins", "est_distinct")
+    )
+    batch = kmins_distinct(
+        spark.read.parquet(event_dir), "user_id", ["event_type"]
+    ).select("event_type", "mins", "est_distinct")
+    assert _rows(final) == _rows(batch)
+    assert emitted.count() > final.count()
+
+
+def test_kmins_stateful_batch_fallback(spark, event_dir):
+    from ark_invest_api_rust_data_spark.operators.sketch import kmins_distinct
+    from ark_invest_api_rust_data_spark.streaming.stateful import (
+        kmins_distinct_stateful,
+    )
+
+    df = spark.read.parquet(event_dir)
+    assert _rows(kmins_distinct_stateful(df)) == _rows(
+        kmins_distinct(df, "user_id", ["event_type"])
+    )
