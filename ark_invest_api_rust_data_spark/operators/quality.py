@@ -1,0 +1,162 @@
+"""Declarative data-quality constraints (Deequ-style) — the validation
+gate a pipeline runs before promoting a batch into the lake or a
+training shard. The reference repo validates implicitly (panics on
+schema drift, /root/reference/src/util.rs dtype repair); this makes the
+checks an explicit, queryable artifact: one row per constraint with the
+observed violation count, so a scheduler can gate on ``passed`` and an
+engineer can see HOW broken a batch is, not just that it is.
+
+Constraint kinds (all exact int64 — a SQL oracle replays every count):
+
+* ``not_null``          — violations = NULLs in ``col``
+* ``null_rate_max``     — passed iff nulls·den ≤ num·rows (rational
+                          threshold, no float compare)
+* ``unique``            — violations = rows beyond the first per key
+* ``min_at_least`` / ``max_at_most`` — violations = rows out of bound
+* ``in_set``            — violations = rows (non-NULL) outside the set
+* ``fk``                — violations = rows whose ``col`` has no match
+                          in ``ref_col`` of ``ref`` (left anti join)
+
+Scale shape: every row-local kind folds into ONE multi-conditional-sum
+aggregation over a single scan (adding constraints does not add
+passes); ``unique`` adds one groupBy on its key; ``fk`` one anti join —
+each with O(1)-row outputs, unioned into the report. At 100 TB the
+report costs one scan + one shuffle per unique/fk constraint, nothing
+proportional to violations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _cname(e: dict) -> str:
+    kind = e["kind"]
+    if kind == "unique":
+        return f"unique({','.join(e['cols'])})"
+    if kind == "fk":
+        return f"fk({e['col']}->{e['ref_col']})"
+    if kind == "null_rate_max":
+        return f"null_rate_max({e['col']},{e['num']}/{e['den']})"
+    if kind in ("min_at_least", "max_at_most"):
+        return f"{kind}({e['col']},{e['value']})"
+    if kind == "in_set":
+        return f"in_set({e['col']})"
+    return f"{kind}({e['col']})"
+
+
+def validate_expectations(df: DataFrame, spec: list[dict]) -> DataFrame:
+    """Run the constraint ``spec`` against ``df``; returns
+    ``(constraint, observed, passed)`` — observed is the violation
+    count except for ``null_rate_max`` where it is the raw NULL count
+    (the threshold compare is rational, see module docstring)."""
+    agg_exprs: list = []
+    agg_meta: list[tuple[str, object]] = []  # (constraint, passed_fn(row))
+    extras: list[DataFrame] = []
+
+    def _viol_sum(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    n_idx = len(agg_exprs)
+    agg_exprs.append(F.count(F.lit(1)).cast("long").alias("_nrows"))
+
+    for e in spec:
+        kind = e["kind"]
+        name = _cname(e)
+        if kind == "not_null":
+            agg_exprs.append(
+                _viol_sum(F.col(e["col"]).isNull()).alias(f"_c{len(agg_exprs)}")
+            )
+            agg_meta.append((name, None))
+        elif kind == "null_rate_max":
+            agg_exprs.append(
+                _viol_sum(F.col(e["col"]).isNull()).alias(f"_c{len(agg_exprs)}")
+            )
+            agg_meta.append((name, (e["num"], e["den"])))
+        elif kind == "min_at_least":
+            agg_exprs.append(
+                _viol_sum(F.col(e["col"]) < F.lit(e["value"])).alias(
+                    f"_c{len(agg_exprs)}"
+                )
+            )
+            agg_meta.append((name, None))
+        elif kind == "max_at_most":
+            agg_exprs.append(
+                _viol_sum(F.col(e["col"]) > F.lit(e["value"])).alias(
+                    f"_c{len(agg_exprs)}"
+                )
+            )
+            agg_meta.append((name, None))
+        elif kind == "in_set":
+            agg_exprs.append(
+                _viol_sum(
+                    F.col(e["col"]).isNotNull()
+                    & ~F.col(e["col"]).isin(*e["values"])
+                ).alias(f"_c{len(agg_exprs)}")
+            )
+            agg_meta.append((name, None))
+        elif kind == "unique":
+            dup = (
+                df.groupBy(*e["cols"])
+                .agg((F.count(F.lit(1)) - F.lit(1)).alias("_extra"))
+                .agg(F.coalesce(F.sum("_extra"), F.lit(0)).cast("long").alias("observed"))
+                .select(
+                    F.lit(name).alias("constraint"),
+                    "observed",
+                    (F.col("observed") == 0).alias("passed"),
+                )
+            )
+            extras.append(dup)
+        elif kind == "fk":
+            viol = (
+                df.select(F.col(e["col"]).alias("_k"))
+                .filter(F.col("_k").isNotNull())
+                .join(
+                    e["ref"].select(F.col(e["ref_col"]).alias("_k")).distinct(),
+                    "_k",
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+                .select(
+                    F.lit(name).alias("constraint"),
+                    "observed",
+                    (F.col("observed") == 0).alias("passed"),
+                )
+            )
+            extras.append(viol)
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+
+    one = df.agg(*agg_exprs)
+    rows = []
+    col_i = n_idx + 1
+    for name, meta in agg_meta:
+        obs = F.col(f"_c{col_i}")
+        if meta is None:
+            passed = obs == 0
+        else:  # rational null-rate threshold: nulls·den <= num·rows
+            num, den = meta
+            passed = obs * F.lit(den) <= F.lit(num) * F.col("_nrows")
+        rows.append(
+            F.struct(
+                F.lit(name).alias("constraint"),
+                obs.alias("observed"),
+                passed.alias("passed"),
+            )
+        )
+        col_i += 1
+    parts = list(extras)
+    if rows:
+        parts.insert(
+            0,
+            one.select(F.explode(F.array(*rows)).alias("_r")).select(
+                "_r.constraint", "_r.observed", "_r.passed"
+            ),
+        )
+    if not parts:
+        raise ValueError("validate_expectations: empty spec")
+    out = parts[0]
+    for ex in parts[1:]:
+        out = out.union(ex)
+    return out

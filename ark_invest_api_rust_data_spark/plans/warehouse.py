@@ -112,7 +112,68 @@ FROM lineitem"""
 )
 
 
+def b07_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """B7 extension — declarative data-quality gate (Deequ-style,
+    operators/quality.validate_expectations): seven constraints over
+    lineitem in ONE multi-conditional-sum scan plus one groupBy
+    (uniqueness) and one anti join (FK containment), reported as
+    (constraint, observed, passed). The (l_orderkey, l_linenumber)
+    uniqueness constraint FAILS on the synthetic data (duplicate line
+    numbers exist) — deliberately, so the report's failure path is
+    exercised, not just the green path."""
+    from ..operators.quality import validate_expectations
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    spec = [
+        {"kind": "not_null", "col": "l_orderkey"},
+        {"kind": "null_rate_max", "col": "l_shipdate", "num": 1, "den": 100},
+        {"kind": "min_at_least", "col": "l_quantity", "value": 1},
+        {"kind": "max_at_most", "col": "l_discount", "value": 0.1},
+        {"kind": "in_set", "col": "l_returnflag", "values": ["A", "N", "R"]},
+        {"kind": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        {"kind": "fk", "col": "l_orderkey", "ref": orders, "ref_col": "o_orderkey"},
+    ]
+    return validate_expectations(li, spec)
+
+
+B07_EXPECT_SQL = """
+SELECT 'not_null(l_orderkey)' AS constraint,
+  CAST(count(*) - count(l_orderkey) AS BIGINT) AS observed,
+  count(*) - count(l_orderkey) = 0 AS passed FROM lineitem
+UNION ALL
+SELECT 'null_rate_max(l_shipdate,1/100)',
+  CAST(count(*) - count(l_shipdate) AS BIGINT),
+  (count(*) - count(l_shipdate)) * 100 <= 1 * count(*) FROM lineitem
+UNION ALL
+SELECT 'min_at_least(l_quantity,1)',
+  CAST(count(*) FILTER (WHERE l_quantity < 1) AS BIGINT),
+  count(*) FILTER (WHERE l_quantity < 1) = 0 FROM lineitem
+UNION ALL
+SELECT 'max_at_most(l_discount,0.1)',
+  CAST(count(*) FILTER (WHERE l_discount > 0.1) AS BIGINT),
+  count(*) FILTER (WHERE l_discount > 0.1) = 0 FROM lineitem
+UNION ALL
+SELECT 'in_set(l_returnflag)',
+  CAST(count(*) FILTER (WHERE l_returnflag IS NOT NULL
+       AND l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+  count(*) FILTER (WHERE l_returnflag IS NOT NULL
+       AND l_returnflag NOT IN ('A','N','R')) = 0 FROM lineitem
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)',
+  CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+  coalesce(sum(c - 1), 0) = 0
+FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'fk(l_orderkey->o_orderkey)',
+  CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
 PROBES = [
     Probe("u05_scd2", "U5", u05_scd2, U05_SCD2_SQL),
     Probe("b07_table_profile", "B7-B8", b07_table_profile, B07_PROFILE_SQL),
+    Probe("b07_expectations", "B7", b07_expectations, B07_EXPECT_SQL),
 ]

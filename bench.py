@@ -117,6 +117,7 @@ HEADLINE = [
     "graph_triangles",
     "llm_kmins_distinct",
     "llm_jaccard_prefix",
+    "llm_weighted_sample",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -1,0 +1,118 @@
+"""Declarative data-quality constraints (operators/quality.py):
+violation counts against hand-checkable fixtures, the rational
+null-rate threshold, FK anti-join semantics, and the one-scan shape
+(row-local constraints must not multiply passes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ark_invest_api_rust_data_spark.operators.quality import (
+    validate_expectations,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        (1, 1, "A", 5.0, "x"),
+        (1, 2, "N", 0.5, None),
+        (2, 1, "R", -1.0, "y"),
+        (2, 1, "Z", 2.0, "z"),  # dup key (2,1); bad flag Z
+        (None, 9, "A", 3.0, "w"),  # null orderkey
+    ]
+    return spark.createDataFrame(
+        rows, "k long, line long, flag string, qty double, comment string"
+    )
+
+
+def _report(out):
+    return {r["constraint"]: (r["observed"], r["passed"]) for r in out.collect()}
+
+
+def test_row_local_constraints(spark, df):
+    rep = _report(
+        validate_expectations(
+            df,
+            [
+                {"kind": "not_null", "col": "k"},
+                {"kind": "min_at_least", "col": "qty", "value": 0},
+                {"kind": "max_at_most", "col": "qty", "value": 4},
+                {"kind": "in_set", "col": "flag", "values": ["A", "N", "R"]},
+            ],
+        )
+    )
+    assert rep["not_null(k)"] == (1, False)
+    assert rep["min_at_least(qty,0)"] == (1, False)  # -1.0
+    assert rep["max_at_most(qty,4)"] == (1, False)  # 5.0
+    assert rep["in_set(flag)"] == (1, False)  # Z
+
+
+def test_null_rate_rational_threshold(spark, df):
+    # 1 null comment of 5 rows = 20%: passes at 1/5 and 1/4, fails 1/10
+    rep = _report(
+        validate_expectations(
+            df,
+            [
+                {"kind": "null_rate_max", "col": "comment", "num": 1, "den": 5},
+                {"kind": "null_rate_max", "col": "comment", "num": 1, "den": 4},
+                {"kind": "null_rate_max", "col": "comment", "num": 1, "den": 10},
+            ],
+        )
+    )
+    assert rep["null_rate_max(comment,1/5)"] == (1, True)
+    assert rep["null_rate_max(comment,1/4)"] == (1, True)
+    assert rep["null_rate_max(comment,1/10)"] == (1, False)
+
+
+def test_unique_and_fk(spark, df):
+    ref = spark.createDataFrame([(1,), (3,)], "r long")
+    rep = _report(
+        validate_expectations(
+            df,
+            [
+                {"kind": "unique", "cols": ["k", "line"]},
+                {"kind": "fk", "col": "k", "ref": ref, "ref_col": "r"},
+            ],
+        )
+    )
+    # (2,1) appears twice -> 1 extra row
+    assert rep["unique(k,line)"] == (1, False)
+    # k=2 twice with no ref match; NULL k is exempt
+    assert rep["fk(k->r)"] == (2, False)
+
+
+def test_all_green_report(spark):
+    clean = spark.createDataFrame([(1, "A"), (2, "N")], "k long, flag string")
+    rep = _report(
+        validate_expectations(
+            clean,
+            [
+                {"kind": "not_null", "col": "k"},
+                {"kind": "unique", "cols": ["k"]},
+                {"kind": "in_set", "col": "flag", "values": ["A", "N"]},
+            ],
+        )
+    )
+    assert all(p for _, p in rep.values())
+    assert all(o == 0 for o, _ in rep.values())
+
+
+def test_empty_spec_raises(spark, df):
+    with pytest.raises(ValueError):
+        validate_expectations(df, [])
+
+
+def test_row_local_constraints_share_one_scan(spark, df):
+    # all row-local constraints fold into a single Aggregate: exactly
+    # one Aggregate node and one scan of the input in the plan
+    out = validate_expectations(
+        df,
+        [
+            {"kind": "not_null", "col": "k"},
+            {"kind": "min_at_least", "col": "qty", "value": 0},
+            {"kind": "in_set", "col": "flag", "values": ["A", "N", "R"]},
+        ],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
