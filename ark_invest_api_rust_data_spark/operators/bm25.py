@@ -114,6 +114,51 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Integer reciprocal-rank fusion (Cormack, Clarke & Büttcher,
+    SIGIR 2009) over N ranked lists — the standard hybrid-retrieval
+    combiner for a lexical (BM25) and a dense (ANN) ranking:
+    ``rrf_score(d) = Σ_systems scale div (k0 + rank_s(d))`` with the
+    classic k0 = 60, quantized by ``scale`` = 2^20 so the fold is pure
+    int64 and a SQL oracle replays it exactly (floor-quantized RRF
+    preserves the RRF ORDER whenever score gaps exceed 2^-20 — and the
+    quantized score itself IS the contract here, not an approximation
+    of a float).
+
+    Returns ``(id_col, rrf_score, n_systems)`` for every doc in any
+    list. Scale shape: each input is already a top-k (bounded); the
+    union + groupBy moves O(N·k) rows — nothing corpus-sized.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: no ranked lists")
+    parts = [
+        df.select(
+            F.col(id_col).alias("_fid"),
+            F.expr(
+                f"CAST({scale} AS BIGINT) div ({k0} + {rank_col})"
+            ).alias("_c"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    return (
+        u.groupBy("_fid")
+        .agg(
+            F.sum("_c").cast("long").alias("rrf_score"),
+            F.count("*").cast("long").alias("n_systems"),
+        )
+        .select(F.col("_fid").alias(id_col), "rrf_score", "n_systems")
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     postings_cap: int = 20,

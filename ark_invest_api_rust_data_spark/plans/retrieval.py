@@ -58,6 +58,67 @@ FROM r WHERE rank <= {_TOPK}
 PROBES.append(Probe("llm_bm25_topk", "B31", llm_bm25_topk, LLM_BM25_SQL))
 
 
+# ------------------------------------------------ hybrid retrieval
+def llm_hybrid_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """B30/B31 composition — hybrid retrieval: BM25 top-10 (lexical)
+    fused with cosine top-10 for the vec_id=0 query (dense, shared
+    doc_id==vec_id space in the synthetic data) by integer
+    reciprocal-rank fusion (operators/bm25.rrf_fuse, k0=60,
+    scale=2^20). Final top-10 by (rrf_score DESC, doc_id). The oracle
+    nests the two tiers' EXISTING oracle statements as CTEs, so any
+    drift in either ranking chain surfaces here too."""
+    from pyspark.sql import Window
+
+    from ..operators.bm25 import rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = bm25_topk(docs, _QUERY, k=_TOPK).select("doc_id", "rank")
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    dtop = cosine_topk(emb, qv, k=_TOPK, exclude_ids=(0,))
+    wd = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    dense = (
+        dtop.withColumn("rank", F.row_number().over(wd))
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse([lex, dense])
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("doc_id", "rrf_score", "n_systems", "rank")
+    )
+
+
+def _hybrid_sql() -> str:
+    from .llm import LLM_SIMILARITY_SQL
+
+    return f"""
+WITH lex AS ({LLM_BM25_SQL}),
+dense AS ({LLM_SIMILARITY_SQL}),
+u AS (
+  SELECT doc_id, 1048576 // (60 + rank) AS c FROM lex
+  UNION ALL
+  SELECT vec_id AS doc_id, 1048576 // (60 + rank) AS c FROM dense),
+s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_systems
+  FROM u GROUP BY doc_id),
+r AS (
+  SELECT doc_id, rrf_score, n_systems,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM s)
+SELECT doc_id, rrf_score, n_systems, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {_TOPK}
+"""
+
+
+PROBES.append(
+    Probe("llm_hybrid_retrieval", "B30", llm_hybrid_retrieval, _hybrid_sql())
+)
+
+
 # ------------------------------------------------ fuzzy entity match
 _DIRTY_CASE = """CASE p_partkey % 3
   WHEN 0 THEN substring(p_name, 1, length(p_name) - 1)

@@ -105,3 +105,29 @@ def test_inverted_index_reference_and_cap(spark):
         df_, postings = out[term]
         assert df_ == len(docs)
         assert postings == sorted(docs)[:2]  # capped + sorted
+
+
+# ------------------------------------------------------------ RRF fusion
+def test_rrf_fuse_known_values(spark):
+    from ark_invest_api_rust_data_spark.operators.bm25 import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    dense = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], ["doc_id", "rank"])
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["n_systems"])
+        for r in rrf_fuse([lex, dense]).collect()
+    }
+    S = 1 << 20
+    assert got[10] == (S // 61 + S // 62, 2)
+    assert got[20] == (S // 62 + S // 61, 2)
+    assert got[30] == (S // 63, 1)
+    assert got[40] == (S // 63, 1)
+
+
+def test_rrf_fuse_empty_raises(spark):
+    import pytest as _pytest
+
+    from ark_invest_api_rust_data_spark.operators.bm25 import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
