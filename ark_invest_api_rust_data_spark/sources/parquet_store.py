@@ -92,6 +92,30 @@ def read_lake(spark: SparkSession, root: str, version: int | None = None) -> Dat
     raise ValueError(f"unknown lake version {version} (no history entry)")
 
 
+def diff_lake_versions(
+    spark: SparkSession, root: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Row-level CDC between two retained lake generations: the
+    multiset delta (``exceptAll`` both directions, duplicates
+    preserved) labeled ``op = 'insert' | 'delete'`` — an update
+    appears as delete+insert, the standard snapshot-diff contract.
+    ``v_to=None`` diffs against HEAD.
+
+    This is what time travel is FOR operationally: a consumer that
+    missed N compaction cycles reconciles by reading one bounded delta
+    instead of re-scanning the lake. Scale shape: two generation scans
+    + one hash-partitioned exceptAll per direction — O(changed rows)
+    output; works while a compactor runs because generations are
+    immutable until vacuumed (read_lake's snapshot contract)."""
+    import pyspark.sql.functions as F
+
+    old = read_lake(spark, root, version=v_from)
+    new = read_lake(spark, root, version=v_to)
+    ins = new.exceptAll(old).withColumn("op", F.lit("insert"))
+    dels = old.exceptAll(new).withColumn("op", F.lit("delete"))
+    return ins.unionByName(dels)
+
+
 def write_lake_bucketed_by_cusip(
     df: DataFrame, table: str = "holdings_by_cusip", num_buckets: int = 32
 ) -> None:

@@ -644,3 +644,44 @@ def test_lake_vacuum_keeps_n_generations(spark, tmp_path):
     assert read_lake(spark, root).count() == 1
     # a second vacuum is a no-op (idempotent)
     assert vacuum_lake(root, keep=2) == []
+
+
+def test_lake_diff_versions_cdc(spark, tmp_path):
+    """diff_lake_versions: the row-level CDC between a retired
+    generation and HEAD — appended rows surface as inserts, a
+    partition overwrite as delete+insert pairs, and an empty diff when
+    nothing changed."""
+    from ark_invest_api_rust_data_spark.sources.parquet_store import (
+        compact_lake,
+        diff_lake_versions,
+        read_lake_version,
+        write_lake,
+        write_lake_committed,
+    )
+
+    root = str(tmp_path)
+    df = normalize(csv_to_df(spark, ARK_CSV))
+    write_lake_committed(df, root)
+    v1 = read_lake_version(root)
+    compact_lake(spark, root)  # retires generation v1, keeps it on disk
+
+    # nothing changed yet: empty diff across the compaction
+    assert diff_lake_versions(spark, root, v_from=v1).count() == 0
+
+    # append a modified copy of one row into HEAD's generation
+    extra = df.limit(1).withColumn("shares", F.col("shares") + F.lit(7))
+    write_lake_committed(extra, root, mode="append")
+
+    delta = diff_lake_versions(spark, root, v_from=v1)
+    rows = delta.collect()
+    assert {r["op"] for r in rows} == {"insert"}
+    assert len(rows) == 1 and rows[0]["shares"] == df.first()["shares"] + 7
+
+    # overwrite the touched partition with changed shares: the pinned
+    # generation still has the old rows -> delete+insert pairs
+    part = df.limit(1).withColumn("shares", F.col("shares") * 2)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    write_lake(part, root)  # dynamic overwrite of that (ticker, date)
+    delta2 = diff_lake_versions(spark, root, v_from=v1)
+    ops = sorted(r["op"] for r in delta2.collect())
+    assert "delete" in ops and "insert" in ops
