@@ -381,3 +381,71 @@ def test_ewma_matches_reference_on_random_sequences(vals):
     for v in q[1:]:
         r = (3 * r + v) // 4
     assert out[0]["ewma"] == r and out[0]["n_events"] == len(vals)
+
+
+# ------------------------------------------------------ star components
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_components_star_property(edges):
+    """large-star/small-star == union-find on arbitrary small graphs
+    (self-loops and duplicates included in the draw)."""
+    from ark_invest_api_rust_data_spark.operators.graph import (
+        connected_components,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 10**6), min_size=1, max_size=50),
+    b=st.lists(st.integers(0, 10**6), min_size=1, max_size=50),
+)
+def test_kmins_union_is_elementwise_min_property(a, b):
+    """Pure-Python register law: sketch(a ∪ b) == elementwise
+    min(sketch(a), sketch(b)) — the mergeability the streaming twin
+    and batch unions rely on (py replica == JVM replica is pinned by
+    the stream==batch test)."""
+    from ark_invest_api_rust_data_spark.operators.sketch import (
+        py_kmins_positions,
+    )
+
+    def registers(keys):
+        mins = [(1 << 55)] * 8
+        for x in keys:
+            pos = py_kmins_positions(str(x), 8)
+            mins = [min(m, p) for m, p in zip(mins, pos)]
+        return mins
+
+    merged = [min(x, y) for x, y in zip(registers(a), registers(b))]
+    assert registers(a + b) == merged
