@@ -130,9 +130,11 @@ def connected_components(
     minimum m = min(Γ(u) ∪ {u}); small-star re-parents every neighbor
     v <= u (plus u itself) onto m. Both phases preserve connectivity
     and strictly shrink a potential function until the edge set is the
-    star {(min, v)} per component — checked by set equality against
-    the previous round (the sets are distinct-canonical, so emptiness
-    of one EXCEPT plus a count match proves equality).
+    star {(min, v)} per component — convergence requires BOTH phases
+    to be identities in the same round (see the inline comment: a
+    small-star-only fixpoint can be a non-star, e.g. a chain), with
+    set equality as count match + empty one-sided EXCEPT on the
+    distinct-canonical sets.
 
     Scale shape: each phase is one groupBy (map-side combined, output
     O(nodes)) + one join on the grouping key + one distinct — O(edges)

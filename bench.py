@@ -118,6 +118,8 @@ HEADLINE = [
     "llm_kmins_distinct",
     "llm_jaccard_prefix",
     "llm_weighted_sample",
+    "llm_hybrid_retrieval",
+    "b07_expectations",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
