@@ -56,7 +56,12 @@ def validate_expectations(df: DataFrame, spec: list[dict]) -> DataFrame:
     extras: list[DataFrame] = []
 
     def _viol_sum(cond) -> F.Column:
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        # coalesce: on an empty frame SUM is NULL, which would make
+        # observed/passed NULL — an empty-but-valid batch must report
+        # observed=0 / passed=true, not NULL
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
 
     n_idx = len(agg_exprs)
     agg_exprs.append(F.count(F.lit(1)).cast("long").alias("_nrows"))

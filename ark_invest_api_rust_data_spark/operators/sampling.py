@@ -141,6 +141,12 @@ def weighted_systematic_sample(
     Scale shape: one window shuffle on the stratum key plus a
     same-partitioning total — identical to ``pack_sequences``; per-
     stratum state is a running int sum. Zero floats, full SQL oracle.
+
+    Precondition: weights must be ≥ 0. A zero-weight row simply can
+    never be selected (its cumulative interval is empty); a NEGATIVE
+    weight would make the cumulative line non-monotone and silently
+    corrupt every later selection in the stratum, so it raises at scan
+    time instead (distributed, zero extra passes).
     """
     order_h = token_hash32(F.col(id_col).cast("string"))
     w = (
@@ -149,9 +155,18 @@ def weighted_systematic_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(strata_col)
+    guarded_w = F.when(
+        F.col(weight_col).cast("long") < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_systematic_sample: negative weight for "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(weight_col).cast("long"))
     staged = (
         df.select(
-            id_col, strata_col, F.col(weight_col).cast("long").alias("_w")
+            id_col, strata_col, guarded_w.alias("_w")
         )
         .withColumn("_cum", F.sum("_w").over(w).cast("long"))
         .withColumn("_tot", F.sum("_w").over(w_all).cast("long"))

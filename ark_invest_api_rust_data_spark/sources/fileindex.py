@@ -98,11 +98,59 @@ def build_bloom_file_index(
 
 
 def _data_files(data_dir: str) -> list[str]:
-    """Data files currently in the directory (local FS listing; swap
-    for the FileSystem API on an object store)."""
-    return sorted(
-        f for f in os.listdir(data_dir) if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    """Data files currently in the directory, RELATIVE paths, recursing
+    into partition subdirectories (``dt=.../part-*.parquet``). Hidden
+    and metadata paths (any component starting with ``.`` or ``_`` —
+    including the sidecar itself) are skipped, matching what
+    ``spark.read.parquet(data_dir)`` would scan. Local FS listing; swap
+    for the FileSystem API on an object store."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(data_dir):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.relpath(os.path.join(root, f), data_dir))
+    return sorted(out)
+
+
+def _rel_to_dir(uri: str, data_dir: str) -> str:
+    """Normalize an ``input_file_name`` URI to a path relative to
+    ``data_dir`` so indexed files compare against the listing by FULL
+    relative path (basenames alone could collide across partition
+    directories)."""
+    path = uri
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+    path = os.path.abspath(path)
+    return os.path.relpath(path, os.path.abspath(data_dir))
+
+
+def _sidecar_params(
+    index: DataFrame, m_bits: int | None, k: int | None
+) -> tuple[int, int]:
+    """The (m_bits, k) the sidecar was BUILT with — probing with any
+    other values would compute different bit positions and produce
+    false negatives (silently dropped rows). The stored values win;
+    explicitly passed values must agree or we fail loudly."""
+    params = index.select("m_bits", "k").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"bloom sidecar has inconsistent (m_bits, k) rows: {params}"
+        )
+    stored_m, stored_k = int(params[0]["m_bits"]), int(params[0]["k"])
+    if m_bits is not None and m_bits != stored_m:
+        raise ValueError(
+            f"bloom probe m_bits={m_bits} != sidecar m_bits={stored_m}; "
+            "probing with mismatched parameters would yield false negatives"
+        )
+    if k is not None and k != stored_k:
+        raise ValueError(
+            f"bloom probe k={k} != sidecar k={stored_k}; "
+            "probing with mismatched parameters would yield false negatives"
+        )
+    return stored_m, stored_k
 
 
 def bloom_skip_files(
@@ -110,13 +158,16 @@ def bloom_skip_files(
     data_dir: str,
     key_col: str,
     value,
-    m_bits: int = 1 << 16,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> tuple[list[str], list[str]]:
     """(files to scan, files skipped) for a point lookup — the skip
     decision, exposed for tests and EXPLAIN-style tooling. Files newer
-    than the index are always in the scan list."""
+    than the index are always in the scan list. ``m_bits``/``k``
+    default to the values persisted in the sidecar (the only ones that
+    can be correct); passing different values raises."""
     index = spark.read.parquet(_index_path(data_dir))
+    m_bits, k = _sidecar_params(index, m_bits, k)
     key = F.lit(str(value))
     matching = [
         r["file"]
@@ -127,9 +178,10 @@ def bloom_skip_files(
         .collect()
     ]
     indexed = {
-        os.path.basename(r["file"]) for r in index.select("file").collect()
+        _rel_to_dir(r["file"], data_dir)
+        for r in index.select("file").collect()
     }
-    match_names = {os.path.basename(f) for f in matching}
+    match_names = {_rel_to_dir(f, data_dir) for f in matching}
     scan, skipped = [], []
     for name in _data_files(data_dir):
         if name in match_names or name not in indexed:
@@ -144,19 +196,22 @@ def read_point_lookup(
     data_dir: str,
     key_col: str,
     value,
-    m_bits: int = 1 << 16,
-    k: int = 4,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Rows with ``key_col == value``, scanning only files the Bloom
     sidecar cannot rule out (result provably equals the full-scan
-    filter: Bloom membership has no false negatives, and unindexed
-    files are always scanned)."""
+    filter: Bloom membership has no false negatives, unindexed files
+    are always scanned, and probe parameters come from the sidecar).
+    ``basePath`` keeps hive-partition columns resolvable when the scan
+    list is leaf files under partition subdirectories."""
     scan, _ = bloom_skip_files(spark, data_dir, key_col, value, m_bits, k)
     full = spark.read.parquet(data_dir)
     if not scan:
         return full.filter(F.lit(False))  # schema-preserving empty
     return (
         spark.read.schema(full.schema)
+        .option("basePath", data_dir)
         .parquet(*scan)
         .filter(F.col(key_col) == F.lit(value))
     )

@@ -994,3 +994,33 @@ def test_weighted_sample_row_order_invariant(spark):
     ra = sorted(map(tuple, weighted_systematic_sample(a, 7, "n_chars").collect()))
     rb = sorted(map(tuple, weighted_systematic_sample(b, 7, "n_chars").collect()))
     assert ra == rb
+
+
+def test_weighted_sample_rejects_negative_weight(spark):
+    """Round-8 advisor fix: a negative weight makes the cumulative line
+    non-monotone and silently corrupts every later selection in the
+    stratum — it must raise, not mis-sample. Zero weights stay legal
+    (never selected)."""
+    import pytest
+
+    from ark_invest_api_rust_data_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "s", 5), (2, "s", -3), (3, "s", 9)],
+        ["doc_id", "source", "n_chars"],
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_systematic_sample(bad, 2, "n_chars").collect()
+
+    zero_ok = spark.createDataFrame(
+        [(1, "s", 5), (2, "s", 0), (3, "s", 9)],
+        ["doc_id", "source", "n_chars"],
+    )
+    ids = {
+        r["doc_id"]
+        for r in weighted_systematic_sample(zero_ok, 2, "n_chars").collect()
+    }
+    assert 2 not in ids  # zero-weight row can never be selected
+    assert ids  # but sampling still works

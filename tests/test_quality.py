@@ -98,6 +98,30 @@ def test_all_green_report(spark):
     assert all(o == 0 for o, _ in rep.values())
 
 
+def test_empty_input_reports_zero_not_null(spark):
+    """Round-8 advisor fix: an empty-but-valid batch must report
+    observed=0 / passed=true for every constraint kind, never NULL —
+    a scheduler gating on `passed` would read NULL as not-green."""
+    empty = spark.createDataFrame([], "k long, qty long, flag string")
+    ref = spark.createDataFrame([(1,)], "k long")
+    rep = _report(
+        validate_expectations(
+            empty,
+            [
+                {"kind": "not_null", "col": "k"},
+                {"kind": "min_at_least", "col": "qty", "value": 0},
+                {"kind": "max_at_most", "col": "qty", "value": 10},
+                {"kind": "in_set", "col": "flag", "values": ["A"]},
+                {"kind": "null_rate_max", "col": "k", "num": 1, "den": 10},
+                {"kind": "unique", "cols": ["k"]},
+                {"kind": "fk", "col": "k", "ref": ref, "ref_col": "k"},
+            ],
+        )
+    )
+    assert all(o == 0 for o, _ in rep.values()), rep
+    assert all(p is True for _, p in rep.values()), rep
+
+
 def test_empty_spec_raises(spark, df):
     with pytest.raises(ValueError):
         validate_expectations(df, [])
