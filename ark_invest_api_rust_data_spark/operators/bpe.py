@@ -88,6 +88,7 @@ def bpe_learn(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    checkpoint_dir: str | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges over the corpus; returns
     ``[(step, left, right, pair_count), ...]`` in learned order
@@ -96,11 +97,16 @@ def bpe_learn(
     Each step: count adjacent symbol pairs over the (word, freq)
     vocabulary, take the most frequent (ties → lexicographically
     smallest delimited pair string), fuse it everywhere. The vocabulary
-    frame is localCheckpoint'ed per step (small: two columns per
-    distinct word) so lineage stays flat across iterations."""
+    frame is cut per step (small: two columns per distinct word) so
+    lineage stays flat across iterations; the cut tier follows
+    ``checkpoint_dir`` (operators/persistence.py) — a reliable path
+    makes an n_merges-step learn survive executor loss."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    cur = word_freq_table(df, text_col=text_col).localCheckpoint(eager=True)
+    from .persistence import Materializer
+
+    mat = Materializer(df.sparkSession, checkpoint_dir)
+    cur = mat.cut(word_freq_table(df, text_col=text_col))
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         best = (
@@ -117,9 +123,14 @@ def bpe_learn(
         lsym, rsym = (s[1:-1] for s in pair.split(" "))
         merges.append((step, lsym, rsym, cnt))
         merged = f"<{lsym}{rsym}>"
-        cur = cur.withColumn(
-            "seq", F.replace(F.col("seq"), F.lit(pair), F.lit(merged))
-        ).localCheckpoint(eager=True)
+        nxt = mat.cut(
+            cur.withColumn(
+                "seq", F.replace(F.col("seq"), F.lit(pair), F.lit(merged))
+            )
+        )
+        mat.release(cur)  # superseded step
+        cur = nxt
+    mat.release(cur)
     return merges
 
 

@@ -183,6 +183,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> tuple[dict[int, list[float]], DataFrame]:
     """``kmeans_assign`` plus the fitted model: returns
     ``(centroids, assignments)`` where centroids maps cluster id →
@@ -212,6 +213,14 @@ def kmeans_fit(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     from .dedup import _spread
+    from .persistence import Materializer
+
+    # iteration state (centroids) crosses the driver each round, so
+    # Lloyd's itself recomputes fine from the persisted working set;
+    # the tier matters for the RETURNED assignment frame, which must
+    # outlive the cache release below (reliable = survives executor
+    # loss while downstream consumes it)
+    mat = Materializer(df.sparkSession, checkpoint_dir)
 
     # cache the quantized working set across the iteration scans (the
     # standard Lloyd's practice — every assignment/update pass reads
@@ -236,15 +245,15 @@ def kmeans_fit(
             if it == iters and nprobe > 1:
                 # soft final pass: (id, cluster, probe_rank) — small
                 # result rows, cache released after materialization
-                return centroids, _with_topm(
-                    base, centroids, dim, nprobe, id_col
-                ).localCheckpoint(eager=True)
+                return centroids, mat.cut(
+                    _with_topm(base, centroids, dim, nprobe, id_col)
+                )
             assigned = _with_assignment(base, centroids, dim)
             if it == iters:
                 # materialize the (id, cluster) result — two longs per
                 # row — so the working-set cache can be released now
-                return centroids, assigned.select(id_col, "cluster").localCheckpoint(
-                    eager=True
+                return centroids, mat.cut(
+                    assigned.select(id_col, "cluster")
                 )
             # exact update: int64 per-dim sums + count, collapsed
             # map-side to k rows per partition; k rows cross the driver

@@ -608,7 +608,12 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 # ------------------------------------------------------------ clusters
-def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected components over a near-duplicate pair graph → cluster
     assignment (the step AFTER pair detection in a real dedup pipeline:
     keep one doc per cluster). Iterative min-label propagation: each
@@ -621,21 +626,25 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
 
     Resource hygiene: edges are cached for the loop and released at the
     end; each iteration's labels are materialized with a lineage cut
-    (localCheckpoint) and the superseded iteration is dropped — storage
-    stays O(nodes) and the plan stays O(1) deep no matter the graph
-    diameter.
+    and the superseded iteration is dropped — storage stays O(nodes)
+    and the plan stays O(1) deep no matter the graph diameter. The cut
+    tier follows ``checkpoint_dir`` (operators/persistence.py): pass a
+    fault-tolerant path and the loop survives executor loss instead of
+    dying with the lost localCheckpoint blocks.
     """
+    from .persistence import Materializer
+
+    mat = Materializer(pairs.sparkSession, checkpoint_dir)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()  # probed every iteration
     )
-    labels = (
+    labels = mat.cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     try:
         while True:
@@ -652,11 +661,11 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
                         F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
                     ).alias("cluster"),
                 )
-                # materialize + cut lineage: the next iteration (and the
-                # fixpoint check) read these partitions, not a plan that
-                # deepens by two joins per round
-                .localCheckpoint(eager=True)
             )
+            # materialize + cut lineage: the next iteration (and the
+            # fixpoint check) read these partitions, not a plan that
+            # deepens by two joins per round
+            updated = mat.cut(updated)
             # fixpoint check: one small action per iteration (graphs here
             # are near-cliques, so this converges in ~2-3 rounds)
             changed = (
@@ -666,7 +675,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b")
                 .limit(1)
                 .count()
             )
-            _release_checkpoint(labels)  # superseded iteration
+            mat.release(labels)  # superseded iteration
             labels = updated
             if changed == 0:
                 break

@@ -28,8 +28,13 @@ Scale design (100 TB / 1000 executors): the edge list is joined with
 out-degrees once, hash-partitioned on ``src`` and persisted — every
 iteration reuses that partitioning for the rank join (no re-exchange of
 the edge side), pays ONE shuffle (the ``groupBy(dst)`` contribution
-sum, map-side combined), and truncates lineage with an eager
-localCheckpoint so the plan does not grow with the iteration count.
+sum, map-side combined), and truncates lineage per round so the plan
+does not grow with the iteration count. The lineage cut is tiered
+(operators/persistence.py): ``checkpoint_dir=None`` uses the fast
+eager localCheckpoint; passing a fault-tolerant path switches every
+cut to a RELIABLE checkpoint, so a lost executor mid-iteration
+re-reads checkpoint files instead of killing the whole multi-round
+job — the tier a 1000-executor / spot-capacity deployment runs.
 The only driver crossing is the single |V| scalar.
 """
 
@@ -38,7 +43,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from .dedup import _release_checkpoint
+from .persistence import Materializer
 
 
 def pagerank(
@@ -47,12 +52,17 @@ def pagerank(
     base: int = 10**15,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact integer PageRank over a directed multigraph.
 
     ``edges`` is a DataFrame of (src, dst) int64 pairs; returns
     (node, rank) with rank int64-scaled by ``base``.
+    ``checkpoint_dir`` selects the lineage-cut tier (module
+    docstring): None = local blocks, path = reliable checkpoints that
+    survive executor loss.
     """
+    mat = Materializer(edges.sparkSession, checkpoint_dir)
     src, dst = F.col(src_col), F.col(dst_col)
     # persisted: every iteration's teleport left-join reuses the node
     # set — without it each iteration re-runs the distinct shuffle
@@ -79,6 +89,7 @@ def pagerank(
         .persist()
     )
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
+    prev: DataFrame | None = None
     try:
         for _ in range(iters):
             contrib = (
@@ -90,16 +101,17 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("s"))
             )
-            ranks = (
-                nodes.join(contrib, "node", "left")
-                .select(
+            ranks = mat.cut(  # truncate iteration lineage (tiered)
+                nodes.join(contrib, "node", "left").select(
                     "node",
                     F.expr(
                         f"CAST({tele} + (85 * coalesce(s, 0)) div 100 AS BIGINT)"
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)  # truncate iteration lineage
             )
+            if prev is not None:
+                mat.release(prev)  # superseded iteration
+            prev = ranks
         return ranks
     finally:
         ed.unpersist()
@@ -111,6 +123,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 60,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via the alternating large-star/small-star
     algorithm (Kiveris et al., "Connected Components in MapReduce and
@@ -138,10 +151,13 @@ def connected_components(
 
     Scale shape: each phase is one groupBy (map-side combined, output
     O(nodes)) + one join on the grouping key + one distinct — O(edges)
-    shuffle per round, O(log n) rounds, lineage cut per round with an
-    eager localCheckpoint (superseded checkpoints released). No driver
-    crossing carries data: per round, one count + one limit(1) scalar.
+    shuffle per round, O(log n) rounds, lineage cut per round on the
+    tier picked by ``checkpoint_dir`` (superseded cuts released; see
+    operators/persistence.py — pass a fault-tolerant path to survive
+    executor loss mid-round). No driver crossing carries data: per
+    round, one count + one limit(1) scalar.
     """
+    mat = Materializer(edges.sparkSession, checkpoint_dir)
     a, b = F.col("_a"), F.col("_b")
     canon = (
         edges.select(
@@ -157,7 +173,7 @@ def connected_components(
         .distinct()
         .persist()  # read twice: the final label join + its count
     )
-    cur = canon.localCheckpoint(eager=True)
+    cur = mat.cut(canon)
     prev_cnt = cur.count()
     rounds = 0
     try:
@@ -180,8 +196,8 @@ def connected_components(
                 .filter(F.col("_v") > F.col("_u"))
                 .select(F.col("_m").alias("_a"), F.col("_v").alias("_b"))
                 .distinct()
-                .localCheckpoint(eager=True)
             )
+            large = mat.cut(large)
             large_cnt = large.count()
             # ---- small-star: direct each pair large→small; for each u,
             # m = min of its smaller neighbors; re-parent them AND u on
@@ -199,8 +215,8 @@ def connected_components(
                     )
                 )
                 .distinct()
-                .localCheckpoint(eager=True)
             )
+            small = mat.cut(small)
             small_cnt = small.count()
             # Converged iff BOTH phases were identities this round: a
             # simultaneous fixpoint of large- and small-star is
@@ -215,8 +231,8 @@ def connected_components(
                 and large.exceptAll(cur).limit(1).count() == 0
                 and small.exceptAll(large).limit(1).count() == 0
             )
-            _release_checkpoint(cur)
-            _release_checkpoint(large)
+            mat.release(cur)
+            mat.release(large)
             cur = small
             prev_cnt = small_cnt
             if converged:
@@ -228,15 +244,18 @@ def connected_components(
             "node", F.coalesce(F.col("_c"), F.col("node")).alias("cluster")
         )
         # materialize before releasing the star-set checkpoint
-        out = labels.localCheckpoint(eager=True)
-        _release_checkpoint(cur)
+        out = mat.cut(labels)
+        mat.release(cur)
         return out
     finally:
         nodes.unpersist()
 
 
 def triangle_counts(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts ``(node, n_triangles)``
     over the undirected simple graph induced by ``edges`` (direction,
@@ -310,8 +329,9 @@ def triangle_counts(
     )
     try:
         # node-count-bounded result: materialize while `oriented` is
-        # cached, then release executor storage
-        return out.localCheckpoint(eager=True)
+        # cached, then release executor storage (reliable tier via
+        # checkpoint_dir= survives executor loss after this point)
+        return Materializer(edges.sparkSession, checkpoint_dir).cut(out)
     finally:
         oriented.unpersist()
 
