@@ -174,7 +174,45 @@ def shuffle_bytes_by_group(spark) -> dict[str, dict[str, int]]:
     return out
 
 
+def _load_prev_bench(compare_path: str | None) -> tuple[str, dict] | None:
+    """Previous round's per-query timings for delta reporting.
+    ``--compare PREV.json`` pins the baseline; otherwise the
+    highest-numbered BENCH_r*.json next to this script that actually
+    parsed (the driver skipped some rounds — r6 has no artifact) is
+    used. Returns (basename, {query: sec}) or None."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = (
+        [compare_path]
+        if compare_path
+        else sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: -int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+    )
+    for path in candidates:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            # driver artifacts wrap the summary under "parsed"
+            if isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            queries = data.get("queries")
+            if isinstance(queries, dict) and queries:
+                return os.path.basename(path), {
+                    k: float(v) for k, v in queries.items()
+                }
+        except (OSError, ValueError, AttributeError, TypeError):
+            continue
+    return None
+
+
 def main() -> None:
+    compare_path = None
+    if "--compare" in sys.argv:
+        compare_path = sys.argv[sys.argv.index("--compare") + 1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
@@ -233,6 +271,38 @@ def main() -> None:
     # r02: 23, r03: 24, r04: 35) — cross-round totals are only
     # comparable on the shared-query subset, so emit the count
     # alongside the total.
+    # Round-over-round continuity (round-7 advisor item): a compact
+    # deltas_vs block in the summary (fits the driver's tail window)
+    # plus the full per-query delta table in BENCH_DETAIL.json — so
+    # regression triage no longer depends on which rounds the driver
+    # happened to sample.
+    prev = _load_prev_bench(compare_path)
+    deltas_vs = None
+    delta_table = None
+    if prev:
+        prev_name, prev_q = prev
+        common = sorted(set(prev_q) & set(timings))
+        if common:
+            cur_total = round(sum(timings[n] for n in common), 3)
+            prev_total = round(sum(prev_q[n] for n in common), 3)
+            deltas_vs = {
+                "prev": prev_name,
+                "n_common": len(common),
+                "common_prev_total": prev_total,
+                "common_cur_total": cur_total,
+                "ratio": round(cur_total / prev_total, 3) if prev_total else None,
+            }
+            delta_table = {
+                n: {
+                    "prev": prev_q[n],
+                    "cur": timings[n],
+                    "ratio": round(timings[n] / prev_q[n], 3)
+                    if prev_q[n]
+                    else None,
+                }
+                for n in common
+            }
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -241,6 +311,8 @@ def main() -> None:
         "queries": {n: timings[n] for n in HEADLINE},
         "side_experiments": {n: timings[n] for n in SIDE},
         "shuffle_bytes": shuffle,
+        "deltas_vs": deltas_vs,
+        "delta_table": delta_table,
         "sf": sf_val,
     }
     # Detail first: one JSON line for humans/greppers, plus a sibling
@@ -265,6 +337,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(HEADLINE),
         "queries": {n: timings[n] for n in HEADLINE},
+        "deltas_vs": deltas_vs,
         "sf": sf_val,
     }
     line = json.dumps(summary)
