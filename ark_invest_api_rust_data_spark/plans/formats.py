@@ -64,6 +64,60 @@ def _roundtrip(spark: SparkSession, sf: str, fmt: str) -> DataFrame:
     )
 
 
+def s07_msgbus_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Kafka-shape message-bus connector (sources/msgbus.py — the
+    pull-based bus source VERDICT r7 listed as the one completeness
+    gap): sink + source round-trip with broker-style offset
+    assignment. Offsets are made deterministic the way a replayable
+    ingest job would: each bus partition is written by exactly ONE
+    task in key order (repartition on the bus-partition expression +
+    sortWithinPartitions), so a record's offset equals the rank of its
+    key within its partition class — which is exactly what the SQL
+    oracle's row_number computes from the source table."""
+    from ..sources.msgbus import MsgBusDataSource
+
+    spark.dataSource.register(MsgBusDataSource)
+    key = (spark.sparkContext.applicationId, sf, "msgbus")
+    path = _RT_CACHE.get(key)
+    cust = load_table(spark, sf, "customer")
+    if not (path and os.path.isdir(path)):
+        path = tempfile.mkdtemp(prefix="msgbus_rt_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        (
+            cust.select(
+                (F.col("c_custkey") % 4).cast("int").alias("partition"),
+                F.col("c_custkey").cast("string").alias("key"),
+                F.col("c_name").alias("value"),
+            )
+            .repartition(4, "partition")
+            .sortWithinPartitions("partition", F.col("key").cast("long"))
+            .write.format("msgbus")
+            .option("path", path)
+            .option("topic", "customers")
+            .option("npartitions", "4")
+            .mode("append")
+            .save()
+        )
+        _RT_CACHE[key] = path
+    return (
+        spark.read.format("msgbus")
+        .option("path", path)
+        .option("topic", "customers")
+        .load()
+        .select("partition", "offset", "key", "value")
+    )
+
+
+S07_MSGBUS_SQL = """
+SELECT CAST(c_custkey % 4 AS INT) AS partition,
+       CAST(row_number() OVER (PARTITION BY c_custkey % 4
+                               ORDER BY c_custkey) - 1 AS BIGINT) AS offset,
+       CAST(c_custkey AS VARCHAR) AS key,
+       c_name AS value
+FROM customer
+"""
+
+
 def s03_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return _roundtrip(spark, sf, "csv")
 
@@ -85,6 +139,7 @@ FROM orders GROUP BY 1
 """
 
 PROBES = [
+    Probe("s07_msgbus_roundtrip", "S6", s07_msgbus_roundtrip, S07_MSGBUS_SQL),
     Probe("s03_csv_roundtrip", "S3-S5", s03_csv_roundtrip, _RT_SQL),
     Probe("s04_json_roundtrip", "S3-S5", s04_json_roundtrip, _RT_SQL),
     Probe("s05_orc_roundtrip", "S3-S5", s05_orc_roundtrip, _RT_SQL),

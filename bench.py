@@ -120,6 +120,9 @@ HEADLINE = [
     "llm_weighted_sample",
     "llm_hybrid_retrieval",
     "b07_expectations",
+    # round-8: Kafka-shape message-bus connector (sink + source
+    # round-trip with broker-style offsets)
+    "s07_msgbus_roundtrip",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
