@@ -92,6 +92,171 @@ def _flat_coords(centroids: dict[int, list[float]]) -> list[float]:
     return [float(v) for cid in range(len(centroids)) for v in centroids[cid]]
 
 
+# above this many flattened coordinates (k·dim), Lloyd's passes run on
+# the vectorized (Arrow) tier instead of the expression fold. The expr
+# fold is O(n·k·dim) INTERPRETED element steps (HOFs are CodegenFallback)
+# — fine at small k, but scaled SemDeDup grows k with the corpus, so an
+# assignment pass is O(n²·dim/target): the interpreted constant is what
+# turns the second decade super-linear. The Arrow tier does the same
+# arithmetic in NumPy at C speed; see _assign_dists_chunks for the
+# bit-equality argument (same left-to-right accumulation order).
+_ARROW_ASSIGN_BOUND = 16384
+
+
+def _centroid_matrix(centroids: dict[int, list[float]]):
+    import numpy as np
+
+    k = len(centroids)
+    return np.array([centroids[cid] for cid in range(k)], dtype=np.float64)
+
+
+def _assign_dists_chunks(Q, C):
+    """Yield (row_slice, dists) chunks: dists[r, c] = squared distance
+    of row r to centroid c, accumulated coordinate-by-coordinate in
+    ascending order — the SAME IEEE add/multiply sequence per
+    (row, centroid) as the expression fold's left-to-right aggregate
+    (and the oracle's list_sum over generate_series), so every dist is
+    bit-identical to the JVM's and DuckDB's. Vectorization happens
+    ACROSS (row, centroid) pairs, never across the accumulation order.
+    Chunked so the (rows × k) buffer stays ~32 MB regardless of k."""
+    import numpy as np
+
+    n, dim = Q.shape
+    k = len(C)
+    chunk = max(1, (1 << 22) // max(k, 1))
+    for s in range(0, n, chunk):
+        q = Q[s : s + chunk]
+        acc = np.zeros((len(q), k), dtype=np.float64)
+        for i in range(dim):
+            d = q[:, i, None] - C[None, :, i]
+            acc += d * d
+        yield slice(s, s + len(q)), acc
+
+
+def _assign_arrow(
+    base: DataFrame,
+    centroids: dict[int, list[float]],
+    dim: int,
+    id_col: str,
+    m: int = 1,
+    probe_ratio2: float | None = None,
+) -> DataFrame:
+    """Vectorized assignment pass: (id, cluster) for m=1, else
+    (id, cluster, probe_rank) with ranks 1..m per row. np.argmin
+    returns the FIRST minimum — the lowest cid — matching the expr
+    tier's (dist, cid) struct order and the oracle's row_number tie
+    break; soft ranks mask the chosen column to +inf and argmin again,
+    preserving that order rank by rank."""
+    import numpy as np
+
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
+    m_eff = min(m, len(centroids))
+    ratio2 = None if probe_ratio2 is None else float(probe_ratio2)
+
+    def gen(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            Q = np.stack(pdf["_q"].to_numpy()).astype(np.float64)
+            for rows, dists in _assign_dists_chunks(Q, C):
+                if m_eff == 1:
+                    yield pd.DataFrame(
+                        {
+                            id_col: ids[rows],
+                            "cluster": dists.argmin(axis=1).astype(np.int32),
+                        }
+                    )
+                    continue
+                out_id, out_c, out_r = [], [], []
+                arange = np.arange(len(dists))
+                d1 = None
+                for r in range(1, m_eff + 1):
+                    c = dists.argmin(axis=1)
+                    d = dists[arange, c]
+                    if r == 1:
+                        d1 = d.copy()
+                        keep = np.ones(len(c), dtype=bool)
+                    else:
+                        keep = (
+                            np.ones(len(c), dtype=bool)
+                            if ratio2 is None
+                            else d <= ratio2 * d1
+                        )
+                    out_id.append(ids[rows][keep])
+                    out_c.append(c[keep].astype(np.int32))
+                    out_r.append(np.full(int(keep.sum()), r, dtype=np.int32))
+                    dists[arange, c] = np.inf
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(out_id),
+                        "cluster": np.concatenate(out_c),
+                        "probe_rank": np.concatenate(out_r),
+                    }
+                )
+
+    id_t = base.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_t}, cluster int" + (
+        ", probe_rank int" if m_eff > 1 else ""
+    )
+    return base.select(id_col, "_q").mapInPandas(gen, schema=schema)
+
+
+def _cluster_sums_arrow(
+    base: DataFrame, centroids: dict[int, list[float]], dim: int, id_col: str
+) -> DataFrame:
+    """Fused assignment + partial centroid update: one Arrow pass
+    emits per-batch (cluster, cnt, per-dim int64 sums) partials — k
+    rows per chunk instead of n assigned rows — and one tiny groupBy
+    finishes the exact integer sums. Integer addition is order-free,
+    so the result is bit-identical to the expression tier's
+    sum(element_at(_q, i)) aggregate."""
+    import numpy as np
+
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
+
+    def gen(batches):
+        import pandas as pd
+
+        C = bc.value
+        k = len(C)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["_q"].to_numpy())  # int64
+            for rows, dists in _assign_dists_chunks(
+                Q.astype(np.float64), bc.value
+            ):
+                cid = dists.argmin(axis=1)
+                cnt = np.bincount(cid, minlength=k).astype(np.int64)
+                live = np.flatnonzero(cnt)
+                sums = np.zeros((k, Q.shape[1]), dtype=np.int64)
+                np.add.at(sums, cid, Q[rows])
+                yield pd.DataFrame(
+                    {
+                        "cluster": live.astype(np.int32),
+                        "cnt": cnt[live],
+                        "s": list(sums[live]),
+                    }
+                )
+
+    partials = base.select(id_col, "_q").mapInPandas(
+        gen, schema="cluster int, cnt long, s array<long>"
+    )
+    return partials.groupBy("cluster").agg(
+        F.sum("cnt").alias("cnt"),
+        *[
+            F.sum(F.element_at("s", i)).alias(f"s{i}")
+            for i in range(1, dim + 1)
+        ],
+    )
+
+
 def _with_assignment(
     base: DataFrame, centroids: dict[int, list[float]], dim: int
 ) -> DataFrame:
@@ -307,33 +472,56 @@ def kmeans_fit(
         dim = len(next(iter(centroids.values())))
         k = len(centroids)  # degenerate tiny inputs: fewer rows than k
 
+        # tier choice: above the bound, every pass runs vectorized
+        # (NumPy at C speed, bit-identical — see _assign_dists_chunks);
+        # below it the expression fold wins (no Arrow round-trip, plan
+        # fully Catalyst-visible). Scaled SemDeDup crosses the bound
+        # exactly where the interpreted fold would turn the decade
+        # super-linear (k grows with the corpus ⇒ n·k·dim work).
+        arrow = k * dim > _ARROW_ASSIGN_BOUND
+
         for it in range(1, iters + 1):
             if it == iters and nprobe > 1:
-                # soft final pass: (id, cluster, probe_rank). The cut
-                # lands INSIDE _with_topm, between the top-m fold and
-                # the explode — GenerateExec re-evaluates its child per
-                # output row, so exploding the uncut fold would run the
-                # whole dist pass nprobe× (see _with_topm docstring)
+                # soft final pass: (id, cluster, probe_rank)
+                if arrow:
+                    return centroids, mat.cut(
+                        _assign_arrow(
+                            base, centroids, dim, id_col,
+                            m=nprobe, probe_ratio2=probe_ratio2,
+                        )
+                    )
+                # expr tier: the cut lands INSIDE _with_topm, between
+                # the top-m fold and the explode — GenerateExec
+                # re-evaluates its child per output row, so exploding
+                # the uncut fold would run the whole dist pass nprobe×
                 return centroids, _with_topm(
                     base, centroids, dim, nprobe, id_col, probe_ratio2,
                     cut=mat.cut,
                 )
-            assigned = _with_assignment(base, centroids, dim)
             if it == iters:
                 # materialize the (id, cluster) result — two longs per
                 # row — so the working-set cache can be released now
+                if arrow:
+                    return centroids, mat.cut(
+                        _assign_arrow(base, centroids, dim, id_col)
+                    )
+                assigned = _with_assignment(base, centroids, dim)
                 return centroids, mat.cut(
                     assigned.select(id_col, "cluster")
                 )
             # exact update: int64 per-dim sums + count, collapsed
             # map-side to k rows per partition; k rows cross the driver
-            sums = assigned.groupBy("cluster").agg(
-                F.count("*").alias("cnt"),
-                *[
-                    F.sum(F.element_at("_q", i)).alias(f"s{i}")
-                    for i in range(1, dim + 1)
-                ],
-            )
+            if arrow:
+                sums = _cluster_sums_arrow(base, centroids, dim, id_col)
+            else:
+                assigned = _with_assignment(base, centroids, dim)
+                sums = assigned.groupBy("cluster").agg(
+                    F.count("*").alias("cnt"),
+                    *[
+                        F.sum(F.element_at("_q", i)).alias(f"s{i}")
+                        for i in range(1, dim + 1)
+                    ],
+                )
             for row in sums.collect():
                 cnt = row["cnt"]
                 centroids[row["cluster"]] = [

@@ -532,3 +532,33 @@ def test_semantic_dedup_soft_skips_mutual_secondary_pairs(spark):
     out2 = {r["vec_id"]: r["kept"] for r in semantic_dedup(
         emb, threshold=0.45, assignments=asg2).collect()}
     assert out2 == {1: True, 2: False}
+
+
+def test_kmeans_arrow_tier_equals_expr(spark, monkeypatch):
+    """The vectorized (Arrow/NumPy) Lloyd's tier and the expression
+    fold must be BIT-IDENTICAL: _assign_dists_chunks accumulates
+    coordinates in the same left-to-right IEEE order as the fold, the
+    partial cluster sums are exact int64, and argmin ties break to the
+    lowest cid like the (dist, cid) struct order. Hard, soft (nprobe),
+    and the downstream dedup keep/drop set are all compared."""
+    from ark_invest_api_rust_data_spark.operators import clustering as C
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def snap(nprobe):
+        asg = C.kmeans_assign(emb, k=16, iters=3, nprobe=nprobe)
+        return sorted(tuple(r) for r in asg.collect())
+
+    def dedup_snap(nprobe):
+        out = C.semantic_dedup_scaled(
+            emb, target_cluster_size=16, iters=2, threshold=0.45, nprobe=nprobe
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    want = {("h", 1): snap(1), ("h", 2): snap(2),
+            ("d", 1): dedup_snap(1), ("d", 2): dedup_snap(2)}
+    monkeypatch.setattr(C, "_ARROW_ASSIGN_BOUND", 0)
+    assert snap(1) == want[("h", 1)]
+    assert snap(2) == want[("h", 2)]
+    assert dedup_snap(1) == want[("d", 1)]
+    assert dedup_snap(2) == want[("d", 2)]
