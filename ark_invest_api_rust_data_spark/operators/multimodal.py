@@ -998,7 +998,9 @@ def decode_video_gray(b: bytes) -> tuple[int, int, list[bytes]] | None:
     """Unified video decode to GRAY byte frames (w·h bytes each): GIF
     frames are already gray palette indices; AVI (DIB or MJPEG) and
     MP4 (MJPEG samples) RGB frames fold to exact-integer (r+g+b)//3
-    luma. None when no codec recognizes the payload."""
+    luma. Compressed codecs (H.264/H.265/VP9/WebM) decode through the
+    optional ffmpeg tier when the binary is on PATH (same gray fold).
+    None when no codec recognizes the payload."""
     g = decode_gif_frames(b)
     if g is not None:
         return g
@@ -1008,6 +1010,10 @@ def decode_video_gray(b: bytes) -> tuple[int, int, list[bytes]] | None:
 
         a = decode_mp4(b)
     if a is None:
+        from .ffmpeg_codec import decode_video_gray_ffmpeg, ffmpeg_available
+
+        if ffmpeg_available():
+            return decode_video_gray_ffmpeg(b)
         return None
     w, h, frames = a
     gray = [
@@ -1279,7 +1285,44 @@ def frame_sample(
                     from .mp4 import decode_mp4
 
                     mp4 = decode_mp4(payload)
-                if decoded is not None or avi is not None or mp4 is not None:
+                ffm = None
+                if decoded is None and avi is None and mp4 is None:
+                    from .ffmpeg_codec import (
+                        decode_video_rgb_ffmpeg,
+                        ffmpeg_available,
+                    )
+
+                    if ffmpeg_available():
+                        ffm = decode_video_rgb_ffmpeg(payload)
+                if ffm is not None:
+                    # compressed codec via the optional ffmpeg tier:
+                    # kept frames re-encode to the pure-Python MJPEG
+                    # MP4 container (NOT back to H.264 — re-encode
+                    # must stay readable on containers without
+                    # ffmpeg, and generation-lossy H.264 would fork
+                    # output across environments) at the
+                    # sampling-adjusted source rate.
+                    from .jpeg import encode_jpeg
+                    from .mp4 import encode_mp4
+
+                    w, h, src_fps, frames = ffm
+                    kept = frames[::every_n]
+                    contents.append(
+                        encode_mp4(
+                            w, h,
+                            [encode_jpeg(w, h, f) for f in kept],
+                            fps=max(1, src_fps // every_n),
+                        )
+                    )
+                    metas.append(
+                        {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": meta["sample_rate"] if meta else None,
+                            "n_frames": len(kept),
+                        }
+                    )
+                elif decoded is not None or avi is not None or mp4 is not None:
                     w, h, frames = (
                         decoded
                         if decoded is not None
