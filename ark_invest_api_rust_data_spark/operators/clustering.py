@@ -725,6 +725,82 @@ def scaled_k(n: int, target_cluster_size: int = 32, k_min: int = 8) -> int:
     return max(k_min, -(-n // target_cluster_size))
 
 
+def cluster_diversity(
+    df: DataFrame,
+    assignments: DataFrame | None = None,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster diversity scoring — the curation signal SemDeDup-
+    style pipelines rank clusters by (a tight cluster is redundant; a
+    diverse one carries information). Exact mean pairwise dot product
+    on the μ-quantized grid WITHOUT forming pairs, via the sum
+    identity  Σ_{a≠b} q_a·q_b = |Σq|² − Σ|q|²  — so the shuffle is
+    O(k · dim) partial sums (one vector + two scalars per cluster per
+    partition after map-side combine), never the O(Σ n_c²) pair
+    stream. For unit-normalized embeddings mean pairwise dot IS mean
+    pairwise cosine.
+
+    Overflow posture: per-dim sums stay int64 (n·10⁶·|x| — safe to
+    ~10¹² rows/cluster); the squared terms are folded in
+    decimal(38,0), exact to 10³⁸, with norm sums likewise decimal —
+    no silent long wraparound at corpus scale.
+
+    Emits (cluster, n, norm_sum, pair_dot2, mean_pair_dot) where
+    pair_dot2 is the ORDERED pair sum (2× the unordered) so no /2
+    division happens in decimal space, and mean_pair_dot =
+    pair_dot2 / (n·(n−1)) is one IEEE double division (NULL for
+    singleton clusters) — both engines reproduce it bit-for-bit.
+
+    ``assignments`` (id, cluster) reuses an existing partition (e.g.
+    ``IvfIndex.build_exact(...).assignments``); default trains the
+    same deterministic Lloyd's as ``kmeans_assign``."""
+    if assignments is None:
+        assignments = kmeans_assign(
+            df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    base = df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_q")).join(
+        assignments, id_col
+    )
+    dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+    norm = F.aggregate(
+        F.transform(F.col("_q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    agg = base.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.sum(norm.cast("decimal(38,0)")).alias("norm_sum"),
+        *[
+            F.sum(F.element_at("_q", i)).alias(f"_s{i}")
+            for i in range(1, dim + 1)
+        ],
+    )
+    svec = F.array(*[F.col(f"_s{i}") for i in range(1, dim + 1)])
+    s2 = F.aggregate(
+        svec,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc
+        + x.cast("decimal(38,0)") * x.cast("decimal(38,0)"),
+    )
+    out = agg.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("n").cast("long").alias("n"),
+        F.col("norm_sum").cast("decimal(38,0)").alias("norm_sum"),
+        (s2 - F.col("norm_sum")).cast("decimal(38,0)").alias("pair_dot2"),
+    )
+    return out.withColumn(
+        "mean_pair_dot",
+        F.when(
+            F.col("n") > 1,
+            F.col("pair_dot2").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double"),
+        ),
+    )
+
+
 def semantic_dedup_scaled(
     df: DataFrame,
     target_cluster_size: int = 32,

@@ -105,6 +105,74 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col)) < cutoff)
 
 
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """α-temperature domain mixture: derive per-domain quotas from the
+    CORPUS ITSELF — quota_d = ⌊budget · n_d^α / Σ n^α⌋ — then keep the
+    quota_d hash-first docs of each domain. α < 1 flattens the natural
+    distribution (the multilingual-pretraining trick: upsample tail
+    domains relative to head crawl without hand-written weights, cf.
+    ``mixture_sample``'s explicit config); α = 1 reproduces natural
+    proportions, α = 0 is uniform-per-domain.
+
+    Determinism contract: n_d^α is IEEE sqrt for α = 0.5 (the probe'd
+    default — bit-identical across engines); other α use pow and are
+    documented best-effort. The normalizer Σ n^α folds LEFT-TO-RIGHT
+    over domains sorted by name (a collect_list→array_sort→aggregate
+    over O(domains) rows), so float summation order — the usual
+    cross-engine divergence — is pinned. Selection ranks docs per
+    domain by (md5(id), id): reproducible, content-independent.
+
+    Scale: one O(domains) count shuffle, a single-row normalizer
+    broadcast back, and one per-domain ranking window — the same
+    hash-partitioned window shape as domain caps; under pathological
+    domain skew compose with the sharded-cap tier's discipline. Output
+    is one row per selected doc with the domain bookkeeping
+    (domain_n, quota) carried for downstream audits."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("domain_n"))
+    w = (
+        F.sqrt(F.col("domain_n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("domain_n").cast("double"), F.lit(float(alpha)))
+    )
+    cw = counts.withColumn("_w", w)
+    total = cw.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(strata_col).alias("d"), F.col("_w").alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("_total")
+    )
+    quotas = (
+        cw.crossJoin(F.broadcast(total))
+        .withColumn(
+            "quota",
+            F.floor(F.lit(float(budget)) * F.col("_w") / F.col("_total")).cast("long"),
+        )
+        .select(strata_col, "domain_n", "quota")
+    )
+    rank_w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(strata_col, id_col).withColumn(
+        "pick_rank", F.row_number().over(rank_w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), strata_col)
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(strata_col, id_col, "pick_rank", "domain_n", "quota")
+    )
+
+
 def weighted_systematic_sample(
     df: DataFrame,
     k: int,

@@ -496,6 +496,18 @@ def knn_join(
     )
     d = data.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_dq"))
     pairs = d.crossJoin(F.broadcast(q))
+    return _salted_topk(pairs, k, id_col, query_id_col, n_salts)
+
+
+def _salted_topk(
+    pairs: DataFrame, k: int, id_col: str, query_id_col: str, n_salts: int
+) -> DataFrame:
+    """Shared reduction for the kNN-join family: exact quantized
+    cosine over (query, candidate) pair rows carrying ``_qq``/``_dq``
+    quantized vectors, then the salted two-phase top-k described in
+    ``knn_join`` — at most ``n_salts · k`` rows per query cross the
+    final shuffle. Ordering is the struct sort on (−cosine, id): the
+    same (cosine DESC, id ASC) the SQL oracles' row_number uses."""
     cos = _dot(F.col("_dq"), F.col("_qq")).cast("double") / (
         F.sqrt(_norm2(F.col("_dq")).cast("double"))
         * F.sqrt(_norm2(F.col("_qq")).cast("double"))
@@ -518,3 +530,73 @@ def knn_join(
         (-F.col("_e.neg_cos")).alias("cosine"),
         (F.col("_pos") + 1).alias("rank"),
     )
+
+
+def ann_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    iters: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    train: DataFrame | None = None,
+    model: tuple | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """IVF-pruned batch k-NN join — the 100 TB scale path for
+    ``knn_join``. The exact join scores |queries|·|data| pairs; here a
+    deterministic coarse quantizer (clustering.kmeans_fit — lowest-id
+    seeding, int64 update sums, IEEE left-to-right distance folds on
+    the μ-quantized grid) hard-assigns every data row to its nearest
+    centroid, each query soft-assigns to its ``nprobe`` nearest cells
+    (the exact expression fold ``_with_topm``, bit-identical to the
+    oracle's ``row_number() OVER (ORDER BY dist, cid)``), and scoring
+    runs ONLY on co-located pairs — the candidate stream is
+    ~nprobe/n_centroids of the cross product, and the same salted
+    two-phase top-k bounds the final shuffle at ``n_salts · k`` rows
+    per query. Approximate by construction (a true neighbor outside
+    the probed cells is missed — recall is pytest-pinned against the
+    exact join); the returned ranking over candidates is exact.
+
+    ``train`` (default: ``data``) is the k-means corpus — pass the
+    full table when queries are drawn from it so an oracle over that
+    table reproduces the centroids. ``model`` short-circuits training
+    with a prebuilt ``(centroids, assignments)`` pair from
+    ``kmeans_fit`` over ``train`` — at deployment scale the IVF is
+    built once and amortized over every query batch, exactly like
+    ``IvfIndex``; assignments must cover ``data``'s ids.
+
+    At 100 TB: n_centroids scales with the corpus (√n rule) which
+    crosses kmeans_fit's Arrow bound so all passes vectorize;
+    candidates shuffle once on the cluster key whose fan-in is
+    bounded by cell size, and the query side (an inference batch) is
+    broadcast — no q-partition hot keys, no corpus-sized window."""
+    from .clustering import _with_topm, kmeans_fit
+
+    if model is not None:
+        cents, asg = model
+    else:
+        cents, asg = kmeans_fit(
+            train if train is not None else data,
+            k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
+        )
+    dim = len(next(iter(cents.values())))
+    d = data.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_dq")).join(
+        asg, id_col
+    )
+    qbase = queries.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_q"))
+    qprobe = _with_topm(qbase, cents, dim, min(nprobe, len(cents)), id_col)
+    qside = (
+        qprobe.select(F.col(id_col), "cluster")
+        .join(qbase, id_col)
+        .select(
+            F.col(id_col).alias(query_id_col),
+            "cluster",
+            F.col("_q").alias("_qq"),
+        )
+    )
+    pairs = d.join(F.broadcast(qside), "cluster")
+    return _salted_topk(pairs, k, id_col, query_id_col, n_salts)

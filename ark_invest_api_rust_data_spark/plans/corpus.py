@@ -170,6 +170,40 @@ LLM_KMEANS_SQL = (
 )
 
 
+# ------------------------------------------------- cluster diversity
+def llm_cluster_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — per-cluster diversity scoring (operators/clustering.py
+    cluster_diversity): exact mean pairwise dot via the sum identity
+    |Σq|² − Σ|q|², O(k·dim) shuffle instead of the pair stream —
+    the cluster-ranking signal SemDeDup-style curation prunes
+    redundant clusters with. Decimal(38,0) square folds, so the hash
+    compare pins the exact integers, not a float approximation."""
+    from ..operators.clustering import cluster_diversity
+
+    emb = load_table(spark, sf, "embeddings")
+    return cluster_diversity(emb, k=_K, iters=_ITERS)
+
+
+LLM_CLUSTER_DIVERSITY_SQL = f"""{_kmeans_ctes()},
+p AS (SELECT cluster, i, CAST(sum(q[i]) AS BIGINT) AS s
+      FROM a{_ITERS}, unnest(generate_series(1, {_DIM})) AS t(i)
+      GROUP BY cluster, i),
+ss AS (SELECT cluster, CAST(sum(CAST(s AS HUGEINT) * s) AS DECIMAL(38,0)) AS s2
+       FROM p GROUP BY cluster),
+ns AS (SELECT cluster, count(*) AS n,
+         CAST(sum(list_sum(list_transform(q, x -> CAST(x AS HUGEINT) * x)))
+              AS DECIMAL(38,0)) AS norm_sum
+       FROM a{_ITERS} GROUP BY cluster)
+SELECT CAST(ns.cluster AS INTEGER) AS cluster, CAST(n AS BIGINT) AS n,
+  norm_sum,
+  CAST(s2 - norm_sum AS DECIMAL(38,0)) AS pair_dot2,
+  CASE WHEN n > 1 THEN CAST(s2 - norm_sum AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE) END AS mean_pair_dot
+FROM ns JOIN ss ON ns.cluster = ss.cluster
+"""
+
+
+
 # ------------------------------------------------------ semantic dedup
 def llm_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """B29 — SemDeDup: within each k-means cluster, drop every vector
@@ -997,6 +1031,10 @@ PROBES = [
     Probe("llm_doc_chunk", "B31", llm_doc_chunk, LLM_DOC_CHUNK_SQL),
     Probe("llm_lm_score", "B31", llm_lm_score, LLM_LM_SCORE_SQL),
     Probe("llm_kmeans", "B30", llm_kmeans, LLM_KMEANS_SQL),
+    Probe(
+        "llm_cluster_diversity", "B29",
+        llm_cluster_diversity, LLM_CLUSTER_DIVERSITY_SQL,
+    ),
     Probe("llm_semantic_dedup", "B29", llm_semantic_dedup, LLM_SEMANTIC_DEDUP_SQL),
     Probe(
         "llm_semantic_dedup_scaled", "B29",

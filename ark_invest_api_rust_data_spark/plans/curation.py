@@ -142,8 +142,45 @@ FROM (
 """
 
 
+# ------------------------------------------ α-temperature mixture
+_TMIX_BUDGET = 500
+
+
+def llm_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — α-temperature domain mixture (operators/sampling.py
+    temperature_mix, α=0.5, budget=500): per-domain quotas derived
+    from the corpus itself (⌊budget·√n_d / Σ√n⌋ — the multilingual-
+    pretraining upsampling rule), docs picked hash-first per domain.
+    The normalizer folds left-to-right over name-sorted domains so
+    both engines sum the doubles in the same order; √ is IEEE-exact;
+    the hash compare pins quota derivation AND the picked set."""
+    from ..operators.sampling import temperature_mix
+
+    return temperature_mix(
+        load_table(spark, sf, "documents"), budget=_TMIX_BUDGET, alpha=0.5
+    )
+
+
+LLM_TEMPERATURE_MIX_SQL = f"""
+WITH c AS (SELECT source, count(*) AS domain_n FROM documents GROUP BY source),
+w AS (SELECT source, domain_n, sqrt(CAST(domain_n AS DOUBLE)) AS w FROM c),
+t AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS total FROM w),
+q AS (SELECT source, domain_n,
+        CAST(floor({_TMIX_BUDGET}.0 * w / total) AS BIGINT) AS quota
+      FROM w CROSS JOIN t),
+r AS (SELECT source, doc_id,
+        CAST(row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pick_rank
+      FROM documents)
+SELECT r.source, r.doc_id, r.pick_rank, q.domain_n, q.quota
+FROM r JOIN q USING (source) WHERE pick_rank <= quota
+"""
+
+
 PROBES = [
     Probe("llm_substring_dedup", "B29", llm_substring_dedup, LLM_SUBSTRING_DEDUP_SQL),
+    Probe("llm_temperature_mix", "B31", llm_temperature_mix, LLM_TEMPERATURE_MIX_SQL),
     Probe("llm_classifier_score", "B31", llm_classifier_score, LLM_CLASSIFIER_SCORE_SQL),
     Probe("llm_domain_cap", "B31", llm_domain_cap, LLM_DOMAIN_CAP_SQL),
     Probe(

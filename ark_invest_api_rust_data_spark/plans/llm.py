@@ -1139,6 +1139,65 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 PROBES.append(Probe("llm_knn_join", "B30", llm_knn_join, LLM_KNN_SQL))
 
 
+# ------------------------------------------------ ANN join (IVF-pruned)
+_ANN_NC, _ANN_ITERS, _ANN_NPROBE, _ANN_K = 16, 3, 2, 5
+
+
+def llm_ann_join(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — IVF-pruned batch k-NN join (operators/similarity.py
+    ann_join): the PRODUCTION twin of llm_knn_join's exact O(q·n)
+    scan. A 16-centroid exact-Lloyd's coarse quantizer over the full
+    table hard-assigns data rows and soft-assigns each query to its 2
+    nearest cells; only co-located pairs are scored (≈ nprobe/nc of
+    the cross product) and the salted two-phase top-k bounds the final
+    shuffle. Every stage — the k-means chain, the probe ranking, the
+    quantized-cosine candidate scoring — hash-matches one SQL oracle,
+    so the approximation is pinned, not hand-waved."""
+    from ..operators.similarity import ann_join
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    data = emb.filter(F.col("vec_id") >= 5)
+    return ann_join(
+        data, queries,
+        k=_ANN_K, n_centroids=_ANN_NC, iters=_ANN_ITERS, nprobe=_ANN_NPROBE,
+        train=emb,
+    )
+
+
+def _ann_join_sql() -> str:
+    from .corpus import _kmeans_ctes
+
+    ctes = _kmeans_ctes(
+        k_limit=str(_ANN_NC), iters=_ANN_ITERS, final_m=_ANN_NPROBE
+    )
+    dot = (
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        "i -> dq.q[i] * qp.q[i])) AS DOUBLE)"
+    )
+    nd = (
+        "sqrt(CAST(list_sum(list_transform(generate_series(1, 64), "
+        "i -> dq.q[i] * dq.q[i])) AS DOUBLE))"
+    )
+    nq = (
+        "sqrt(CAST(list_sum(list_transform(generate_series(1, 64), "
+        "i -> qp.q[i] * qp.q[i])) AS DOUBLE))"
+    )
+    return f"""{ctes},
+dq AS (SELECT vec_id, q, cluster FROM a{_ANN_ITERS}
+       WHERE probe_rank = 1 AND vec_id >= 5),
+qp AS (SELECT vec_id, q, cluster FROM a{_ANN_ITERS} WHERE vec_id < 5),
+sc AS (SELECT qp.vec_id AS query_id, dq.vec_id AS vec_id,
+         {dot} / ({nd} * {nq}) AS cosine
+       FROM dq JOIN qp ON dq.cluster = qp.cluster),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= {_ANN_K}"""
+
+
+PROBES.append(Probe("llm_ann_join", "B30", llm_ann_join, _ann_join_sql()))
+
+
 # ------------------------------------------------ end-to-end corpus prep
 def llm_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """B31 capstone — the WHOLE training-corpus prep flow composed as

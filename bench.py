@@ -121,8 +121,12 @@ HEADLINE = [
     "llm_hybrid_retrieval",
     "b07_expectations",
     # round-8: Kafka-shape message-bus connector (sink + source
-    # round-trip with broker-style offsets)
+    # round-trip with broker-style offsets); IVF-pruned ANN join (the
+    # production twin of the quadratic llm_knn_join)
     "s07_msgbus_roundtrip",
+    "llm_ann_join",
+    "llm_cluster_diversity",
+    "llm_temperature_mix",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

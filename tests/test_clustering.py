@@ -562,3 +562,63 @@ def test_kmeans_arrow_tier_equals_expr(spark, monkeypatch):
     assert snap(2) == want[("h", 2)]
     assert dedup_snap(1) == want[("d", 1)]
     assert dedup_snap(2) == want[("d", 2)]
+
+
+def test_cluster_diversity_matches_bruteforce_pairs(spark):
+    """The sum-identity diversity (|Σq|² − Σ|q|², decimal folds) must
+    equal the brute-force Σ over ordered pairs of q_a·q_b computed by
+    a quadratic self-join — and singleton clusters report NULL mean."""
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        cluster_diversity,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    asg = kmeans_assign(emb, k=4, iters=2)
+    out = {
+        r["cluster"]: (r["n"], int(r["pair_dot2"]), r["mean_pair_dot"])
+        for r in cluster_diversity(emb, assignments=asg).collect()
+    }
+
+    # brute force on the same quantized grid
+    import math
+
+    rows = emb.join(asg, "vec_id").collect()
+    by_c: dict[int, list[list[int]]] = {}
+    for r in rows:
+        q = [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        by_c.setdefault(r["cluster"], []).append(q)
+    for c, vecs in by_c.items():
+        n = len(vecs)
+        want = 0
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    want += sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        got_n, got_pair2, got_mean = out[c]
+        assert got_n == n and got_pair2 == want
+        if n > 1:
+            assert got_mean == want / (n * (n - 1))
+        else:
+            assert got_mean is None
+    assert set(out) == set(by_c)
+
+
+def test_cluster_diversity_singleton_null_mean(spark):
+    """A 1-member cluster must emit pair_dot2 = 0 and NULL mean (no
+    0/0)."""
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        cluster_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    asg = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1)], "vec_id long, cluster int"
+    )
+    got = {r["cluster"]: r for r in cluster_diversity(df, assignments=asg).collect()}
+    assert got[0]["n"] == 1 and int(got[0]["pair_dot2"]) == 0
+    assert got[0]["mean_pair_dot"] is None
+    assert got[1]["n"] == 2 and got[1]["mean_pair_dot"] is not None

@@ -258,3 +258,51 @@ def test_shard_assign_rejects_bad_mix(spark):
     df = spark.createDataFrame([(1,)], ["doc_id"])
     with pytest.raises(ValueError):
         shard_assign(df, 8, mix="md5")
+
+
+def test_temperature_mix_quota_derivation_and_selection(spark):
+    """α=0.5 temperature mixture: quotas follow ⌊B·√n_d/Σ√n⌋ with the
+    name-sorted normalizer fold, per-domain output size is
+    min(quota, n_d), re-runs are identical, and α=1 reproduces
+    natural proportions."""
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.sampling import temperature_mix
+
+    rows = [(i, f"d{i % 3}") for i in range(90)] + [(i, "d3") for i in range(90, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    budget = 40
+    got = temperature_mix(df, budget=budget, alpha=0.5).collect()
+
+    counts = {"d0": 30, "d1": 30, "d2": 30, "d3": 10}
+    total = sum(math.sqrt(counts[d]) for d in sorted(counts))
+    want_quota = {
+        d: math.floor(budget * math.sqrt(n) / total) for d, n in counts.items()
+    }
+    by_d: dict[str, list] = {}
+    for r in got:
+        assert r["quota"] == want_quota[r["source"]]
+        assert r["domain_n"] == counts[r["source"]]
+        by_d.setdefault(r["source"], []).append(r["pick_rank"])
+    for d, ranks in by_d.items():
+        assert len(ranks) == min(want_quota[d], counts[d])
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # α=0.5 upsamples the tail: d3 gets MORE than its natural share
+    assert want_quota["d3"] / budget > counts["d3"] / 100
+
+    again = temperature_mix(df, budget=budget, alpha=0.5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    nat = temperature_mix(df, budget=100, alpha=1.0).collect()
+    nat_sizes: dict[str, int] = {}
+    for r in nat:
+        nat_sizes[r["source"]] = nat_sizes.get(r["source"], 0) + 1
+    assert nat_sizes == counts  # α=1, budget=|corpus| → natural mix
+
+
+def test_temperature_mix_rejects_negative_budget(spark):
+    from ark_invest_api_rust_data_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        temperature_mix(df, budget=-1)

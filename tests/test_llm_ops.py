@@ -21,7 +21,9 @@ from ark_invest_api_rust_data_spark.operators.multimodal import (
     resize_images,
 )
 from ark_invest_api_rust_data_spark.operators.similarity import (
+    ann_join,
     cosine_topk,
+    knn_join,
     lsh_bucketed_topk,
 )
 
@@ -187,6 +189,54 @@ def test_ann_matches_brute_force_topk(spark):
     exact_scores = {r["vec_id"]: r["cosine"] for r in exact.collect()}
     for i in overlap:
         assert ann_rows[i] == exact_scores[i]
+
+
+def test_ann_join_recall_and_exact_scoring(spark):
+    """IVF-pruned ann_join vs the exact knn_join: scoring math is
+    bit-identical on every pair both return (same quantized-cosine
+    path), recall@5 with half the cells probed stays useful, and
+    per-query ranks are contiguous from 1."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    data = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in knn_join(data, queries, k=5).collect()
+    }
+    approx_rows = ann_join(
+        data, queries, k=5, n_centroids=8, iters=2, nprobe=4, train=emb
+    ).collect()
+    got = {(r["query_id"], r["vec_id"]): r["cosine"] for r in approx_rows}
+    overlap = set(exact) & set(got)
+    assert overlap and all(exact[p] == got[p] for p in overlap)
+    assert len(overlap) >= len(exact) // 2  # recall@5 ≥ 0.5 at nprobe=k/2
+    by_q: dict = {}
+    for r in approx_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_join_prebuilt_model_matches_inline_training(spark):
+    """``model=(centroids, assignments)`` — the build-once/amortize
+    deployment shape — must reproduce the inline-training output
+    exactly."""
+    from ark_invest_api_rust_data_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    data = emb.filter(F.col("vec_id") >= 5)
+    inline = ann_join(
+        data, queries, k=3, n_centroids=8, iters=2, nprobe=2, train=emb
+    )
+    prebuilt = ann_join(
+        data, queries, k=3, nprobe=2, model=kmeans_fit(emb, k=8, iters=2)
+    )
+    key = ["query_id", "vec_id", "cosine", "rank"]
+    assert sorted(map(tuple, inline.select(key).collect())) == sorted(
+        map(tuple, prebuilt.select(key).collect())
+    )
 
 
 def _make_png(width: int, height: int) -> bytes:
