@@ -251,6 +251,74 @@ def connected_components(
         nodes.unpersist()
 
 
+def _degree_oriented(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """The (deg, id)-oriented simple edge list ``(u, v, kv)`` shared by
+    ``triangle_counts`` and ``triangle_wedge_bound``: canonicalize to
+    undirected-simple, compute degrees, point every edge from the
+    (degree, id)-smaller endpoint to the larger. ``kv`` is the head's
+    degree (the wedge join's (deg, id) order key)."""
+    a, b = F.col("_a"), F.col("_b")
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(a < b)
+        .distinct()
+    )
+    deg = (
+        canon.select(a.alias("node"))
+        .union(canon.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da, db = F.col("_da"), F.col("_db")
+    return (
+        canon.join(deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da")), "_a")
+        .join(deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db")), "_b")
+        .select(
+            F.when((da < db) | ((da == db) & (a < b)), a).otherwise(b).alias("_u"),
+            F.when((da < db) | ((da == db) & (a < b)), b).otherwise(a).alias("_w2"),
+            F.when((da < db) | ((da == db) & (a < b)), da).otherwise(db).alias("_ku"),
+            F.when((da < db) | ((da == db) & (a < b)), db).otherwise(da).alias("_kw"),
+        )
+        .select(
+            F.col("_u").alias("u"),
+            F.col("_w2").alias("v"),
+            F.col("_kw").alias("kv"),  # (deg, id) order key of the head
+        )
+    )
+
+
+def triangle_wedge_bound(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """The capacity-planning diagnostic for ``triangle_counts``: one
+    row ``(m, wedges, cap_m15)`` where ``wedges = Σ_u C(outdeg_u, 2)``
+    is the EXACT size of the wedge stream the closing join will
+    consume (outdeg under the same (deg, id) orientation), and
+    ``cap_m15 = m^1.5`` is its theoretical ceiling (degree orientation
+    caps effective out-degree at O(√m) — Schank & Wagner 2005 /
+    Suri & Vassilvitskii 2011). Cost: the same degree aggregation the
+    counting pass runs, plus an O(nodes) group — run it BEFORE
+    committing a cluster to the counting job on an unknown graph; a
+    wedge count far below the cap means the shuffle ratio observed on
+    a scale-up (e.g. the audited sf1→sf10 decade) is wedge-stream
+    growth, not a plan defect."""
+    o = _degree_oriented(edges, src_col, dst_col)
+    outdeg = o.groupBy("u").agg(F.count("*").alias("c"))
+    return outdeg.agg(
+        F.sum("c").cast("long").alias("m"),
+        F.sum(F.expr("c * (c - 1) / 2").cast("long")).cast("long").alias("wedges"),
+    ).select(
+        "m",
+        "wedges",
+        F.pow(F.col("m").cast("double"), F.lit(1.5)).alias("cap_m15"),
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
@@ -273,39 +341,8 @@ def triangle_counts(
     (v, w) pair — all key-partitioned, no broadcast assumption on the
     edge set.
     """
-    a, b = F.col("_a"), F.col("_b")
-    canon = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
-        )
-        .filter(a < b)
-        .distinct()
-    )
-    deg = (
-        canon.select(a.alias("node"))
-        .union(canon.select(b.alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    # orient from (deg, id)-smaller to larger endpoint
-    da, db = F.col("_da"), F.col("_db")
-    oriented = (
-        canon.join(deg.select(F.col("node").alias("_a"), F.col("deg").alias("_da")), "_a")
-        .join(deg.select(F.col("node").alias("_b"), F.col("deg").alias("_db")), "_b")
-        .select(
-            F.when((da < db) | ((da == db) & (a < b)), a).otherwise(b).alias("_u"),
-            F.when((da < db) | ((da == db) & (a < b)), b).otherwise(a).alias("_w2"),
-            F.when((da < db) | ((da == db) & (a < b)), da).otherwise(db).alias("_ku"),
-            F.when((da < db) | ((da == db) & (a < b)), db).otherwise(da).alias("_kw"),
-        )
-        .select(
-            F.col("_u").alias("u"),
-            F.col("_w2").alias("v"),
-            F.col("_kw").alias("kv"),  # (deg, id) order key of the head
-        )
-        .persist()  # consumed 3×: both wedge sides + the closing join
-    )
+    oriented = _degree_oriented(edges, src_col, dst_col).persist()
+    # persist: consumed 3× — both wedge sides + the closing join
     e1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
     e2 = oriented.select(
         F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("kv").alias("k2")

@@ -27,10 +27,20 @@ TEST_ONLY = {
     "centroids; llm_semantic_dedup_ivf (r5) hash-checks the "
     "IvfIndex.build_exact → assignments= composition (index clustered "
     "once, dedup reuses it at zero extra clustering cost) against the "
-    "same scaled-k SQL oracle",
+    "same scaled-k SQL oracle; llm_cluster_diversity (r8) ranks "
+    "cluster redundancy exactly via the sum identity |Σq|² − Σ|q|² in "
+    "decimal(38,0) folds — O(k·dim) shuffle, no pair stream",
     "B30": "llm_kmeans (r3): exact distributed Lloyd's, hash-matching "
     "an oracle that unrolls the iterations in SQL CTEs (deterministic "
-    "seeding, int64 centroid sums, left-to-right IEEE distance folds)",
+    "seeding, int64 centroid sums, left-to-right IEEE distance folds); "
+    "llm_ann_join (r8) is llm_knn_join's production twin — IVF-pruned "
+    "candidates (~nprobe/n_centroids of the cross product) + the same "
+    "salted two-phase top-k, the whole train→probe→score pipeline "
+    "hash-matched",
+    "B31": "llm_temperature_mix (r8): α-temperature domain quotas "
+    "derived from corpus counts (⌊B·√n_d/Σ√n⌋) with the normalizer "
+    "folded left-to-right over name-sorted domains so both engines "
+    "sum doubles in the same order",
     "B32": "metadata decode is REAL (pure-Python PNG/JPEG/GIF/BMP/PPM "
     "header parsing); PIXEL decode is REAL for 24-bit BMP and PPM "
     "P6/P3 (pure-Python codecs, bottom-up/BGR handling, pinned by a "
@@ -38,7 +48,7 @@ TEST_ONLY = {
     "for other formats; llm_multimodal_pixels oracle-checks decoded "
     "channel/row sums against a character-derived DuckDB computation; "
     "AUDIO decode is REAL for PCM16 WAV (pure-Python RIFF chunk walker recovering interleaved int16 samples; llm_multimodal_audio oracle-checks sample stats — abs/square sums, peak, zero crossings — against a character-derived DuckDB computation); "
-    "VIDEO decode is REAL for animated GIF (pure-Python LZW codec — variable 9→12-bit codes, dictionary reset at 4096, KwKwK case — with a frame-walking container parser) AND for uncompressed AVI (r4: RIFF walker + DIB frame codec, 'vids'/'DIB ' streams, '00db' frames; llm_multimodal_avi oracle-checks the full build→frame_sample→re-decode chain) AND (r5) for MJPEG-in-AVI ('MJPG' streams, each '00dc' chunk a baseline JPEG; llm_multimodal_mjpeg drives build→frame_sample→re-encode→re-decode, exact because the DC roundtrip is idempotent; MJPEG-in-MP4 (r5: from-spec ISO-BMFF writer + bounded box walker, operators/mp4.py — 'jpeg' sample entries located via stsc×stsz×stco, co64 accepted, fps from mdhd×stts; llm_multimodal_mp4 drives build→frame_sample→re-wrap→re-decode against the same closed-form oracle; H.264/H.265/VP9/WebM still need ffmpeg and fail loudly); COMPRESSED-IMAGE decode is REAL for baseline JPEG (r5: from-spec Huffman + DCT codec, operators/jpeg.py — 4:4:4/4:2:2/4:2:0 sampling, grayscale, restart intervals, strict None for progressive/arithmetic/12-bit; the LOSSY pipeline is still oracle-checkable because block-constant 8×8 inputs take exact DC fast paths on both sides, collapsing encode→decode to a closed form the llm_multimodal_jpeg oracle replays in SQL, with pure-integer RGB↔YCbCr transforms); frame_sample decodes, keeps every Nth frame, and re-encodes in the SOURCE container/codec at the sampling-adjusted source frame rate; llm_multimodal_video oracle-checks kept-frame pixel stats + inter-frame motion; "
+    "VIDEO decode is REAL for animated GIF (pure-Python LZW codec — variable 9→12-bit codes, dictionary reset at 4096, KwKwK case — with a frame-walking container parser) AND for uncompressed AVI (r4: RIFF walker + DIB frame codec, 'vids'/'DIB ' streams, '00db' frames; llm_multimodal_avi oracle-checks the full build→frame_sample→re-decode chain) AND (r5) for MJPEG-in-AVI ('MJPG' streams, each '00dc' chunk a baseline JPEG; llm_multimodal_mjpeg drives build→frame_sample→re-encode→re-decode, exact because the DC roundtrip is idempotent; MJPEG-in-MP4 (r5: from-spec ISO-BMFF writer + bounded box walker, operators/mp4.py — 'jpeg' sample entries located via stsc×stsz×stco, co64 accepted, fps from mdhd×stts; llm_multimodal_mp4 drives build→frame_sample→re-wrap→re-decode against the same closed-form oracle; H.264/H.265/VP9/WebM decode through the OPTIONAL ffmpeg tier (r8: operators/ffmpeg_codec.py — probe-before-pipe allocation bounds, frame caps, subprocess timeout; frame_sample re-encodes kept frames to the pure-Python MJPEG MP4 so output stays readable without ffmpeg) and strict-raise when the binary is absent); COMPRESSED-IMAGE decode is REAL for baseline JPEG (r5: from-spec Huffman + DCT codec, operators/jpeg.py — 4:4:4/4:2:2/4:2:0 sampling, grayscale, restart intervals, strict None for progressive/arithmetic/12-bit; the LOSSY pipeline is still oracle-checkable because block-constant 8×8 inputs take exact DC fast paths on both sides, collapsing encode→decode to a closed form the llm_multimodal_jpeg oracle replays in SQL, with pure-integer RGB↔YCbCr transforms); frame_sample decodes, keeps every Nth frame, and re-encodes in the SOURCE container/codec at the sampling-adjusted source frame rate; llm_multimodal_video oracle-checks kept-frame pixel stats + inter-frame motion; "
     "RESIZE is REAL (nearest-neighbor integer resample through decode→resample→re-encode; llm_multimodal_resize oracle-checks the picked source pixels); "
     "strict-by-default decode (unrecognized payloads raise)",
 }
