@@ -324,6 +324,7 @@ def triangle_counts(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
+    closing_bloom: bool | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts ``(node, n_triangles)``
     over the undirected simple graph induced by ``edges`` (direction,
@@ -340,7 +341,31 @@ def triangle_counts(
     wedge self-join on the pivot, closing semi-equi-join on the
     (v, w) pair — all key-partitioned, no broadcast assumption on the
     edge set.
-    """
+
+    ``closing_bloom`` prunes the wedge stream BEFORE the closing
+    shuffle: a Bloom bitmap over the oriented edge pairs (16 bits/edge,
+    capped at 32 MiB — a bitmap stays broadcastable ~2 orders of
+    magnitude past where the edge LIST outgrows the broadcast-join
+    threshold) filters wedges map-side; false positives are removed by
+    the exact closing join, so output is bit-identical. This converts
+    the closing shuffle from O(wedges) to O(triangles + ε·wedges) in
+    exactly the regime where AQE stops broadcasting the edge side and
+    the wedge stream would otherwise pay the full shuffle (measured at
+    the sf1→sf10 decade: the wedge stream is exactly linear — 10.0×
+    by ``triangle_wedge_bound`` — but the broadcast→SMJ switch turned
+    425 MB of shuffle into 11.75 GB and 127 s of wall, which the
+    bloom brings back to 45 s / 7.8 GB — single-session A/B at sf10,
+    output-equal). The probe is UNROLLED plain expressions
+    (sketch._position_cols): an aggregate-fold probe is
+    CodegenFallback and measured as an interpreted-evaluation wall on
+    the 582M-row wedge stream. Default (None) = auto: on when the
+    edge count exceeds 16M — about where the oriented edge list
+    outgrows AQE's broadcast threshold (~24 B/row vs the 64 MiB
+    default); below that the closing side broadcasts, the wedge
+    stream never shuffles, and the bloom build would be pure
+    overhead. Borderline graphs can force it on."""
+    from .sketch import bloom_build_i64, bloom_contains_i64
+
     oriented = _degree_oriented(edges, src_col, dst_col).persist()
     # persist: consumed 3× — both wedge sides + the closing join
     e1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
@@ -355,6 +380,25 @@ def triangle_counts(
             | ((F.col("k1") == F.col("k2")) & (F.col("v1") < F.col("v2")))
         ),
     ).select("u", "v1", "v2")
+    if closing_bloom is None:
+        closing_bloom = oriented.count() >= 16_000_000  # cached — cheap
+    if closing_bloom:
+        m_edges = oriented.count()
+        m_bits = min(16 * max(m_edges, 1 << 16), 1 << 28)
+        bloom = bloom_build_i64(
+            oriented, F.xxhash64(F.col("u"), F.col("v")), m_bits=m_bits
+        )
+        wedges = (
+            wedges.crossJoin(F.broadcast(bloom))
+            .filter(
+                bloom_contains_i64(
+                    F.xxhash64(F.col("v1"), F.col("v2")),
+                    F.col("bitmap"),
+                    m_bits,
+                )
+            )
+            .drop("bitmap")
+        )
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     triples = wedges.join(closing, ["v1", "v2"])
     out = (

@@ -60,13 +60,7 @@ def _coef(i: int) -> tuple[int, int]:
 def hash_positions(key: Column, n_hashes: int, modulus: int) -> Column:
     """Array of ``n_hashes`` positions in [0, modulus) for a string
     key — the shared Bloom/CMS hash family (module docstring)."""
-    h = token_hash32(key)
-    return F.array(
-        *[
-            ((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)) % F.lit(modulus)
-            for a, b in (_coef(i) for i in range(n_hashes))
-        ]
-    )
+    return F.array(*_position_cols(token_hash32(key), n_hashes, modulus))
 
 
 def sql_hash_positions(key_sql: str, n_hashes: int, modulus: int, hash_sql: str) -> list[str]:
@@ -77,6 +71,33 @@ def sql_hash_positions(key_sql: str, n_hashes: int, modulus: int, hash_sql: str)
         f"((({a} * {hash_sql}) + {b}) % {MERSENNE61}) % {modulus}"
         for a, b in (_coef(i) for i in range(n_hashes))
     ]
+
+
+def _position_cols(h: Column, n_hashes: int, modulus: int) -> list[Column]:
+    """The affine position family as SEPARATE Column expressions.
+    Probes must use these, not an ``F.array`` + ``F.aggregate`` fold:
+    higher-order functions are CodegenFallback — evaluated interpreted
+    per row — which turned the sf10 triangle-prefilter probe over a
+    582M-row wedge stream into a wall. Unrolled ANDs of k plain
+    expressions stay inside whole-stage codegen."""
+    return [
+        ((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)) % F.lit(modulus)
+        for a, b in (_coef(i) for i in range(n_hashes))
+    ]
+
+
+def hash_positions_i64(key: Column, n_hashes: int, modulus: int) -> Column:
+    """Positions in [0, modulus) for an exact INT64 key column — the
+    Spark-side-only Bloom family (single-engine: build and probe run
+    in the same job, so no cross-engine SQL twin is needed and the
+    per-character string fold is skipped). Feed it ``F.xxhash64(cols…)``
+    to key on a tuple; hash collisions only add false positives, which
+    every consumer removes with an exact join."""
+    # fold to 32 bits first — the affine family's no-overflow contract
+    # is A·h + B < 2^63 for A < 2^31, h < 2^32 (module docstring); a
+    # 61-bit h would overflow the int64 multiply under ANSI
+    h = F.pmod(key.cast("long"), F.lit(4294967296))
+    return F.array(*_position_cols(h, n_hashes, modulus))
 
 
 def _bit_masks() -> Column:
@@ -106,10 +127,36 @@ def bloom_build(
     At 100 TB the shuffle is bounded by the bitmap size, never the
     corpus.
     """
-    n_words = (m_bits + 63) // 64
-    pos = df.select(
-        F.explode(hash_positions(F.col(key_col), k, m_bits)).alias("_pos")
+    return _bloom_from_positions(
+        df.select(F.explode(hash_positions(F.col(key_col), k, m_bits)).alias("_pos")),
+        m_bits,
     )
+
+
+def bloom_build_i64(
+    df: DataFrame, key: Column, m_bits: int, k: int = 4
+) -> DataFrame:
+    """``bloom_build`` over an exact INT64 key expression (the
+    ``hash_positions_i64`` family) — for same-job Spark-side blooms
+    like the triangle closing-join prefilter, where keys are id tuples
+    (``F.xxhash64(col_a, col_b)``) and no SQL twin is required."""
+    return _bloom_from_positions(
+        df.select(F.explode(hash_positions_i64(key, k, m_bits)).alias("_pos")),
+        m_bits,
+    )
+
+
+# above this, the expression assembly is quadratic: element_at on a
+# MapType literal is a LINEAR scan (ArrayBasedMapData), so filling a
+# w-word array from a w-entry map costs O(w²) in ONE task — invisible
+# at the decontaminate tier's 2^16 bits (1k words), a wall at the
+# triangle prefilter's 2^28 (4.2M words). The Arrow tier assembles the
+# same array with one numpy scatter instead.
+_BLOOM_EXPR_WORDS = 1 << 14
+
+
+def _bloom_from_positions(pos: DataFrame, m_bits: int) -> DataFrame:
+    n_words = (m_bits + 63) // 64
     words = (
         pos.select(
             (F.col("_pos") / 64).cast("long").alias("_word"),
@@ -120,32 +167,66 @@ def bloom_build(
         .groupBy("_word")
         .agg(F.bit_or("_mask").alias("_bits"))
     )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("_word", "_bits"))).alias("_m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-            lambda i: F.coalesce(F.element_at("_m", i), F.lit(0).cast("long")),
-        ).alias("bitmap")
+    if n_words <= _BLOOM_EXPR_WORDS:
+        return words.agg(
+            F.map_from_entries(F.collect_list(F.struct("_word", "_bits"))).alias("_m")
+        ).select(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+                lambda i: F.coalesce(F.element_at("_m", i), F.lit(0).cast("long")),
+            ).alias("bitmap")
+        )
+
+    def assemble(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros(n_words, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf):
+                np.bitwise_or.at(
+                    acc,
+                    pdf["_word"].to_numpy(dtype=np.int64),
+                    pdf["_bits"].to_numpy(dtype=np.int64),
+                )
+        yield pd.DataFrame({"bitmap": [acc.tolist()]})
+
+    # one-partition Arrow pass: the input is ≤ n_words (word, bits)
+    # rows after the bit_or combine — 4.2M rows / 64 MB at the 2^28
+    # cap — and the scatter is O(w)
+    return words.repartition(1).mapInPandas(assemble, "bitmap array<long>")
+
+
+def _bit_test(bitmap: Column, p: Column) -> Column:
+    return (
+        F.element_at(bitmap, (p / 64).cast("int") + 1).bitwiseAND(
+            F.element_at(_bit_masks(), (p % 64).cast("int") + 1)
+        )
+        != 0
     )
 
 
 def bloom_contains(key: Column, bitmap: Column, m_bits: int, k: int = 4) -> Column:
     """True iff every one of the key's k bits is set in ``bitmap``
     (an ``array<long>`` column, normally from a broadcast one-row
-    cross join of ``bloom_build``'s output)."""
-    masks = _bit_masks()
-    return F.aggregate(
-        hash_positions(key, k, m_bits),
-        F.lit(True),
-        lambda acc, p: acc
-        & (
-            F.element_at(bitmap, (p / 64).cast("int") + 1).bitwiseAND(
-                F.element_at(masks, (p % 64).cast("int") + 1)
-            )
-            != 0
-        ),
-    )
+    cross join of ``bloom_build``'s output). Unrolled plain-expression
+    ANDs — see ``_position_cols`` for why not an aggregate fold."""
+    cond = F.lit(True)
+    for p in _position_cols(token_hash32(key), k, m_bits):
+        cond = cond & _bit_test(bitmap, p)
+    return cond
+
+
+def bloom_contains_i64(
+    key: Column, bitmap: Column, m_bits: int, k: int = 4
+) -> Column:
+    """``bloom_contains`` for the INT64 family (``hash_positions_i64``)
+    — probe with the same key expression the bloom was built with."""
+    h = F.pmod(key.cast("long"), F.lit(4294967296))
+    cond = F.lit(True)
+    for p in _position_cols(h, k, m_bits):
+        cond = cond & _bit_test(bitmap, p)
+    return cond
 
 
 def bloom_decontaminate(

@@ -218,3 +218,20 @@ def test_triangle_wedge_bound_exact_and_skew_free(spark):
     )
     row = triangle_wedge_bound(star).first()
     assert (row["m"], row["wedges"]) == (50, 0)
+
+
+def test_triangle_closing_bloom_is_output_invariant(spark):
+    """The closing-join Bloom prefilter must be invisible in the
+    output (false positives die in the exact join): forced-on vs
+    forced-off triangle counts are identical on a graph with known
+    counts (K5 ∪ star: K5 nodes get C(4,2)=6, star nodes none)."""
+    from ark_invest_api_rust_data_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(100, 100 + i) for i in range(1, 20)],
+        "src long, dst long",
+    )
+    on = sorted(tuple(r) for r in triangle_counts(edges, closing_bloom=True).collect())
+    off = sorted(tuple(r) for r in triangle_counts(edges, closing_bloom=False).collect())
+    assert on == off == [(i, 6) for i in range(5)]

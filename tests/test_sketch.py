@@ -204,3 +204,29 @@ def test_kmins_merge_equals_union_sketch(spark):
     )
     whole = kmins_sketch(both, "user_id", ["grp"]).collect()[0]["mins"]
     assert merged == whole
+
+
+def test_bloom_arrow_assembly_equals_expression_tier(spark, monkeypatch):
+    """The large-bitmap Arrow assembly must produce the EXACT bitmap
+    words of the expression tier (same positions, same bit_or), and
+    the i64 family must probe its own build with zero false
+    negatives."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators import sketch as S
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    key = F.xxhash64(F.col("k"))
+    expr_bits = S.bloom_build_i64(df, key, m_bits=1 << 16).first()["bitmap"]
+    monkeypatch.setattr(S, "_BLOOM_EXPR_WORDS", 0)
+    arrow_bits = S.bloom_build_i64(df, key, m_bits=1 << 16).first()["bitmap"]
+    assert list(expr_bits) == list(arrow_bits)
+
+    bloom = S.bloom_build_i64(df, key, m_bits=1 << 16)
+    probed = (
+        df.crossJoin(F.broadcast(bloom))
+        .filter(S.bloom_contains_i64(key, F.col("bitmap"), 1 << 16))
+        .count()
+    )
+    assert probed == 500  # no false negatives, ever
+
