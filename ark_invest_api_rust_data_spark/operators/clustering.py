@@ -280,6 +280,45 @@ def _with_assignment(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign rows to FROZEN centroids — the incremental-ingest half
+    of the IVF lifecycle: an index is trained once (``kmeans_fit``
+    over the initial corpus), then every arriving batch is assigned
+    against the same centroid dict with zero re-clustering, keeping
+    assignments append-consistent across batches (the band-store
+    discipline applied to vectors). ``centroids`` are GRID-space
+    coordinate lists exactly as ``kmeans_fit`` returns them — using
+    the grid keeps the distance folds bit-identical to the training
+    passes and the SQL oracle, including argmin tie-breaks (a raw-
+    space re-scale would re-round every subtraction and can flip
+    near-ties). Same tiered execution as the training passes:
+    expression folds below the Arrow bound, vectorized numpy above.
+    Narrow map over a broadcast coordinate row — ZERO shuffle, so
+    ingest cost is one scan of the batch regardless of index size.
+    ``nprobe > 1`` emits (id, cluster, probe_rank) soft assignments
+    like ``kmeans_fit(nprobe=)``."""
+    dim = len(next(iter(centroids.values())))
+    k = len(centroids)
+    from .dedup import _spread
+
+    base = _spread(df).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("_q")
+    )
+    if k * dim > _ARROW_ASSIGN_BOUND:
+        if nprobe > 1:
+            return _assign_arrow(base, centroids, dim, id_col, m=nprobe)
+        return _assign_arrow(base, centroids, dim, id_col)
+    if nprobe > 1:
+        return _with_topm(base, centroids, dim, nprobe, id_col)
+    return _with_assignment(base, centroids, dim).select(id_col, "cluster")
+
+
 def _topm_expr_from(flat: F.Column, k: int, dim: int, m: int) -> F.Column:
     """The ``m`` nearest centroid ids, ordered nearest-first — the
     SOFT-assignment twin of ``_assign_expr_from``.

@@ -124,16 +124,20 @@ def _kmeans_ctes(
     iters: int = _ITERS,
     final_m: int = 1,
     final_ratio2: float | None = None,
+    where: str = "",
 ) -> str:
     """Unrolled Lloyd's (``iters`` assignment passes, exact update
     math) ending in assignment CTE ``a{iters}`` — shared by the
     k-means and semantic-dedup oracles; mirrors
     operators/clustering.kmeans_assign step for step. ``k_limit`` is
     the seed-count SQL expression: a literal for fixed-k probes, a
-    corpus-count subquery for the scaled-k production probe."""
+    corpus-count subquery for the scaled-k production probe.
+    ``where`` restricts the training corpus (e.g. the incremental-IVF
+    probe trains on half the table); empty keeps the full-table text
+    byte-identical to what the existing oracles hash against."""
     parts = [
-        """e AS (SELECT vec_id, list_transform(embedding,
-  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM embeddings)""",
+        f"""e AS (SELECT vec_id, list_transform(embedding,
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM embeddings{where})""",
         f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
   list_transform(q, x -> CAST(x AS DOUBLE)) AS coords
   FROM e ORDER BY vec_id LIMIT {k_limit})""",
@@ -202,6 +206,46 @@ SELECT CAST(ns.cluster AS INTEGER) AS cluster, CAST(n AS BIGINT) AS n,
 FROM ns JOIN ss ON ns.cluster = ss.cluster
 """
 
+
+
+# -------------------------------------------- incremental IVF ingest
+_IVFI_K = 16
+
+
+def llm_ivf_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — the IVF index-maintenance lifecycle: train once on the
+    initial corpus (even vec_ids), then ingest the arriving batch
+    (odd vec_ids) by assigning against the FROZEN centroids
+    (clustering.assign_to_centroids — zero shuffle, zero
+    re-clustering; the band-store discipline applied to vectors).
+    The oracle replays training restricted to the initial half and
+    one frozen-centroid assignment pass for the batch, so the hash
+    pins that ingest does NOT drift the index."""
+    from ..operators.clustering import assign_to_centroids, kmeans_fit
+
+    emb = load_table(spark, sf, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    cents, asg0 = kmeans_fit(initial, k=_IVFI_K, iters=_ITERS)
+    asg1 = assign_to_centroids(batch, cents)
+    return (
+        asg0.select("vec_id", "cluster")
+        .unionByName(asg1.select("vec_id", "cluster"))
+        .withColumn("cluster", F.col("cluster").cast("int"))
+    )
+
+
+LLM_IVF_INCREMENTAL_SQL = f"""{_kmeans_ctes(k_limit=str(_IVFI_K), iters=_ITERS, where=" WHERE vec_id % 2 = 0")},
+e2 AS (SELECT vec_id, list_transform(embedding,
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 2 = 1),
+ab AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT e2.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e2.vec_id ORDER BY {_DIST}, c.cid) AS rn
+  FROM e2 CROSS JOIN c{_ITERS - 1} c) WHERE rn = 1)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{_ITERS}
+UNION ALL SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM ab
+"""
 
 
 # ------------------------------------------------------ semantic dedup
@@ -1034,6 +1078,10 @@ PROBES = [
     Probe(
         "llm_cluster_diversity", "B29",
         llm_cluster_diversity, LLM_CLUSTER_DIVERSITY_SQL,
+    ),
+    Probe(
+        "llm_ivf_incremental", "B30",
+        llm_ivf_incremental, LLM_IVF_INCREMENTAL_SQL,
     ),
     Probe("llm_semantic_dedup", "B29", llm_semantic_dedup, LLM_SEMANTIC_DEDUP_SQL),
     Probe(

@@ -127,6 +127,7 @@ HEADLINE = [
     "llm_ann_join",
     "llm_cluster_diversity",
     "llm_temperature_mix",
+    "llm_ivf_incremental",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

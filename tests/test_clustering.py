@@ -622,3 +622,38 @@ def test_cluster_diversity_singleton_null_mean(spark):
     assert got[0]["n"] == 1 and int(got[0]["pair_dot2"]) == 0
     assert got[0]["mean_pair_dot"] is None
     assert got[1]["n"] == 2 and got[1]["mean_pair_dot"] is not None
+
+
+def test_assign_to_centroids_frozen_reproduces_final_pass(spark, monkeypatch):
+    """The incremental-ingest half of the IVF lifecycle: assigning the
+    TRAINING set against the frozen centroid dict must reproduce
+    kmeans_fit's own final assignment row-for-row (same grid-space
+    distance folds, same tie-breaks), in both the expression and the
+    Arrow tier; soft assignment keeps the (id, cluster, probe_rank)
+    shape."""
+    from ark_invest_api_rust_data_spark.operators import clustering as C
+
+    emb = load_table(spark, SF, "embeddings")
+    cents, asg = C.kmeans_fit(emb, k=8, iters=2)
+    want = sorted(tuple(r) for r in asg.collect())
+
+    got_expr = sorted(
+        tuple(r) for r in C.assign_to_centroids(emb, cents).collect()
+    )
+    assert got_expr == want
+
+    monkeypatch.setattr(C, "_ARROW_ASSIGN_BOUND", 0)
+    got_arrow = sorted(
+        tuple(r) for r in C.assign_to_centroids(emb, cents).collect()
+    )
+    assert got_arrow == want
+
+    soft = C.assign_to_centroids(emb, cents, nprobe=2)
+    assert soft.columns == ["vec_id", "cluster", "probe_rank"]
+    prim = sorted(
+        tuple(r)
+        for r in soft.filter(F.col("probe_rank") == 1)
+        .select("vec_id", "cluster")
+        .collect()
+    )
+    assert prim == want
