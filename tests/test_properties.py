@@ -449,3 +449,105 @@ def test_kmins_union_is_elementwise_min_property(a, b):
 
     merged = [min(x, y) for x, y in zip(registers(a), registers(b))]
     assert registers(a + b) == merged
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5),
+    budget=st.integers(min_value=0, max_value=60),
+)
+def test_temperature_mix_matches_reference_on_random_mixes(counts, budget):
+    """temperature_mix equals the sequential quota derivation on
+    arbitrary domain-count profiles: quota_d = floor(B·sqrt(n_d)/
+    sum-over-name-sorted-domains sqrt(n)), per-domain output size is
+    min(quota, n), and the total never exceeds the budget."""
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.sampling import temperature_mix
+
+    rows, nid = [], 0
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((nid, f"dom{d}"))
+            nid += 1
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = temperature_mix(df, budget=budget, alpha=0.5).collect()
+
+    total = 0.0
+    for d in sorted(range(len(counts)), key=lambda i: f"dom{i}"):
+        total += math.sqrt(counts[d])
+    want_quota = {
+        f"dom{d}": math.floor(budget * math.sqrt(n) / total)
+        for d, n in enumerate(counts)
+    }
+    sizes: dict[str, int] = {}
+    for r in got:
+        assert r["quota"] == want_quota[r["source"]]
+        sizes[r["source"]] = sizes.get(r["source"], 0) + 1
+    for d, n in enumerate(counts):
+        assert sizes.get(f"dom{d}", 0) == min(want_quota[f"dom{d}"], n)
+    assert sum(sizes.values()) <= budget
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_cluster_diversity_matches_pairwise_reference(vecs, k):
+    """The sum-identity diversity equals the quadratic pairwise fold
+    on arbitrary float vectors (negative coords, near-zero, repeated
+    rows) for arbitrary assignments (id mod k)."""
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        cluster_diversity,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    asg = spark.createDataFrame(
+        [(i, i % k) for i in range(len(vecs))], "vec_id long, cluster int"
+    )
+    got = {
+        r["cluster"]: (r["n"], int(r["pair_dot2"]), r["mean_pair_dot"])
+        for r in cluster_diversity(df, assignments=asg).collect()
+    }
+    # float32 storage then float64 quantize — replicate the cast chain
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    by_c: dict[int, list[list[int]]] = {}
+    for i, v in enumerate(vecs):
+        q = [math.floor(f32(x) * 1_000_000) for x in v]
+        by_c.setdefault(i % k, []).append(q)
+    for c, qs in by_c.items():
+        n = len(qs)
+        want = sum(
+            sum(a * b for a, b in zip(qs[i], qs[j]))
+            for i in range(n)
+            for j in range(n)
+            if i != j
+        )
+        assert got[c][0] == n and got[c][1] == want
+        if n > 1:
+            assert got[c][2] == want / (n * (n - 1))
