@@ -505,3 +505,57 @@ def unigram_lm_score(
             F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
         ).alias("avg_logprob"),
     )
+
+
+def hashed_features(
+    df: DataFrame, d: int = 64, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009, the
+    Vowpal-Wabbit primitive): token → bucket ``h mod d``, sign ±1 from
+    the next hash bit, summed into one DENSE d-wide int64 vector per
+    document. Fixed-width features from an unbounded vocabulary with
+    NO dictionary to build, broadcast, or keep consistent across
+    batches — the property that matters at 100 TB, where a vocabulary
+    join is a corpus-wide shuffle against a mutable dimension table
+    but this is a pure per-row map + one (doc, bucket) combine.
+    Signed counts make collision noise zero-mean (the standard
+    unbiasedness trick). Docs with no tokens are omitted, matching
+    the tokenizing operators.
+
+    Shuffle: O(docs · min(distinct tokens, d)) signed-sum rows after
+    map-side combine; the dense assembly is a ≤d-entry map fill per
+    doc. All integer math on the 31-fold hash — the SQL oracle
+    replays it exactly."""
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
+    h = token_hash32(F.col("_t"))
+    bucketed = toks.select(
+        id_col,
+        F.pmod(h, F.lit(d)).cast("int").alias("_b"),
+        # sign bit = the next base-d digit's parity: (h div d) mod 2 —
+        # (h − h%d)/d is an exact double (h < 2^32 << 2^53)
+        F.when(
+            F.pmod(((h - F.pmod(h, F.lit(d))) / F.lit(d)).cast("long"), F.lit(2)) == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("_s"),
+    )
+    sums = bucketed.groupBy(id_col, "_b").agg(F.sum("_s").alias("_v"))
+    return (
+        sums.groupBy(id_col)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias("_m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i), F.lit(0).cast("long")),
+            ).alias("features"),
+        )
+    )

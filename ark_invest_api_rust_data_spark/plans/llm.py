@@ -1139,6 +1139,45 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 PROBES.append(Probe("llm_knn_join", "B30", llm_knn_join, LLM_KNN_SQL))
 
 
+# ----------------------------------------------- feature hashing
+_FH_D = 64
+
+
+def llm_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 — hashing-trick featurization (operators/text.py
+    hashed_features): dense 64-wide signed-count vectors with no
+    vocabulary dictionary — per-row map + one (doc, bucket) combine,
+    the fixed-width featurizer that still works when the vocabulary
+    is unbounded and batches arrive forever. Exact integer math; the
+    oracle replays bucket, sign bit, and the dense fill."""
+    from ..operators.text import hashed_features
+
+    return hashed_features(load_table(spark, sf, "documents"), d=_FH_D)
+
+
+def _hashed_features_sql() -> str:
+    h = _sql_hash("tok")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_W}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+b AS (SELECT doc_id, CAST({h} % {_FH_D} AS INTEGER) AS bucket,
+        CASE WHEN (({h} // {_FH_D}) % 2) = 1 THEN 1 ELSE -1 END AS sgn
+      FROM tf),
+s AS (SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+      FROM b GROUP BY doc_id, bucket),
+g AS (SELECT doc_id, i FROM (SELECT DISTINCT doc_id FROM s)
+      CROSS JOIN (SELECT unnest(generate_series(0, {_FH_D - 1})) AS i))
+SELECT g.doc_id, list(COALESCE(s.v, 0) ORDER BY g.i) AS features
+FROM g LEFT JOIN s ON g.doc_id = s.doc_id AND g.i = s.bucket
+GROUP BY g.doc_id
+"""
+
+
+PROBES.append(
+    Probe("llm_hashed_features", "B31", llm_hashed_features, _hashed_features_sql())
+)
+
+
 # ------------------------------------------------ ANN join (IVF-pruned)
 _ANN_NC, _ANN_ITERS, _ANN_NPROBE, _ANN_K = 16, 3, 2, 5
 

@@ -128,6 +128,7 @@ HEADLINE = [
     "llm_cluster_diversity",
     "llm_temperature_mix",
     "llm_ivf_incremental",
+    "llm_hashed_features",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

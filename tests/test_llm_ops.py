@@ -1074,3 +1074,35 @@ def test_weighted_sample_rejects_negative_weight(spark):
     }
     assert 2 not in ids  # zero-weight row can never be selected
     assert ids  # but sampling still works
+
+
+def test_hashed_features_matches_python_reference(spark):
+    """hashed_features equals a sequential reference fold (31-fold
+    hash, bucket = h mod d, sign = (h div d) mod 2) on hand-built
+    docs including collisions and repeated tokens; zero-token docs
+    are omitted."""
+    from ark_invest_api_rust_data_spark.operators.text import hashed_features
+
+    docs = [(1, "spark spark hash"), (2, "the a the"), (3, "   ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d = 8
+    got = {r["doc_id"]: list(r["features"]) for r in hashed_features(df, d=d).collect()}
+
+    def h32(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % 4294967296
+        return h
+
+    want = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        vec = [0] * d
+        for t in toks:
+            h = h32(t)
+            vec[h % d] += 1 if (h // d) % 2 == 1 else -1
+        want[doc_id] = vec
+    assert got == want
+    assert 3 not in got
