@@ -396,3 +396,28 @@ def test_exact_percentile_hist_null_group_keys(spark):
     }
     assert got2 == want2
     assert got2[("a", None)] == 2.0 and got2[(None, None)] == 7.0
+
+
+def test_ann_join_query_side_broadcasts_and_no_cartesian(spark):
+    """ann_join's executed plan: the query probe side rides a
+    broadcast hash join on the cluster key (the query batch is small
+    by contract), and nothing degenerates to a cartesian/nested-loop
+    join except the one-row coords frame the centroid fold reads."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.catalog import load_table
+    from ark_invest_api_rust_data_spark.operators.similarity import ann_join
+
+    emb = load_table(spark, SF, "embeddings")
+    df = ann_join(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        k=3, n_centroids=8, iters=2, nprobe=2, train=emb,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the candidate join must be the equi-join on `cluster`, not a
+    # post-filtered cross join
+    assert "cluster" in plan
