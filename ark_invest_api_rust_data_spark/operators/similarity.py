@@ -545,6 +545,7 @@ def ann_join(
     train: DataFrame | None = None,
     model: tuple | None = None,
     n_salts: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """IVF-pruned batch k-NN join — the 100 TB scale path for
     ``knn_join``. The exact join scores |queries|·|data| pairs; here a
@@ -582,6 +583,8 @@ def ann_join(
         cents, asg = kmeans_fit(
             train if train is not None else data,
             k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
+            checkpoint_dir=checkpoint_dir,  # reliable tier: the trained
+            # assignment survives executor loss while the join consumes it
         )
     dim = len(next(iter(cents.values())))
     d = data.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_dq")).join(
