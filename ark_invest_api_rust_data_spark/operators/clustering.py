@@ -764,6 +764,53 @@ def scaled_k(n: int, target_cluster_size: int = 32, k_min: int = 8) -> int:
     return max(k_min, -(-n // target_cluster_size))
 
 
+def semantic_dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    model: tuple,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    verify: str = "arrow",
+) -> DataFrame:
+    """SemDeDup for CONTINUOUS ingest: dedup an arriving batch against
+    a frozen-index corpus — the semantic twin of the MinHash band
+    store's ``incremental_near_dup_pairs``. ``model`` is the
+    ``(centroids, assignments)`` pair from ``kmeans_fit`` over the
+    corpus (train once, amortize over every batch); batch rows assign
+    against the frozen centroids (``assign_to_centroids``, zero
+    shuffle) and the pairwise verify runs ONLY in clusters the batch
+    touches — per-batch work is O(batch · cluster_size), never a
+    corpus re-scan.
+
+    Returns (id, cluster, kept) for BATCH rows: dropped iff a
+    lower-id neighbor (corpus or earlier-in-id batch row) shares the
+    cluster at quantized cosine ≥ threshold. Provably equal to the
+    full-union ``semantic_dedup(assignments=frozen)`` restricted to
+    batch rows: the keep-first rule drops against RAW lower-id
+    neighbors, not surviving ones, so batch decisions never depend on
+    corpus-internal drops (pytest equivalence)."""
+    cents, asg_corpus = model
+    asg_batch = assign_to_centroids(batch, cents, id_col=id_col, vec_col=vec_col)
+    touched = asg_batch.select("cluster").distinct()
+    pruned = asg_corpus.join(F.broadcast(touched), "cluster").select(
+        id_col, "cluster"
+    )
+    assignments = pruned.unionByName(asg_batch.select(id_col, "cluster"))
+    union_vecs = corpus.select(id_col, vec_col).unionByName(
+        batch.select(id_col, vec_col)
+    )
+    out = semantic_dedup(
+        union_vecs,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        assignments=assignments,
+        verify=verify,
+    )
+    return out.join(asg_batch.select(id_col), id_col)
+
+
 def cluster_diversity(
     df: DataFrame,
     assignments: DataFrame | None = None,

@@ -248,6 +248,52 @@ UNION ALL SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM ab
 """
 
 
+# ------------------------------------- incremental semantic dedup
+def llm_semantic_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — SemDeDup for continuous ingest (clustering.py
+    semantic_dedup_incremental): the batch (odd vec_ids) dedups
+    against the frozen-index corpus (even vec_ids) — assignment via
+    the frozen centroids, pairwise verify only in batch-touched
+    clusters, keep/drop per batch row. One oracle chain pins the
+    training, the frozen ingest assignment, AND the keep-first
+    decisions."""
+    from ..operators.clustering import kmeans_fit, semantic_dedup_incremental
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    model = kmeans_fit(corpus, k=_IVFI_K, iters=_ITERS)
+    out = semantic_dedup_incremental(corpus, batch, model, threshold=0.45)
+    return out.withColumn("cluster", F.col("cluster").cast("int"))
+
+
+_SD_COS = f"""CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+          i -> a.q[i] * b.q[i])) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+              i -> a.q[i] * a.q[i])) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+              i -> b.q[i] * b.q[i])) AS DOUBLE)))"""
+
+LLM_SEMANTIC_DEDUP_INCR_SQL = f"""{_kmeans_ctes(k_limit=str(_IVFI_K), iters=_ITERS, where=" WHERE vec_id % 2 = 0")},
+e2 AS (SELECT vec_id, list_transform(embedding,
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 2 = 1),
+ab AS (SELECT vec_id, q, cid AS cluster FROM (
+  SELECT e2.vec_id, e2.q, c.cid,
+    row_number() OVER (PARTITION BY e2.vec_id ORDER BY {_DIST}, c.cid) AS rn
+  FROM e2 CROSS JOIN c{_ITERS - 1} c) WHERE rn = 1),
+u AS (SELECT vec_id, q, cluster FROM a{_ITERS}
+      UNION ALL SELECT vec_id, q, cluster FROM ab),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS drop_id FROM u a JOIN u b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id AND a.vec_id % 2 = 1
+  WHERE {_SD_COS} >= 0.45)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+  vec_id NOT IN (SELECT drop_id FROM pairs) AS kept
+FROM u WHERE vec_id % 2 = 1
+"""
+
+
 # ------------------------------------------------------ semantic dedup
 def llm_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """B29 — SemDeDup: within each k-means cluster, drop every vector
@@ -1082,6 +1128,10 @@ PROBES = [
     Probe(
         "llm_ivf_incremental", "B30",
         llm_ivf_incremental, LLM_IVF_INCREMENTAL_SQL,
+    ),
+    Probe(
+        "llm_semantic_dedup_incr", "B29",
+        llm_semantic_dedup_incr, LLM_SEMANTIC_DEDUP_INCR_SQL,
     ),
     Probe("llm_semantic_dedup", "B29", llm_semantic_dedup, LLM_SEMANTIC_DEDUP_SQL),
     Probe(

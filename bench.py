@@ -129,6 +129,7 @@ HEADLINE = [
     "llm_temperature_mix",
     "llm_ivf_incremental",
     "llm_hashed_features",
+    "llm_semantic_dedup_incr",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -657,3 +657,50 @@ def test_assign_to_centroids_frozen_reproduces_final_pass(spark, monkeypatch):
         .collect()
     )
     assert prim == want
+
+
+def test_semantic_dedup_incremental_equals_full_restricted(spark):
+    """semantic_dedup_incremental(corpus, batch, frozen model) must
+    equal the full-union semantic_dedup over the SAME frozen
+    assignments restricted to batch rows — the keep-first rule drops
+    against raw lower-id neighbors, so corpus-internal drops can't
+    leak into batch decisions. Also: every corpus near-dup of a batch
+    row must cause a drop (ingest can't miss the store)."""
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_fit,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    model = kmeans_fit(corpus, k=8, iters=2)
+    got = sorted(
+        tuple(r)
+        for r in semantic_dedup_incremental(
+            corpus, batch, model, threshold=0.45
+        ).collect()
+    )
+    assert got, "batch must be non-empty"
+
+    cents, asg_corpus = model
+    frozen = asg_corpus.unionByName(
+        assign_to_centroids(batch, cents).select("vec_id", "cluster")
+    )
+    full = semantic_dedup(emb, threshold=0.45, assignments=frozen)
+    want = sorted(
+        tuple(r) for r in full.filter(F.col("vec_id") % 2 == 1).collect()
+    )
+    assert got == want
+
+    # positive case: a batch row that IS a corpus vector (higher id)
+    # must drop against the store
+    first = corpus.orderBy("vec_id").first()
+    dup = spark.createDataFrame(
+        [(10**9, list(first["embedding"]))], "vec_id long, embedding array<float>"
+    )
+    out2 = semantic_dedup_incremental(corpus, dup, model, threshold=0.45)
+    (row,) = out2.collect()
+    assert row["vec_id"] == 10**9 and row["kept"] is False
