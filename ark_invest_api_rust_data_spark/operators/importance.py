@@ -1,0 +1,149 @@
+"""DSIR-style importance weighting for pretraining-data selection.
+
+Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) scores every raw document by how much its hashed
+n-gram feature distribution looks like a small trusted TARGET corpus
+(in-domain text, human-curated quality sample) relative to the RAW
+corpus it came from, then keeps a budget of the highest-weight docs.
+The published recipe is: hashed unigram/bigram counts -> per-feature
+log-likelihood ratio lambda_f = log p_target(f) - log p_raw(f) ->
+per-doc importance weight sum_f c_f * lambda_f -> resample by weight.
+
+Why this shape survives 100 TB (and a vocabulary join would not):
+
+* features are HASHED into ``d`` buckets (the hashing trick, same
+  primitive as text.hashed_features) — both corpus models are fixed
+  ``d``-row tables regardless of corpus size, built by one
+  map-side-combined count each. No dictionary to build, broadcast, or
+  keep consistent across batches.
+* the lambda table is ``d`` rows — it broadcasts to every executor for
+  free; scoring is a narrow explode + broadcast-join + per-doc combine.
+  The ONLY corpus-wide exchange is the per-doc sum's map-side-combined
+  groupBy (O(docs) rows).
+* selection is a bounded top-``budget`` (TakeOrderedAndProject — each
+  partition ships at most ``budget`` rows). For proportional budgets at
+  lake scale, threshold on the score quantile instead (see
+  percentile.py) — same weights, no global rank.
+
+Determinism contract (full DuckDB oracle, hash-exact): the published
+float ``log`` ratio is replaced by an EXACT integer fixed-point log2,
+
+    lambda_b = floor(log2( ((ct_b + 1) << shift) DIV (cr_b + 1) )) - shift
+
+computed as ``length(bin(x)) - 1`` — the bit length of an int64 is the
+same pure-integer primitive in Spark and DuckDB, so weights are
+reproducible bit-for-bit in any engine. Granularity is 1 bit of
+log-ratio; the +1 smoothing is the paper's add-one. Bounds: requires
+``ct_b + 1 < 2**(63 - shift)`` (at shift=20: 8.8e12 tokens per bucket
+— raise ``d`` long before that).
+
+No reference-repo counterpart (the reference has no corpus-curation
+surface); this extends SURVEY.md §2 B31.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+from .text import token_hash32, tokens
+
+DEFAULT_D = 1024
+DEFAULT_SHIFT = 20
+
+
+def _bucket(tok: Column, d: int) -> Column:
+    return F.pmod(token_hash32(tok), F.lit(d)).cast("int")
+
+
+def _bucket_counts(df: DataFrame, d: int, text_col: str, out: str) -> DataFrame:
+    """Hashed-unigram corpus model: (bucket, count) — at most ``d``
+    rows after one map-side-combined aggregation."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("_t")).filter(
+        F.col("_t") != ""
+    )
+    return toks.groupBy(_bucket(F.col("_t"), d).alias("bucket")).agg(
+        F.count("*").alias(out)
+    )
+
+
+def dsir_lambda(
+    raw: DataFrame,
+    target: DataFrame,
+    d: int = DEFAULT_D,
+    text_col: str = "text",
+    shift: int = DEFAULT_SHIFT,
+) -> DataFrame:
+    """The per-bucket integer log-likelihood-ratio table
+    (bucket, ct, cr, lam) — ``d`` rows, broadcastable. Buckets are the
+    ones present in the RAW corpus (documents scored are drawn from
+    it, so every token they contain lands in a raw bucket)."""
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    if not 0 < shift < 43:
+        raise ValueError(f"shift must be in (0, 43), got {shift}")
+    cr = _bucket_counts(raw, d, text_col, "cr")
+    ct = _bucket_counts(target, d, text_col, "ct")
+    # x = ((ct+1) << shift) DIV (cr+1), clamped to >= 1 so the bit
+    # length is defined; lambda = bitlen(x) - 1 - shift can go negative
+    # (bucket rarer in target than raw), exactly like the float LLR.
+    joined = cr.join(ct, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),
+        F.col("cr").cast("long").alias("cr"),
+    )
+    x = F.expr(f"greatest(((ct + 1) * {1 << shift}) div (cr + 1), 1)")
+    return joined.withColumn(
+        "lam", (F.length(F.bin(x)) - F.lit(1) - F.lit(shift)).cast("long")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    d: int = DEFAULT_D,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shift: int = DEFAULT_SHIFT,
+) -> DataFrame:
+    """Per-document importance weights against a trusted target corpus.
+
+    Returns (id, n_tokens, dsir_score): score = sum over the doc's
+    tokens of the bucket's integer log-ratio — exact int64. Higher =
+    more target-like. Docs with no tokens are omitted (consistent with
+    the tokenizing operators)."""
+    lam = dsir_lambda(raw, target, d=d, text_col=text_col, shift=shift)
+    toks = raw.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
+    scored = toks.select(id_col, _bucket(F.col("_t"), d).alias("bucket")).join(
+        F.broadcast(lam.select("bucket", "lam")), "bucket"
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lam").alias("dsir_score"),
+    )
+
+
+def dsir_select(
+    weights: DataFrame, budget: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the ``budget`` highest-weight documents, deterministic
+    tie-break on id — the 'take the head of the resampled order'
+    reading of DSIR selection. orderBy+limit compiles to
+    TakeOrderedAndProject: every partition contributes at most
+    ``budget`` pre-sorted rows, so this is safe for bounded budgets;
+    for keep-30%-of-the-lake budgets use a score-quantile threshold
+    instead of a rank."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    # Two stages so no corpus-wide single-partition sort ever runs:
+    # orderBy+limit is TakeOrderedAndProject (each partition ships at
+    # most ``budget`` pre-sorted rows), and only the surviving
+    # <= budget rows pass through the unpartitioned ranking window.
+    head = weights.orderBy(F.desc("dsir_score"), F.col(id_col)).limit(budget)
+    return head.withColumn(
+        "sel_rank",
+        F.row_number().over(Window.orderBy(F.desc("dsir_score"), F.col(id_col))),
+    )

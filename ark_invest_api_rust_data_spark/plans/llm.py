@@ -1416,3 +1416,52 @@ PROBES.append(Probe("llm_bpe_learn", "B31", llm_bpe_learn, _bpe_learn_sql(_BPE_M
 PROBES.append(
     Probe("llm_bpe_segment", "B31", llm_bpe_segment, _bpe_segment_sql(_BPE_MERGES))
 )
+
+
+# ------------------------------------------------ DSIR importance weights
+_DSIR_D = 256
+_DSIR_SHIFT = 20
+_DSIR_BUDGET = 100
+
+
+def llm_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — DSIR data selection (operators/importance.py):
+    hashed-unigram importance weights of every document against the
+    trusted lang='en' slice, integer fixed-point log2 ratios (the
+    float LLR replaced by an exact bit-length primitive), then the
+    top-100 selection with deterministic tie-break. The corpus models
+    are d-row tables (d=256) built by one combine each and broadcast
+    — no vocabulary shuffle at any corpus size."""
+    from ..operators.importance import dsir_select, dsir_weights
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, d=_DSIR_D, shift=_DSIR_SHIFT)
+    return dsir_select(w, budget=_DSIR_BUDGET)
+
+
+def _dsir_sql() -> str:
+    h = _sql_hash("tok")
+    scale = 1 << _DSIR_SHIFT
+    return f"""
+WITH t AS (SELECT doc_id, lang, unnest({_W}) AS tok FROM documents),
+tb AS (SELECT doc_id, lang, CAST({h} % {_DSIR_D} AS INTEGER) AS bucket
+       FROM t WHERE tok <> ''),
+cr AS (SELECT bucket, count(*) AS cr FROM tb GROUP BY 1),
+ct AS (SELECT bucket, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+lam AS (SELECT cr.bucket,
+          CAST(length(bin(greatest(
+            ((coalesce(ct.ct, 0) + 1) * {scale}) // (cr.cr + 1), 1)))
+            - 1 - {_DSIR_SHIFT} AS BIGINT) AS lam
+        FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket),
+sc AS (SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(lam.lam) AS BIGINT) AS dsir_score
+       FROM tb JOIN lam ON tb.bucket = lam.bucket GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+             AS sel_rank FROM sc)
+SELECT doc_id, n_tokens, dsir_score, sel_rank
+FROM r WHERE sel_rank <= {_DSIR_BUDGET}
+"""
+
+
+PROBES.append(Probe("llm_dsir_weights", "B31", llm_dsir_weights, _dsir_sql()))

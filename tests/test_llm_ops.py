@@ -1106,3 +1106,65 @@ def test_hashed_features_matches_python_reference(spark):
         want[doc_id] = vec
     assert got == want
     assert 3 not in got
+
+
+def test_dsir_weights_matches_python_reference(spark):
+    """dsir_weights equals a sequential reference: hashed-unigram
+    bucket counts for raw and target, integer fixed-point log2 ratio
+    lambda = bitlen(((ct+1)<<shift) // (cr+1)) - 1 - shift, per-doc
+    token-sum — including negative lambdas (bucket rarer in target)
+    and the DIV-to-zero clamp."""
+    from ark_invest_api_rust_data_spark.operators.importance import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = [
+        (1, "good clean prose text", "en"),
+        (2, "good text text noise", "en"),
+        (3, "zz9 zz9 zz9 noise junk", "xx"),
+        (4, "prose clean good", "xx"),
+        (5, "   ", "xx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    d, shift = 16, 20
+    raw, target = df, df.filter("lang = 'en'")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+        for r in dsir_weights(raw, target, d=d, shift=shift).collect()
+    }
+
+    def h32(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % 4294967296
+        return h
+
+    cr, ct = {}, {}
+    for doc_id, text, lang in docs:
+        for t in text.split():
+            b = h32(t) % d
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    lam = {
+        b: max((ct.get(b, 0) + 1) * (1 << shift) // (cr[b] + 1), 1).bit_length()
+        - 1
+        - shift
+        for b in cr
+    }
+    want = {}
+    for doc_id, text, lang in docs:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        want[doc_id] = (len(toks), sum(lam[h32(t) % d] for t in toks))
+    assert got == want
+    assert 5 not in got  # zero-token doc omitted
+    # target-like docs outscore the junk doc
+    assert got[1][1] > got[3][1]
+
+    sel = dsir_select(dsir_weights(raw, target, d=d, shift=shift), budget=2)
+    rows = sorted((r["sel_rank"], r["doc_id"]) for r in sel.collect())
+    by_score = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:2]
+    assert rows == [(i + 1, doc_id) for i, (doc_id, _) in enumerate(by_score)]
