@@ -443,3 +443,85 @@ def copurchase_edges(
         )
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """k-core peeling over the undirected simple graph: ``rounds``
+    synchronous rounds of dropping every node whose induced degree is
+    below ``k``; returns ``(node, deg)`` — the survivors with their
+    degree in the surviving subgraph.
+
+    The k-core (maximal subgraph where every node has >= k neighbors)
+    is the standard link-graph centrality/spam signal a web-scale
+    pretraining pipeline derives next to PageRank: low-core hosts are
+    isolated link farms, high-core hosts sit in the densely
+    cross-linked web (Batagelj & Zaveršnik 2003 give the sequential
+    peel; this is the synchronous distributed form).
+
+    Contract (mirrored exactly by the SQL oracle): the subgraph state
+    IS the edge set — a node kept by the degree filter but stranded
+    with zero surviving edges this round is dropped in the same round
+    (for k >= 1 the fixpoint is identical, the true k-core; only the
+    intermediate round count shifts). The loop early-exits once a
+    round removes no edge — by then every node's degree is >= k and
+    further rounds are identities, so an R-round oracle matches any
+    early exit at round <= R. If the budget ends before the fixpoint,
+    exactly ``rounds`` filters have been applied on both engines.
+
+    Scale shape: per round one map-side-combined degree groupBy
+    (O(nodes) output) and two semi-joins of the O(edges) neighbor list
+    against the O(nodes) keep set (AQE broadcasts the keep side while
+    it fits); edges only ever shrink. Lineage cut per round on the
+    tier picked by ``checkpoint_dir`` (operators/persistence.py —
+    pass a fault-tolerant path to survive executor loss mid-round).
+    Per round one scalar count crosses the driver.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    mat = Materializer(edges.sparkSession, checkpoint_dir)
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(F.col("_a") < F.col("_b"))
+        .distinct()
+    )
+    nbr = canon.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")).union(
+        canon.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
+    )
+    cur = mat.cut(nbr)
+    prev_cnt = cur.count()
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("_u")
+            .agg(F.count("*").alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("_u")
+        )
+        nxt = cur.join(keep, "_u", "semi").join(
+            keep.select(F.col("_u").alias("_v")), "_v", "semi"
+        )
+        nxt = mat.cut(nxt)
+        cnt = nxt.count()
+        mat.release(cur)
+        cur = nxt
+        if cnt == prev_cnt:
+            break  # no edge removed -> every degree >= k: fixpoint
+        prev_cnt = cnt
+    out = mat.cut(
+        cur.groupBy("_u")
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("_u").alias("node"), "deg")
+    )
+    mat.release(cur)
+    return out

@@ -140,3 +140,53 @@ GROUP BY node
 """
 
 PROBES.append(Probe("graph_triangles", "B31", graph_triangles, GRAPH_TRIANGLES_SQL))
+
+
+# ---------------------------------------------------- k-core decomposition
+_KCORE_K = 30
+_KCORE_ROUNDS = 12
+
+
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — k-core peeling of the co-purchase graph
+    (operators/graph.kcore): the link-graph density signal next to
+    PageRank (low-core = isolated link farms, high-core = the densely
+    cross-linked web). Synchronous rounds with the edge-set state
+    contract; early-exits at the fixpoint (<= 7 rounds at every test
+    SF), which the 12-round unrolled oracle matches because extra
+    rounds are identities."""
+    from ..operators.graph import kcore
+
+    li = load_table(spark, sf, "lineitem")
+    return kcore(copurchase_edges(li), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    # AS MATERIALIZED: each level is referenced three times (the keep
+    # set twice, the peel once) — DuckDB's default CTE inlining would
+    # re-evaluate the whole chain 3^rounds times.
+    parts = [
+        f"""c AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({_EDGES_CTE}))""",
+        """n0 AS MATERIALIZED (SELECT a AS u, b AS v FROM c
+  UNION ALL SELECT b AS u, a AS v FROM c)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT u FROM n{r - 1} GROUP BY u HAVING count(*) >= {k}),
+n{r} AS MATERIALIZED (SELECT n.u, n.v FROM n{r - 1} n
+  JOIN k{r} ku ON n.u = ku.u JOIN k{r} kv ON n.v = kv.u)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+GRAPH_KCORE_SQL = (
+    _kcore_ctes(_KCORE_K, _KCORE_ROUNDS)
+    + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+FROM n{_KCORE_ROUNDS} GROUP BY u"""
+)
+
+PROBES.append(Probe("graph_kcore", "B31", graph_kcore, GRAPH_KCORE_SQL))

@@ -235,3 +235,68 @@ def test_triangle_closing_bloom_is_output_invariant(spark):
     on = sorted(tuple(r) for r in triangle_counts(edges, closing_bloom=True).collect())
     off = sorted(tuple(r) for r in triangle_counts(edges, closing_bloom=False).collect())
     assert on == off == [(i, 6) for i in range(5)]
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """2-core of (K4 + pendant chain hanging off it): the clique
+    survives with induced degree 3, every chain node peels off — one
+    chain link per round, exercising multi-round convergence."""
+    from ark_invest_api_rust_data_spark.operators.graph import kcore
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k4 + chain, "src long, dst long")
+    got = sorted(tuple(r) for r in kcore(edges, k=2, rounds=16).collect())
+    # node 3 temporarily has degree 4; after the chain peels it is 3
+    assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_kcore_matches_sequential_reference(spark):
+    """Random graph: kcore equals a sequential synchronous peel with
+    the same edge-set state contract (stranded nodes drop the same
+    round), for several k."""
+    import random
+
+    from ark_invest_api_rust_data_spark.operators.graph import kcore
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def reference(k):
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        g = {u: set(vs) for u, vs in adj.items()}
+        while True:
+            drop = {u for u, vs in g.items() if len(vs) < k}
+            if not drop:
+                break
+            g = {
+                u: vs - drop for u, vs in g.items() if u not in drop
+            }
+            g = {u: vs for u, vs in g.items() if vs}
+        return sorted((u, len(vs)) for u, vs in g.items())
+
+    for k in (2, 3, 4, 5):
+        got = sorted(tuple(r) for r in kcore(df, k=k, rounds=32).collect())
+        assert got == reference(k), f"k={k}"
+
+
+def test_kcore_round_budget_truncates_deterministically(spark):
+    """With rounds below the fixpoint depth the operator applies
+    exactly that many synchronous filters — the contract the unrolled
+    SQL oracle relies on. A 5-chain under k=2 loses one link from
+    each end per round."""
+    from ark_invest_api_rust_data_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    one = sorted(tuple(r) for r in kcore(df, k=2, rounds=1).collect())
+    # round 1: ends 0 and 5 drop -> edges (1,2),(2,3),(3,4) remain
+    assert one == [(1, 1), (2, 2), (3, 2), (4, 1)]
+    full = kcore(df, k=2, rounds=16).collect()
+    assert full == []  # a chain has no 2-core
