@@ -196,3 +196,104 @@ FROM p GROUP BY term
 PROBES.append(
     Probe("llm_inverted_index", "B31", llm_inverted_index, LLM_INVERTED_INDEX_SQL)
 )
+
+
+# ---------------------------------------------------------- MMR rerank
+_MMR_K = 4
+_MMR_POOL = 8
+_MMR_NUM, _MMR_DEN = 7, 10
+_MMR_NQ = 3  # queries = vec_id < 3, corpus = the rest
+
+
+def llm_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 extension — Maximal Marginal Relevance diversity reranking
+    (operators/similarity.py mmr_rerank): per query, greedy top-4
+    from an exact top-8 cosine pool, score 7·rel − 3·max-sim-to-
+    selected on the floor(cos·1e9) fixed-point grid. The RAG context
+    stage between retrieval and the prompt window; every round is
+    integer-exact so the unrolled SQL oracle replays the selection
+    order bit-for-bit."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _MMR_NQ)
+    data = emb.filter(F.col("vec_id") >= _MMR_NQ)
+    return mmr_rerank(
+        data, queries, k=_MMR_K, pool=_MMR_POOL,
+        lam_num=_MMR_NUM, lam_den=_MMR_DEN,
+    )
+
+
+def _mmr_sql() -> str:
+    qd = "CAST(floor(CAST(d.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    qq = "CAST(floor(CAST(q.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    qx = "CAST(floor(CAST(ex.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    qy = "CAST(floor(CAST(ey.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    anti = _MMR_DEN - _MMR_NUM
+    parts = [
+        f"""sc AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+    CAST(list_sum(list_transform(generate_series(1, len(d.embedding)),
+         i -> {qd} * {qq})) AS DOUBLE)
+    / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(d.embedding)),
+              i -> {qd} * {qd})) AS DOUBLE))
+       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+              i -> {qq} * {qq})) AS DOUBLE))) AS cosine
+  FROM embeddings q JOIN embeddings d
+    ON q.vec_id < {_MMR_NQ} AND d.vec_id >= {_MMR_NQ})""",
+        f"""p0 AS MATERIALIZED (
+  SELECT query_id, vec_id,
+         CAST(floor(cosine * 1000000000.0) AS BIGINT) AS qrel
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+  WHERE rnk <= {_MMR_POOL})""",
+        f"""pr AS MATERIALIZED (
+  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+    CAST(floor(
+      CAST(list_sum(list_transform(generate_series(1, len(ex.embedding)),
+           i -> {qx} * {qy})) AS DOUBLE)
+      / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(ex.embedding)),
+                i -> {qx} * {qx})) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(generate_series(1, len(ey.embedding)),
+                i -> {qy} * {qy})) AS DOUBLE)))
+      * 1000000000.0) AS BIGINT) AS qsim
+  FROM p0 x
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN p0 y ON y.query_id = x.query_id AND y.vec_id <> x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id)""",
+        f"""s1 AS MATERIALIZED (
+  SELECT query_id, vec_id, 1 AS mmr_rank,
+         CAST({_MMR_NUM} * qrel AS BIGINT) AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY qrel DESC, vec_id) AS rn FROM p0)
+  WHERE rn = 1)""",
+    ]
+    for t in range(2, _MMR_K + 1):
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT pr.query_id, pr.a AS vec_id, max(pr.qsim) AS maxsim
+  FROM pr JOIN s{t - 1} s ON s.query_id = pr.query_id AND s.vec_id = pr.b
+  GROUP BY 1, 2),
+c{t} AS MATERIALIZED (
+  SELECT m.query_id, m.vec_id,
+         CAST({_MMR_NUM} * p.qrel - {anti} * m.maxsim AS BIGINT) AS mmr
+  FROM m{t} m JOIN p0 p ON p.query_id = m.query_id AND p.vec_id = m.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM s{t - 1} s
+                    WHERE s.query_id = m.query_id AND s.vec_id = m.vec_id)),
+s{t} AS MATERIALIZED (
+  SELECT * FROM s{t - 1}
+  UNION ALL
+  SELECT query_id, vec_id, {t} AS mmr_rank, mmr AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY mmr DESC, vec_id) AS rn FROM c{t})
+  WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id, mmr_rank, mmr_score FROM s{_MMR_K}"""
+    )
+
+
+PROBES.append(Probe("llm_mmr_rerank", "B30", llm_mmr_rerank, _mmr_sql()))

@@ -1168,3 +1168,99 @@ def test_dsir_weights_matches_python_reference(spark):
     rows = sorted((r["sel_rank"], r["doc_id"]) for r in sel.collect())
     by_score = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))[:2]
     assert rows == [(i + 1, doc_id) for i, (doc_id, _) in enumerate(by_score)]
+
+
+def test_mmr_rerank_prefers_diverse_over_duplicate(spark):
+    """MMR rank 2 skips a near-duplicate of the first pick in favor
+    of a more diverse, slightly-less-relevant candidate; pure
+    relevance order would pick the duplicate."""
+    from ark_invest_api_rust_data_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),           # query
+        (10, [0.9, 0.4, 0.0]),          # relevant (rank-1 by id tie-break)
+        (11, [0.9, 0.41, 0.0]),         # near-duplicate of 10 (sim ~ 1)
+        (12, [0.9, -0.4, 0.0]),         # equally relevant, anti-correlated
+        (13, [0.1, 0.0, 0.99]),         # diverse but barely relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries, data = df.filter("vec_id = 0"), df.filter("vec_id >= 10")
+    got = {
+        r["mmr_rank"]: r["vec_id"]
+        for r in mmr_rerank(data, queries, k=3, pool=4).collect()
+    }
+    assert got[1] == 10
+    assert got[2] == 12  # not the near-duplicate 11: 7·rel ties, 3·sim decides
+    assert got[3] == 11  # relevance reclaims rank 3 over the barely-relevant 13
+
+
+def test_mmr_rerank_matches_sequential_reference(spark):
+    """Random vectors: the distributed greedy equals a sequential
+    reference that replays the exact fixed-point pipeline (mu-grid
+    quantization, index-order integer dot, IEEE sqrt/divide, then
+    floor(cos*1e9) and the 7/3 integer trade-off)."""
+    import math
+    import random
+
+    from ark_invest_api_rust_data_spark.operators.similarity import (
+        Q,
+        SIM_Q,
+        mmr_rerank,
+    )
+
+    rng = random.Random(3)
+    n, dim, nq, k, pool = 40, 8, 3, 5, 9
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    queries = df.filter(f"vec_id < {nq}")
+    data = df.filter(f"vec_id >= {nq}")
+    got = sorted(
+        (r["query_id"], r["mmr_rank"], r["vec_id"], r["mmr_score"])
+        for r in mmr_rerank(data, queries, k=k, pool=pool).collect()
+    )
+
+    def qz(v):
+        return [math.floor(x * float(Q)) for x in v]
+
+    def cos(a, b):
+        qa, qb = qz(a), qz(b)
+        dot = 0
+        for x, y in zip(qa, qb):
+            dot += x * y
+        na = 0
+        for x in qa:
+            na += x * x
+        nb = 0
+        for y in qb:
+            nb += y * y
+        return float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+
+    want = []
+    for qid in range(nq):
+        scored = sorted(
+            ((cos(vecs[qid], vecs[c]), c) for c in range(nq, n)),
+            key=lambda t: (-t[0], t[1]),
+        )[:pool]
+        cand = {c: math.floor(s * SIM_Q) for s, c in scored}
+        sel = []
+        for rank in range(1, k + 1):
+            best = None
+            for c in cand:
+                if c in [s for s, _ in sel]:
+                    continue
+                score = 7 * cand[c]
+                if sel:
+                    score -= 3 * max(
+                        math.floor(cos(vecs[c], vecs[s]) * SIM_Q)
+                        for s, _ in sel
+                    )
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            sel.append((best[1], best[2]))
+            want.append((qid, rank, best[1], best[2]))
+    assert got == sorted(want)
