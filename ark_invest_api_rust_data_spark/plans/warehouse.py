@@ -177,3 +177,60 @@ PROBES = [
     Probe("b07_table_profile", "B7-B8", b07_table_profile, B07_PROFILE_SQL),
     Probe("b07_expectations", "B7", b07_expectations, B07_EXPECT_SQL),
 ]
+
+
+# ----------------------------------------- incremental matview refresh
+def w02_matview_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """S2/B7 extension — incremental materialized-view maintenance
+    (operators/matview.py): a (status, month) COUNT/SUM aggregate is
+    materialized over snapshot v1 of orders, then a churn cycle lands
+    (every 17th key deleted, every key ≡3 mod 10 repriced 2×); the
+    view is refreshed from the row-level CDC delta alone — the base
+    table is never rescanned. The oracle is the FULL RECOMPUTE over
+    the new snapshot, so the gate proves refresh ≡ recompute exactly
+    (decimal measures; delete+insert update encoding, the
+    diff_lake_versions contract)."""
+    from ..operators.matview import matview_build, matview_refresh
+
+    orders = load_table(spark, sf, "orders")
+    v1 = orders
+    v2 = orders.filter(F.col("o_orderkey") % 17 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    group_cols = ["status", "month"]
+    keyed = lambda df: df.select(  # noqa: E731
+        F.col("o_orderstatus").alias("status"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    measures = {"total": F.col("price")}
+    base = matview_build(keyed(v1), group_cols, measures)
+    ins = keyed(v2).exceptAll(keyed(v1)).withColumn("op", F.lit("insert"))
+    dels = keyed(v1).exceptAll(keyed(v2)).withColumn("op", F.lit("delete"))
+    refreshed = matview_refresh(
+        base, ins.unionByName(dels), group_cols, measures
+    )
+    return refreshed.select(
+        "status", "month", "n_rows", F.col("total").cast("double").alias("total")
+    )
+
+
+W02_MATVIEW_SQL = """
+WITH v2 AS (
+  SELECT o_orderstatus, o_orderdate,
+         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 17 <> 0)
+SELECT o_orderstatus AS status,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM v2 GROUP BY 1, 2
+"""
+
+PROBES.append(
+    Probe("w02_matview_refresh", "S2-B7", w02_matview_refresh, W02_MATVIEW_SQL)
+)
