@@ -175,3 +175,78 @@ FROM r
 
 
 PROBES.append(Probe("llm_kmins_distinct", "B9", llm_kmins_distinct, _kmins_sql()))
+
+
+# ------------------------------------------------ corpus overlap sketch
+_OVERLAP_K = 64
+
+
+def llm_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """B9/B29 extension — cross-corpus contamination estimate
+    (operators/sketch.corpus_overlap): the 3-shingle sets of the
+    lang='en' and non-English corpus halves, each reduced to a
+    64-register k-mins sketch (one narrow pass, ONE row per corpus),
+    merged by elementwise min into the union sketch;
+    inclusion–exclusion gives the intersection and an integer-ppm
+    Jaccard. The 'is this crawl already in the training set?' signal
+    without a shingle join."""
+    from ..operators.dedup import word_shingles
+    from ..operators.sketch import corpus_overlap
+
+    docs = load_table(spark, sf, "documents")
+    sh = docs.select(
+        "lang", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    return corpus_overlap(
+        sh.filter(F.col("lang") == "en").select("sh"),
+        sh.filter(F.col("lang") != "en").select("sh"),
+        "sh",
+        k=_OVERLAP_K,
+    )
+
+
+def _overlap_sql() -> str:
+    from ..operators.sketch import KMINS_M, sql_kmins_positions
+
+    k = _OVERLAP_K
+    num = (k - 1) * KMINS_M
+    pos = sql_kmins_positions(k, "h")
+    gram = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+    sh = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(w) - 2, 1)), i -> {gram}))"
+    )
+
+    def reg(side: str, pred: str) -> str:
+        mins = ",\n    ".join(f"min({e}) AS m{i}" for i, e in enumerate(pos))
+        return f"""{side} AS (
+  SELECT {mins}
+  FROM (SELECT {_sql_hash('s')} AS h
+        FROM (SELECT unnest({sh}) AS s
+              FROM (SELECT {_W} AS w FROM documents WHERE {pred}))
+        WHERE s IS NOT NULL))"""
+
+    sum_a = " + ".join(f"ra.m{i}" for i in range(k))
+    sum_b = " + ".join(f"rb.m{i}" for i in range(k))
+    sum_u = " + ".join(f"least(ra.m{i}, rb.m{i})" for i in range(k))
+
+    def est(s: str) -> str:
+        return f"greatest(0, {num} // greatest({s}, 1) - 1)"
+
+    return f"""
+WITH {reg('ra', "lang = 'en'")},
+{reg('rb', "lang <> 'en'")}
+SELECT CAST({est(sum_a)} AS BIGINT) AS est_a,
+       CAST({est(sum_b)} AS BIGINT) AS est_b,
+       CAST({est(sum_u)} AS BIGINT) AS est_union,
+       CAST(greatest(0, {est(sum_a)} + {est(sum_b)} - {est(sum_u)}) AS BIGINT)
+         AS est_intersection,
+       CAST((1000000 * greatest(0, {est(sum_a)} + {est(sum_b)} - {est(sum_u)}))
+         // greatest({est(sum_u)}, 1) AS BIGINT) AS jaccard_ppm
+FROM ra, rb
+"""
+
+
+PROBES.append(
+    Probe("llm_corpus_overlap", "B9", llm_corpus_overlap, _overlap_sql())
+)

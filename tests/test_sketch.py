@@ -230,3 +230,54 @@ def test_bloom_arrow_assembly_equals_expression_tier(spark, monkeypatch):
     )
     assert probed == 500  # no false negatives, ever
 
+
+
+def test_corpus_overlap_identical_corpora(spark):
+    """A corpus sketched against itself: union register equals both
+    inputs, inclusion-exclusion returns est_a exactly, jaccard = 1e6
+    ppm (pure integer path, no estimator noise in the ratio)."""
+    from ark_invest_api_rust_data_spark.operators.sketch import corpus_overlap
+
+    keys = spark.createDataFrame(
+        [(f"tok{i} tok{i+1} tok{i+2}",) for i in range(200)], "sh string"
+    )
+    row = corpus_overlap(keys, keys, "sh", k=32).collect()[0]
+    assert row["est_a"] == row["est_b"] == row["est_union"]
+    assert row["est_intersection"] == row["est_a"]
+    assert row["jaccard_ppm"] == 1_000_000
+
+
+def test_corpus_overlap_matches_python_registers(spark):
+    """Registers and every derived estimate equal a sequential replay
+    of py_kmins_positions + py_kmins_estimate over two overlapping
+    key sets — including the inclusion-exclusion clamp."""
+    from ark_invest_api_rust_data_spark.operators.sketch import (
+        corpus_overlap,
+        py_kmins_estimate,
+        py_kmins_positions,
+    )
+
+    k = 16
+    a_keys = [f"k{i}" for i in range(150)]
+    b_keys = [f"k{i}" for i in range(100, 250)]  # 50-key overlap
+    dfa = spark.createDataFrame([(s,) for s in a_keys], "sh string")
+    dfb = spark.createDataFrame([(s,) for s in b_keys], "sh string")
+    row = corpus_overlap(dfa, dfb, "sh", k=k).collect()[0]
+
+    def regs(keys):
+        mins = [None] * k
+        for s in keys:
+            for i, p in enumerate(py_kmins_positions(s, k)):
+                if mins[i] is None or p < mins[i]:
+                    mins[i] = p
+        return mins
+
+    ra, rb = regs(a_keys), regs(b_keys)
+    ru = [min(x, y) for x, y in zip(ra, rb)]
+    ea, eb, eu = (py_kmins_estimate(r) for r in (ra, rb, ru))
+    inter = max(0, ea + eb - eu)
+    assert (row["est_a"], row["est_b"], row["est_union"]) == (ea, eb, eu)
+    assert row["est_intersection"] == inter
+    assert row["jaccard_ppm"] == (1_000_000 * inter) // max(eu, 1)
+    # sanity: estimates in the ~1/sqrt(k-2) error band of the truth
+    assert abs(ea - 150) < 150 * 0.8 and abs(eu - 250) < 250 * 0.8
