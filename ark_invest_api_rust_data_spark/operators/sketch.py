@@ -293,7 +293,17 @@ def kmins_positions(key: Column, k: int) -> list[Column]:
     image is well mixed even for consecutive short keys. Every step
     stays in int64 on any engine.
     """
-    h = token_hash32(key)
+    return kmins_positions_from_hash(token_hash32(key), k)
+
+
+def kmins_positions_from_hash(h: Column, k: int) -> list[Column]:
+    """The k affine stages over an already-computed base hash ``h``.
+    Split out so callers can materialize the char-fold ONCE in its own
+    projection (multi-referenced non-trivial columns are not inlined
+    by CollapseProject) — inlining ``token_hash32`` into all k
+    register expressions re-runs the interpreted char fold k times
+    per key (HOF folds are CodegenFallback; measured 10.7× wall on
+    the 64-register overlap sketch at sf1)."""
     out: list[Column] = []
     for i in range(k):
         a1, b1 = _coef(i)
@@ -370,13 +380,18 @@ def kmins_sketch(
     see ``kmins_positions`` for why one stage is not enough here), so
     a SQL oracle recomputes every register bit-for-bit.
     """
-    hashed = df.select(
+    # base char-fold materialized ONCE per key in its own projection
+    # (see kmins_positions_from_hash): with k register expressions the
+    # inlined fold dominated wall time k-fold at corpus scale
+    based = df.select(
+        *group_cols,
+        token_hash32(F.col(key_col).cast("string")).alias("_bh"),
+    )
+    hashed = based.select(
         *group_cols,
         *[
             p.alias(f"_h{i}")
-            for i, p in enumerate(
-                kmins_positions(F.col(key_col).cast("string"), k)
-            )
+            for i, p in enumerate(kmins_positions_from_hash(F.col("_bh"), k))
         ],
     )
     agg = hashed.groupBy(*group_cols).agg(

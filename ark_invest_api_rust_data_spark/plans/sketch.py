@@ -190,10 +190,13 @@ def llm_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
     inclusion–exclusion gives the intersection and an integer-ppm
     Jaccard. The 'is this crawl already in the training set?' signal
     without a shingle join."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import _spread, word_shingles
     from ..operators.sketch import corpus_overlap
 
-    docs = load_table(spark, sf, "documents")
+    # _spread BEFORE the explode: documents.parquet arrives in a
+    # handful of row groups, and a 2-partition scan serializes the
+    # whole char-fold/register pipeline (measured 2 tasks at sf1)
+    docs = _spread(load_table(spark, sf, "documents"))
     sh = docs.select(
         "lang", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
     )

@@ -130,6 +130,14 @@ HEADLINE = [
     "llm_ivf_incremental",
     "llm_hashed_features",
     "llm_semantic_dedup_incr",
+    # round-8 session 2: DSIR importance selection, k-core link-graph
+    # signal, MMR diversity reranking, incremental matview refresh,
+    # k-mins cross-corpus overlap
+    "llm_dsir_weights",
+    "graph_kcore",
+    "llm_mmr_rerank",
+    "w02_matview_refresh",
+    "llm_corpus_overlap",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
