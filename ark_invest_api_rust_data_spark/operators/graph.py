@@ -499,25 +499,36 @@ def kcore(
     nbr = canon.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")).union(
         canon.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
     )
-    cur = mat.cut(nbr)
-    prev_cnt = cur.count()
+    # One up-front co-location on _u: the per-round degree groupBy
+    # then reuses the partitioning (zero exchange), and broadcast
+    # anti-join rounds preserve it — after round 1 the edge list never
+    # crosses the network again.
+    cur = mat.cut(nbr.repartition("_u"))
     for _ in range(rounds):
-        keep = (
+        # Filter via the REMOVED set, not the keep set: peeling
+        # removes most nodes in round 1 and a trickle afterwards, so
+        # the removed frame is tiny from round 2 on and AQE turns both
+        # anti-joins into broadcasts — the edge list stops shuffling
+        # entirely (a keep-set semi-join re-exchanges O(E) every
+        # round). Nodes absent from the degree table have no edges in
+        # ``cur``, so anti-vs-removed ≡ semi-vs-kept.
+        removed = mat.cut(  # materialized: read by the count + BOTH joins
             cur.groupBy("_u")
             .agg(F.count("*").alias("_deg"))
-            .filter(F.col("_deg") >= k)
+            .filter(F.col("_deg") < k)
             .select("_u")
         )
-        nxt = cur.join(keep, "_u", "semi").join(
-            keep.select(F.col("_u").alias("_v")), "_v", "semi"
+        if removed.limit(1).count() == 0:
+            mat.release(removed)
+            break  # every degree >= k: fixpoint
+        nxt = mat.cut(
+            cur.join(removed, "_u", "anti").join(
+                removed.select(F.col("_u").alias("_v")), "_v", "anti"
+            )
         )
-        nxt = mat.cut(nxt)
-        cnt = nxt.count()
+        mat.release(removed)
         mat.release(cur)
         cur = nxt
-        if cnt == prev_cnt:
-            break  # no edge removed -> every degree >= k: fixpoint
-        prev_cnt = cnt
     out = mat.cut(
         cur.groupBy("_u")
         .agg(F.count("*").alias("deg"))
