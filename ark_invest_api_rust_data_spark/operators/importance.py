@@ -147,3 +147,38 @@ def dsir_select(
         "sel_rank",
         F.row_number().over(Window.orderBy(F.desc("dsir_score"), F.col(id_col))),
     )
+
+
+def dsir_select_threshold(
+    weights: DataFrame,
+    keep_frac: float,
+    score_col: str = "dsir_score",
+) -> DataFrame:
+    """Proportional-budget selection: keep every document whose score
+    reaches the (1−keep_frac) score percentile — the lake-scale tier
+    next to ``dsir_select``'s bounded top-k (a keep-30%-of-100 TB
+    budget cannot rank globally, but a threshold is one histogram
+    pass + a broadcast scalar).
+
+    The cut is ``percentile_disc``'s rule (smallest value whose
+    cume_dist ≥ p) computed over the per-VALUE histogram — shuffle is
+    O(distinct scores), never O(docs) (the operators/percentile.py
+    argument); ties at the threshold are kept, so the selected
+    fraction is ≥ keep_frac by at most the tie mass. Exact: integer
+    scores, one int/int double division against the literal p."""
+    if not 0 < keep_frac <= 1:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    p = 1.0 - keep_frac
+    hist = weights.groupBy(score_col).agg(F.count("*").alias("_c"))
+    w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    # the histogram window holds one row per DISTINCT score — bounded
+    # by the score domain (sum of per-token lambdas), not corpus size
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy())
+    )
+    thr = cum.filter(
+        F.col("_cum").cast("double") / F.col("_n").cast("double") >= F.lit(p)
+    ).agg(F.min(score_col).alias("_thr"))
+    return weights.join(F.broadcast(thr), F.col(score_col) >= F.col("_thr")).drop(
+        "_thr"
+    )

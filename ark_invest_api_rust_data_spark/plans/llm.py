@@ -1465,3 +1465,49 @@ FROM r WHERE sel_rank <= {_DSIR_BUDGET}
 
 
 PROBES.append(Probe("llm_dsir_weights", "B31", llm_dsir_weights, _dsir_sql()))
+
+
+_DSIR_KEEP = 0.25
+
+
+def llm_dsir_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — the proportional-budget DSIR tier
+    (operators/importance.dsir_select_threshold): keep every document
+    at or above the 75th score percentile. No global rank anywhere —
+    one O(distinct scores) histogram + a broadcast threshold scalar,
+    the shape that still works when the keep-budget is 30% of a
+    lake. percentile_disc's cut rule, ties kept."""
+    from ..operators.importance import dsir_select_threshold, dsir_weights
+
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, d=_DSIR_D, shift=_DSIR_SHIFT)
+    return dsir_select_threshold(w, keep_frac=_DSIR_KEEP)
+
+
+def _dsir_threshold_sql() -> str:
+    h = _sql_hash("tok")
+    scale = 1 << _DSIR_SHIFT
+    return f"""
+WITH t AS (SELECT doc_id, lang, unnest({_W}) AS tok FROM documents),
+tb AS (SELECT doc_id, lang, CAST({h} % {_DSIR_D} AS INTEGER) AS bucket
+       FROM t WHERE tok <> ''),
+cr AS (SELECT bucket, count(*) AS cr FROM tb GROUP BY 1),
+ct AS (SELECT bucket, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+lam AS (SELECT cr.bucket,
+          CAST(length(bin(greatest(
+            ((coalesce(ct.ct, 0) + 1) * {scale}) // (cr.cr + 1), 1)))
+            - 1 - {_DSIR_SHIFT} AS BIGINT) AS lam
+        FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket),
+sc AS (SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(lam.lam) AS BIGINT) AS dsir_score
+       FROM tb JOIN lam ON tb.bucket = lam.bucket GROUP BY 1),
+thr AS (SELECT percentile_disc({1 - _DSIR_KEEP}) WITHIN GROUP
+               (ORDER BY dsir_score) AS t FROM sc)
+SELECT doc_id, n_tokens, dsir_score FROM sc, thr WHERE dsir_score >= thr.t
+"""
+
+
+PROBES.append(
+    Probe("llm_dsir_threshold", "B31", llm_dsir_threshold, _dsir_threshold_sql())
+)

@@ -1264,3 +1264,28 @@ def test_mmr_rerank_matches_sequential_reference(spark):
             sel.append((best[1], best[2]))
             want.append((qid, rank, best[1], best[2]))
     assert got == sorted(want)
+
+
+def test_dsir_select_threshold_percentile_rule(spark):
+    """Threshold selection keeps exactly the rows at/above the
+    percentile_disc cut, including ties, and matches Spark's builtin
+    percentile_disc on the same scores."""
+    from ark_invest_api_rust_data_spark.operators.importance import (
+        dsir_select_threshold,
+    )
+
+    scores = [1, 2, 2, 3, 5, 5, 5, 8, 9, 10]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "doc_id long, dsir_score long"
+    )
+    got = sorted(r["doc_id"] for r in dsir_select_threshold(df, 0.3).collect())
+    import pyspark.sql.functions as F
+
+    thr = df.select(
+        F.expr(
+            "percentile_disc(0.7) WITHIN GROUP (ORDER BY dsir_score)"
+        ).alias("t")
+    ).collect()[0]["t"]
+    want = sorted(i for i, s in enumerate(scores) if s >= thr)
+    assert got == want
+    assert len(got) >= 3  # at least keep_frac * n
