@@ -90,3 +90,57 @@ def contamination_overlap(
         F.countDistinct("shingle").alias("n_shingle_hits"),
         F.countDistinct("bench_id").alias("n_bench_docs"),
     )
+
+
+def pair_ngram_overlap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """ROUGE-style n-gram overlap metrics for candidate pairs — the
+    verification stage AFTER a near-dup/contamination detector: LSH
+    and sketches nominate pairs cheaply; this scores each nominated
+    pair exactly so a reviewer (or an eviction policy) can rank them.
+
+    Per pair: distinct n-gram set sizes ``n_a``/``n_b``, ``n_inter``,
+    ``n_union``, plus ``jaccard`` and the asymmetric containments
+    ``containment_a`` (share of A's grams found in B — ROUGE-recall
+    with B as reference) and ``containment_b``. Containment is the
+    right contamination signal when sizes differ: a benchmark item
+    fully embedded in a long training doc has low Jaccard but
+    containment ≈ 1 (Broder 1997's containment vs resemblance).
+
+    Exactness: set sizes are ints; ratios int/int double divisions.
+
+    Scale shape: ``pairs`` is detector output — O(near-dups), orders
+    of magnitude below the corpus — so the two id-joins that attach
+    shingle arrays are hash joins whose probe side is small (AQE
+    broadcasts it under the threshold); the intersect/union math is
+    per-row JVM expressions, no shuffle beyond the joins."""
+    from .dedup import word_shingles
+
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias(a_col), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias(b_col), F.col("_sh").alias("_sb"))
+    joined = pairs.select(a_col, b_col).join(a, a_col).join(b, b_col)
+    n_a = F.size("_sa")
+    n_b = F.size("_sb")
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    n_union = F.size(F.array_union("_sa", "_sb"))
+    return joined.select(
+        a_col,
+        b_col,
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_inter.alias("n_inter"),
+        n_union.alias("n_union"),
+        (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
+        (n_inter.cast("double") / n_a.cast("double")).alias("containment_a"),
+        (n_inter.cast("double") / n_b.cast("double")).alias("containment_b"),
+    )

@@ -1511,3 +1511,49 @@ SELECT doc_id, n_tokens, dsir_score FROM sc, thr WHERE dsir_score >= thr.t
 PROBES.append(
     Probe("llm_dsir_threshold", "B31", llm_dsir_threshold, _dsir_threshold_sql())
 )
+
+
+def llm_pair_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """B29/B31 extension — exact overlap verification of the LSH
+    detector's nominated pairs (operators/contamination.py
+    pair_ngram_overlap): per pair the distinct 3-gram set sizes,
+    Jaccard, and Broder-style asymmetric containments — the metric
+    that catches a benchmark item embedded in a long training doc
+    (low Jaccard, containment ≈ 1). Pairs are detector output, so the
+    shingle-attach joins probe with a small side."""
+    from ..operators.contamination import pair_ngram_overlap
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, materialize=True)
+    return pair_ngram_overlap(docs, pairs, n=3)
+
+
+def _pair_overlap_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(3)} AS s
+  FROM (SELECT doc_id, {_W} AS w FROM documents)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5)
+SELECT doc_a, doc_b,
+  CAST(len(sa) AS INTEGER) AS n_a,
+  CAST(len(sb) AS INTEGER) AS n_b,
+  CAST(len(list_intersect(sa, sb)) AS INTEGER) AS n_inter,
+  CAST(len(list_distinct(sa || sb)) AS INTEGER) AS n_union,
+  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+    / CAST(len(list_distinct(sa || sb)) AS DOUBLE) AS jaccard,
+  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+    / CAST(len(sa) AS DOUBLE) AS containment_a,
+  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+    / CAST(len(sb) AS DOUBLE) AS containment_b
+FROM p
+"""
+
+
+PROBES.append(
+    Probe("llm_pair_overlap", "B29", llm_pair_overlap, _pair_overlap_sql())
+)

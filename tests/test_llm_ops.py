@@ -1289,3 +1289,32 @@ def test_dsir_select_threshold_percentile_rule(spark):
     want = sorted(i for i, s in enumerate(scores) if s >= thr)
     assert got == want
     assert len(got) >= 3  # at least keep_frac * n
+
+
+def test_pair_ngram_overlap_containment_vs_jaccard(spark):
+    """A short doc fully embedded in a long one: low Jaccard but
+    containment_a = 1.0 (Broder's resemblance-vs-containment split);
+    metrics match a sequential set computation exactly."""
+    from ark_invest_api_rust_data_spark.operators.contamination import (
+        pair_ngram_overlap,
+    )
+
+    short = "alpha beta gamma delta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = pair_ngram_overlap(docs, pairs, n=2).collect()[0]
+
+    def grams(text, n=2):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    ga, gb = grams(short), grams(short + " " + filler)
+    inter, union = ga & gb, ga | gb
+    assert (row["n_a"], row["n_b"]) == (len(ga), len(gb))
+    assert (row["n_inter"], row["n_union"]) == (len(inter), len(union))
+    assert row["containment_a"] == 1.0
+    assert row["jaccard"] == len(inter) / len(union) < 0.1
+    assert row["containment_b"] == len(inter) / len(gb)
