@@ -745,3 +745,77 @@ def mmr_rerank(
         .cogroup(pairs.groupBy("_pqid"))
         .applyInPandas(lambda left, right: greedy(left, right), schema)
     )
+
+
+# -------------------------------------------------- sparse JL projection
+
+
+def jl_sign_matrix(
+    in_dim: int, out_dim: int, seed: int = 42
+) -> list[list[int]]:
+    """Deterministic sparse Achlioptas projection matrix: entry (j, i)
+    ∈ {−1, 0, +1} with density 1/3 (Achlioptas 2003 — the database-
+    friendly JL construction; E[s²]=2/3 scales all dots by the same
+    constant, irrelevant to cosine). Signs come from the same integer
+    fold as ``_hyperplane`` — a plan-time Python constant, so BOTH
+    engines receive literal coefficients and there is nothing to keep
+    in sync at runtime."""
+    mat = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = 0
+            for ch in f"jl:{seed}:{j}:{i}":
+                h = (h * 31 + ord(ch)) % 4294967296
+            r = h % 6
+            row.append(1 if r == 0 else (-1 if r == 1 else 0))
+        mat.append(row)
+    return mat
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction on the μ-grid:
+    ``proj_j = Σ_i s(j,i) · floor(v_i · 1e6)`` — exact int64, so the
+    projected space keeps the engine-reproducibility contract of
+    every downstream ANN tier (feed the output to knn_join/IVF with
+    the projected arrays as integer 'embeddings' ÷ 1e6).
+
+    Why at 100 TB: every ANN stage (IVF training pairs, PQ codebooks,
+    pairwise verify) is linear in dim — projecting 1024-d embeddings
+    to 64-d once cuts all of it ~16× at a documented recall cost
+    (JL: distortion ~ 1/√out_dim), and the projection itself is a
+    zero-shuffle narrow map.
+
+    Plan shape: the sign matrix is baked in as literals at plan-build
+    time (out_dim unrolled sums of ±element_at — whole-stage codegen,
+    no HOF fold, no hash evaluation per row); rows with a wrong-width
+    vector raise via ANSI element_at rather than silently projecting
+    a prefix."""
+    if not (in_dim >= 1 and out_dim >= 1):
+        raise ValueError(f"dims must be >= 1, got in={in_dim} out={out_dim}")
+    mat = jl_sign_matrix(in_dim, out_dim, seed)
+    q = _quantize(F.col(vec_col))
+    outs = []
+    for j in range(out_dim):
+        term = None
+        for i, s in enumerate(mat[j]):
+            if s == 0:
+                continue
+            e = F.element_at(q, i + 1)
+            t = e if s == 1 else -e
+            term = t if term is None else term + t
+        outs.append(
+            (term if term is not None else F.lit(0).cast("long")).alias(
+                f"_p{j}"
+            )
+        )
+    return df.select(F.col(id_col), *outs).select(
+        id_col, F.array(*[f"_p{j}" for j in range(out_dim)]).alias("proj")
+    )

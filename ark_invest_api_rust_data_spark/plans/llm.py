@@ -1557,3 +1557,43 @@ FROM p
 PROBES.append(
     Probe("llm_pair_overlap", "B29", llm_pair_overlap, _pair_overlap_sql())
 )
+
+
+# ------------------------------------------------ JL projection
+_JL_IN, _JL_OUT, _JL_SEED = 64, 16, 42
+
+
+def llm_jl_project(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 extension — sparse Johnson–Lindenstrauss projection
+    (operators/similarity.jl_project): 64-d embeddings to 16 exact
+    int64 coordinates via a plan-time-literal Achlioptas sign matrix
+    (density 1/3). The dim-reduction front for every ANN tier — a
+    zero-shuffle narrow map whose whole-stage-codegen plan has no HOF
+    fold and no per-row hash."""
+    from ..operators.similarity import jl_project
+
+    emb = load_table(spark, sf, "embeddings")
+    return jl_project(emb, in_dim=_JL_IN, out_dim=_JL_OUT, seed=_JL_SEED)
+
+
+def _jl_sql() -> str:
+    from ..operators.similarity import jl_sign_matrix
+
+    mat = jl_sign_matrix(_JL_IN, _JL_OUT, _JL_SEED)
+    qe = "CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1000000.0) AS BIGINT)"
+    cols = []
+    for j in range(_JL_OUT):
+        terms = []
+        for i, s in enumerate(mat[j]):
+            if s == 0:
+                continue
+            e = qe.format(i=i + 1)
+            terms.append(f"+ {e}" if s == 1 else f"- {e}")
+        cols.append("CAST(0 AS BIGINT) " + " ".join(terms) if terms else "CAST(0 AS BIGINT)")
+    arr = "[" + ",\n ".join(cols) + "]"
+    return f"""
+SELECT vec_id, {arr} AS proj FROM embeddings
+"""
+
+
+PROBES.append(Probe("llm_jl_project", "B30", llm_jl_project, _jl_sql()))

@@ -1318,3 +1318,66 @@ def test_pair_ngram_overlap_containment_vs_jaccard(spark):
     assert row["containment_a"] == 1.0
     assert row["jaccard"] == len(inter) / len(union) < 0.1
     assert row["containment_b"] == len(inter) / len(gb)
+
+
+def test_jl_project_matches_reference_and_preserves_geometry(spark):
+    """jl_project equals a sequential replay of the literal sign
+    matrix on the mu-grid; and across the real embeddings the
+    projected cosine tracks the original cosine within the JL
+    distortion band (rank-correlation sanity, not a tight bound)."""
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.similarity import (
+        Q,
+        jl_project,
+        jl_sign_matrix,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in jl_project(emb, in_dim=64, out_dim=16).collect()
+    }
+    mat = jl_sign_matrix(64, 16)
+    for vid, v in list(rows.items())[:25]:
+        qv = [math.floor(x * float(Q)) for x in v]
+        want = [
+            sum(s * qv[i] for i, s in enumerate(mat[j]) if s != 0)
+            for j in range(16)
+        ]
+        assert got[vid] == want
+
+    # geometry: planted clusters survive the projection — within-
+    # cluster projected cosine stays far above cross-cluster (the JL
+    # property that makes projected-space ANN recall work)
+    import random
+
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(3)]
+    vecs = []
+    for ci, c in enumerate(centers):
+        for m in range(5):
+            vecs.append(
+                (ci * 10 + m, [x + rng.uniform(-0.05, 0.05) for x in c])
+            )
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pv = {
+        r["vec_id"]: list(r["proj"])
+        for r in jl_project(vdf, in_dim=64, out_dim=16).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    within = [
+        cos(pv[c * 10 + i], pv[c * 10 + j])
+        for c in range(3)
+        for i in range(5)
+        for j in range(i + 1, 5)
+    ]
+    across = [
+        cos(pv[0 * 10 + i], pv[2 * 10 + j]) for i in range(5) for j in range(5)
+    ]
+    assert min(within) > max(across)
