@@ -326,3 +326,53 @@ def pack_sequences(
         start.alias("start_offset"),
         F.floor(start / F.lit(budget)).cast("long").alias("pack_id"),
     )
+
+
+def group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group, keep the
+    k rows whose id hash ranks lowest (ties on id) — the eval-set /
+    spot-check constructor ("give me 50 docs from every domain") with
+    the same reproducibility contract as split_assign: content-
+    independent, engine-portable, stable under re-partitioning.
+
+    Returns (group_col, id_col, sample_rank), rank 1..k by hash
+    order; join back on the id for full rows.
+
+    Scale shape: a row_number window per group would sort EVERY
+    group's full row set through one reducer (the knn_join hot-key
+    argument); this is the salted two-phase top-k instead — per
+    (group, salt) partial top-k via sorted-struct arrays, then a
+    final ≤ n_salts·k merge per group. Shuffle carries at most
+    n_salts·k rows per group regardless of group size."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = token_hash32(F.col(id_col).cast("string"))
+    scored = df.select(
+        F.col(group_col),
+        F.struct(
+            h.alias("_h"), F.col(id_col).cast("long").alias("_id")
+        ).alias("_e"),
+        F.pmod(F.hash(id_col), F.lit(n_salts)).alias("_salt"),
+    )
+    partial = scored.groupBy(group_col, "_salt").agg(
+        F.slice(F.array_sort(F.collect_list("_e")), 1, k).alias("_top")
+    )
+    merged = partial.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias(
+            "_top"
+        )
+    )
+    ex = merged.select(
+        group_col, F.posexplode("_top").alias("_pos", "_e")
+    )
+    return ex.select(
+        group_col,
+        F.col("_e._id").alias(id_col),
+        (F.col("_pos") + 1).alias("sample_rank"),
+    )

@@ -189,3 +189,37 @@ PROBES = [
     ),
     Probe("llm_shard_assign", "B31", llm_shard_assign, LLM_SHARD_ASSIGN_SQL),
 ]
+
+
+_GS_K = 5
+
+
+def llm_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — deterministic k-per-group sampling
+    (operators/sampling.group_sample): 5 docs per source domain by id
+    hash order, the reproducible eval-set constructor. Salted
+    two-phase top-k, so no group ever concentrates its full row set
+    on one reducer."""
+    from ..operators.sampling import group_sample
+
+    docs = load_table(spark, sf, "documents")
+    return group_sample(docs, k=_GS_K, group_col="source", id_col="doc_id")
+
+
+def _group_sample_sql() -> str:
+    from .llm import _sql_hash
+
+    h = _sql_hash("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {h}, doc_id) AS sample_rank
+  FROM documents)
+SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= {_GS_K}
+"""
+
+
+PROBES.append(
+    Probe("llm_group_sample", "B31", llm_group_sample, _group_sample_sql())
+)

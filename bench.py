@@ -138,6 +138,9 @@ HEADLINE = [
     "llm_mmr_rerank",
     "w02_matview_refresh",
     "llm_corpus_overlap",
+    "llm_dsir_threshold",
+    "llm_pair_overlap",
+    "llm_jl_project",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

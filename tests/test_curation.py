@@ -337,3 +337,35 @@ def test_temperature_mix_sharded_equals_window(spark):
         temperature_mix(df, budget=1, tier="nope")
     with _pytest.raises(ValueError):
         temperature_mix(df, budget=1, tier="sharded", shards=1)
+
+
+def test_group_sample_matches_hash_order_reference(spark):
+    """group_sample equals the sequential per-group hash-order top-k,
+    including hash ties broken on id; every group with >= k rows
+    yields exactly k, smaller groups yield all rows."""
+    from ark_invest_api_rust_data_spark.operators.sampling import group_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    k = 4
+    got = sorted(
+        (r["source"], r["sample_rank"], r["doc_id"])
+        for r in group_sample(df, k=k).collect()
+    )
+
+    def h32(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % 4294967296
+        return h
+
+    want = []
+    groups = {}
+    for i, g in rows:
+        groups.setdefault(g, []).append(i)
+    for g, ids in groups.items():
+        ordered = sorted(ids, key=lambda i: (h32(str(i)), i))[:k]
+        want += [(g, r + 1, i) for r, i in enumerate(ordered)]
+    assert got == sorted(want)
+    assert ("tiny", 1, 100) in got
+    assert len([t for t in got if t[0] == "g0"]) == k
