@@ -123,7 +123,17 @@ def pair_ngram_overlap(
     per-row JVM expressions, no shuffle beyond the joins."""
     from .dedup import word_shingles
 
-    sh = docs.select(
+    # Shingle ONLY pair-touched documents: pairs are detector output
+    # (orders of magnitude below the corpus), so semi-joining first
+    # turns the shingle stage from O(corpus) array-builds into
+    # O(pairs) — measured 52 s → O(seconds) at sf1 where the full-
+    # corpus shingle pass dominated.
+    touched = (
+        pairs.select(F.col(a_col).alias(id_col))
+        .union(pairs.select(F.col(b_col).alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(touched, id_col, "semi").select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
     )
     a = sh.select(F.col(id_col).alias(a_col), F.col("_sh").alias("_sa"))

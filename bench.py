@@ -141,6 +141,7 @@ HEADLINE = [
     "llm_dsir_threshold",
     "llm_pair_overlap",
     "llm_jl_project",
+    "llm_group_sample",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
