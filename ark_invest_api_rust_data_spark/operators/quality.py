@@ -165,3 +165,63 @@ def validate_expectations(df: DataFrame, spec: list[dict]) -> DataFrame:
     for ex in parts[1:]:
         out = out.union(ex)
     return out
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    c_num: int = 3,
+    c_den: int = 1,
+) -> DataFrame:
+    """Median/MAD outlier detection per group — the robust z-score
+    (Hampel filter) every data-quality sweep runs before trusting a
+    numeric column: a value is an outlier when
+
+        |x − median| · c_den > c_num · MAD,
+        MAD = median(|x − median|)
+
+    Mean/stddev break down exactly when needed most (the outliers
+    drag both); median and MAD have a 50% breakdown point. Returns
+    one row per group: ``med``, ``mad``, ``n_rows``, ``n_outliers``,
+    ``outlier_ppm``.
+
+    Determinism: both medians are ``percentile_disc`` picks of actual
+    values through the histogram tier (operators/percentile.py — the
+    per-group shuffle is O(distinct values), no full-group reducer
+    concentration); |x − med| is one IEEE subtract, the threshold
+    compare one multiply each side — identical operands on every
+    engine. The cutoff constant enters as the integer pair
+    c_num/c_den so no float literal drifts.
+
+    NULL values are excluded from median, MAD, and the outlier count
+    but counted in ``n_rows`` (percentile_disc's null semantics).
+    """
+    from .percentile import exact_percentile_hist
+
+    if c_num < 0 or c_den < 1:
+        raise ValueError(f"need c_num >= 0, c_den >= 1; got {c_num}/{c_den}")
+    med = exact_percentile_hist(df, group_cols, value_col, {"med": 0.5})
+    with_med = df.join(med, group_cols)
+    dev = with_med.withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = exact_percentile_hist(dev, group_cols, "_adev", {"mad": 0.5})
+    scored = dev.join(mad, group_cols)
+    is_out = (
+        F.col(value_col).isNotNull()
+        & (F.col("_adev") * F.lit(c_den) > F.lit(c_num) * F.col("mad"))
+    )
+    return (
+        scored.groupBy(*group_cols)
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count("*").alias("n_rows"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_ppm",
+            F.expr("CAST(1000000 * n_outliers AS BIGINT) div n_rows"),
+        )
+    )

@@ -234,3 +234,49 @@ FROM v2 GROUP BY 1, 2
 PROBES.append(
     Probe("w02_matview_refresh", "S2-B7", w02_matview_refresh, W02_MATVIEW_SQL)
 )
+
+
+# ------------------------------------------------- robust outliers
+def b07_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """B7/B8 extension — Hampel-filter outlier scan
+    (operators/quality.robust_outliers): per order-status
+    median/MAD of o_totalprice and the 3-MAD outlier rate. Both
+    medians run through the histogram percentile tier (O(distinct
+    values) shuffle, no group concentration); the threshold compare
+    is IEEE-identical on both engines."""
+    from ..operators.quality import robust_outliers
+
+    orders = load_table(spark, sf, "orders")
+    return robust_outliers(
+        orders, "o_totalprice", ["o_orderstatus"], c_num=3, c_den=1
+    )
+
+
+B07_ROBUST_SQL = """
+WITH med AS (
+  SELECT o_orderstatus,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+  FROM orders GROUP BY 1),
+dev AS (
+  SELECT o.o_orderstatus, o.o_totalprice, m.med,
+         abs(o.o_totalprice - m.med) AS adev
+  FROM orders o JOIN med m USING (o_orderstatus)),
+mad AS (
+  SELECT o_orderstatus,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY 1)
+SELECT d.o_orderstatus, any_value(d.med) AS med, any_value(t.mad) AS mad,
+       count(*) AS n_rows,
+       CAST(SUM(CASE WHEN d.o_totalprice IS NOT NULL
+                      AND d.adev * 1 > 3 * t.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST((1000000 * SUM(CASE WHEN d.o_totalprice IS NOT NULL
+                                 AND d.adev * 1 > 3 * t.mad THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS outlier_ppm
+FROM dev d JOIN mad t USING (o_orderstatus)
+GROUP BY 1
+"""
+
+PROBES.append(
+    Probe("b07_robust_outliers", "B7-B8", b07_robust_outliers, B07_ROBUST_SQL)
+)

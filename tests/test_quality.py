@@ -140,3 +140,46 @@ def test_row_local_constraints_share_one_scan(spark, df):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1
+
+
+def test_robust_outliers_matches_sequential_reference(spark):
+    """robust_outliers equals a sequential median/MAD computation
+    with percentile_disc semantics (lower-median on even counts),
+    including a planted extreme value, an all-inlier group, and NULL
+    handling (excluded from medians and outlier counts, included in
+    n_rows)."""
+    from ark_invest_api_rust_data_spark.operators.quality import robust_outliers
+
+    rows = (
+        [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]]
+        + [("b", float(v)) for v in [4, 5, 6, 7]]
+        + [("b", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: (
+            r["med"], r["mad"], r["n_rows"], r["n_outliers"], r["outlier_ppm"]
+        )
+        for r in robust_outliers(df, "x", ["g"], c_num=3, c_den=1).collect()
+    }
+
+    def disc(vals, p=0.5):
+        vals = sorted(vals)
+        import math
+        # smallest value whose cume_dist >= p
+        n = len(vals)
+        for i, v in enumerate(vals):
+            if (i + 1) / n >= p:
+                return v
+
+    want = {}
+    for g in ("a", "b"):
+        vals = [x for gg, x in rows if gg == g and x is not None]
+        n_rows = sum(1 for gg, _ in rows if gg == g)
+        med = disc(vals)
+        mad = disc([abs(x - med) for x in vals])
+        n_out = sum(1 for x in vals if abs(x - med) > 3 * mad)
+        want[g] = (med, mad, n_rows, n_out, 10**6 * n_out // n_rows)
+    assert got == want
+    assert got["a"][3] == 1  # the planted 1000 is the only outlier
+    assert got["b"][3] == 0 and got["b"][2] == 5  # null in n_rows only
