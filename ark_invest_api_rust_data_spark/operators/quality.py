@@ -225,3 +225,69 @@ def robust_outliers(
             F.expr("CAST(1000000 * n_outliers AS BIGINT) div n_rows"),
         )
     )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bucket_width: int,
+    shift: int = 20,
+) -> DataFrame:
+    """PSI-style distribution drift between two snapshots of a numeric
+    column — the monitoring signal that catches silent upstream
+    changes (schema holds, values move) before they poison training.
+
+    Fixed-width buckets (``floor(value / bucket_width)`` — boundaries
+    independent of either snapshot, so A/B and B/A bucket
+    identically); per bucket the counts, ppm shares, an EXACT integer
+    log2 share-ratio (the DSIR bit-length primitive over
+    (p_ppm+1)/(q_ppm+1)) and the population-stability contribution
+
+        psi_contrib = (p_ppm − q_ppm) · lam      (int64, exact)
+
+    Σ psi_contrib is the scaled PSI analog: 0 for identical
+    distributions, growing with divergence. Buckets observed in only
+    one snapshot get count 0 on the other side (full outer join) —
+    the +1 smoothing keeps the ratio finite, same as the published
+    PSI practice of flooring empty buckets.
+
+    Scale shape: two map-side-combined bucket counts (O(buckets)
+    rows each) + one tiny full-outer join; nothing else touches the
+    snapshots. All-integer output — the SQL oracle replays every
+    bucket bit-for-bit."""
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    if not 0 < shift < 43:
+        raise ValueError(f"shift must be in (0, 43), got {shift}")
+
+    def counts(df: DataFrame, out: str):
+        b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count("*").alias(out))
+        )
+
+    ca, cb = counts(df_a, "cnt_a"), counts(df_b, "cnt_b")
+    na = df_a.filter(F.col(value_col).isNotNull()).count()
+    nb = df_b.filter(F.col(value_col).isNotNull()).count()
+    if na == 0 or nb == 0:
+        raise ValueError(f"empty snapshot: n_a={na}, n_b={nb}")
+    joined = ca.join(cb, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long").alias("cnt_b"),
+    )
+    shares = joined.withColumns(
+        {
+            "p_ppm": F.expr(f"(1000000 * cnt_a) div {na}"),
+            "q_ppm": F.expr(f"(1000000 * cnt_b) div {nb}"),
+        }
+    )
+    x = F.expr(f"greatest(((p_ppm + 1) * {1 << shift}) div (q_ppm + 1), 1)")
+    lam = (F.length(F.bin(x)) - F.lit(1) - F.lit(shift)).cast("long")
+    return shares.withColumn("lam", lam).withColumn(
+        "psi_contrib",
+        ((F.col("p_ppm") - F.col("q_ppm")) * F.col("lam")).cast("long"),
+    )

@@ -280,3 +280,65 @@ GROUP BY 1
 PROBES.append(
     Probe("b07_robust_outliers", "B7-B8", b07_robust_outliers, B07_ROBUST_SQL)
 )
+
+
+# ------------------------------------------------ distribution drift
+_DRIFT_CUT = "1995-07-01"
+_DRIFT_W = 50000
+
+
+def b07_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """B7 extension — PSI-style drift scan
+    (operators/quality.distribution_drift): order totals before vs
+    after a calendar cut, fixed-width buckets, exact integer ppm
+    shares and bit-length log2 ratios. The silent-upstream-change
+    monitor; two O(buckets) aggregations and nothing else."""
+    from ..operators.quality import distribution_drift
+
+    orders = load_table(spark, sf, "orders")
+    cut = F.lit(_DRIFT_CUT).cast("date")
+    a = orders.filter(F.col("o_orderdate") < cut)
+    b = orders.filter(F.col("o_orderdate") >= cut)
+    return distribution_drift(a, b, "o_totalprice", bucket_width=_DRIFT_W)
+
+
+def _drift_sql() -> str:
+    shift = 20
+    return f"""
+WITH a AS (SELECT o_totalprice AS v FROM orders
+           WHERE o_orderdate < TIMESTAMP '{_DRIFT_CUT}'
+             AND o_totalprice IS NOT NULL),
+b AS (SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_DRIFT_CUT}'
+        AND o_totalprice IS NOT NULL),
+ga AS (SELECT CAST(floor(v / {_DRIFT_W}) AS BIGINT) AS bucket,
+              count(*) AS cnt_a FROM a GROUP BY 1),
+gb AS (SELECT CAST(floor(v / {_DRIFT_W}) AS BIGINT) AS bucket,
+              count(*) AS cnt_b FROM b GROUP BY 1),
+na AS (SELECT count(*) AS n FROM a),
+nb AS (SELECT count(*) AS n FROM b),
+j AS (SELECT coalesce(ga.bucket, gb.bucket) AS bucket,
+             coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+      FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket),
+s AS (SELECT bucket, cnt_a, cnt_b,
+             (1000000 * cnt_a) // (SELECT n FROM na) AS p_ppm,
+             (1000000 * cnt_b) // (SELECT n FROM nb) AS q_ppm
+      FROM j)
+SELECT bucket, cnt_a, cnt_b, p_ppm, q_ppm,
+  CAST(length(bin(greatest(((p_ppm + 1) * {1 << shift}) // (q_ppm + 1), 1)))
+       - 1 - {shift} AS BIGINT) AS lam,
+  CAST((p_ppm - q_ppm)
+       * (length(bin(greatest(((p_ppm + 1) * {1 << shift}) // (q_ppm + 1), 1)))
+          - 1 - {shift}) AS BIGINT) AS psi_contrib
+FROM s
+"""
+
+
+PROBES.append(
+    Probe(
+        "b07_distribution_drift",
+        "B7",
+        b07_distribution_drift,
+        _drift_sql(),
+    )
+)

@@ -183,3 +183,46 @@ def test_robust_outliers_matches_sequential_reference(spark):
     assert got == want
     assert got["a"][3] == 1  # the planted 1000 is the only outlier
     assert got["b"][3] == 0 and got["b"][2] == 5  # null in n_rows only
+
+
+def test_distribution_drift_identical_and_shifted(spark):
+    """Identical snapshots give zero PSI everywhere; a shifted
+    snapshot produces positive total drift; one-sided buckets appear
+    with a zero count on the missing side. Contributions match a
+    sequential integer replay."""
+    from ark_invest_api_rust_data_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    a_vals = [5.0, 15.0, 15.0, 25.0, 25.0, 25.0]
+    b_vals = [15.0, 25.0, 25.0, 35.0, 35.0, 35.0]
+    dfa = spark.createDataFrame([(v,) for v in a_vals], "x double")
+    dfb = spark.createDataFrame([(v,) for v in b_vals], "x double")
+
+    same = distribution_drift(dfa, dfa, "x", bucket_width=10).collect()
+    assert all(r["psi_contrib"] == 0 and r["lam"] == 0 for r in same)
+
+    rows = {
+        r["bucket"]: r
+        for r in distribution_drift(dfa, dfb, "x", bucket_width=10).collect()
+    }
+
+    def replay(ca, cb, na, nb, shift=20):
+        p = 10**6 * ca // na
+        q = 10**6 * cb // nb
+        lam = max(((p + 1) << shift) // (q + 1), 1).bit_length() - 1 - shift
+        return p, q, lam, (p - q) * lam
+
+    from collections import Counter
+
+    Ca = Counter(int(v // 10) for v in a_vals)
+    Cb = Counter(int(v // 10) for v in b_vals)
+    for bkt in set(Ca) | set(Cb):
+        p, q, lam, contrib = replay(Ca.get(bkt, 0), Cb.get(bkt, 0), 6, 6)
+        r = rows[bkt]
+        assert (r["p_ppm"], r["q_ppm"], r["lam"], r["psi_contrib"]) == (
+            p, q, lam, contrib,
+        )
+    assert rows[0]["cnt_b"] == 0  # bucket only in A
+    assert rows[3]["cnt_a"] == 0  # bucket only in B
+    assert sum(r["psi_contrib"] for r in rows.values()) > 0
