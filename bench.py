@@ -142,6 +142,8 @@ HEADLINE = [
     "llm_pair_overlap",
     "llm_jl_project",
     "llm_group_sample",
+    "b07_robust_outliers",
+    "b07_distribution_drift",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

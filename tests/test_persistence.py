@@ -133,3 +133,21 @@ def test_dedup_clusters_and_kmeans_and_bpe_reliable_parity(spark, tmp_path):
     assert bpe_learn(docs, n_merges=3) == bpe_learn(
         docs, n_merges=3, checkpoint_dir=str(tmp_path / "bpe")
     )
+
+
+def test_kcore_reliable_tier_parity_and_cleanup(spark, tmp_path):
+    from ark_invest_api_rust_data_spark.operators.graph import kcore
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k4 + chain, "src long, dst long")
+    base = sorted(map(tuple, kcore(edges, k=2, rounds=16).collect()))
+    assert base  # the K4 survives
+    d = str(tmp_path / "ckpt")
+    rel = kcore(edges, k=2, rounds=16, checkpoint_dir=d)
+    assert sorted(map(tuple, rel.collect())) == base
+    # superseded rounds + removed-sets released: only the final
+    # survivor frame's checkpoint remains
+    assert len(_rdd_checkpoint_dirs(d)) == 1
+    _drop_all_blocks(rel)
+    assert sorted(map(tuple, rel.collect())) == base
