@@ -272,7 +272,17 @@ def distribution_drift(
     ca, cb = counts(df_a, "cnt_a"), counts(df_b, "cnt_b")
     na = df_a.filter(F.col(value_col).isNotNull()).count()
     nb = df_b.filter(F.col(value_col).isNotNull()).count()
-    if na == 0 or nb == 0:
+    return drift_report(ca, cb, na, nb, shift=shift)
+
+
+def drift_report(
+    ca: DataFrame, cb: DataFrame, na: int, nb: int, shift: int = 20
+) -> DataFrame:
+    """The report half of ``distribution_drift``, over precomputed
+    (bucket, cnt_a)/(bucket, cnt_b) frames and totals — split out so a
+    streaming monitor can freeze the reference side's counts ONCE and
+    fold only each micro-batch's buckets (streaming/drift.py)."""
+    if na <= 0 or nb <= 0:
         raise ValueError(f"empty snapshot: n_a={na}, n_b={nb}")
     joined = ca.join(cb, "bucket", "full_outer").select(
         "bucket",
@@ -290,4 +300,18 @@ def distribution_drift(
     return shares.withColumn("lam", lam).withColumn(
         "psi_contrib",
         ((F.col("p_ppm") - F.col("q_ppm")) * F.col("lam")).cast("long"),
+    )
+
+
+def bucket_counts(
+    df: DataFrame, value_col: str, bucket_width: int, out: str
+) -> DataFrame:
+    """Fixed-width bucket histogram of a numeric column — the unit
+    both drift sides are built from (NULLs excluded, same rule as
+    ``distribution_drift``)."""
+    b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias(out))
     )

@@ -226,3 +226,86 @@ def test_distribution_drift_identical_and_shifted(spark):
     assert rows[0]["cnt_b"] == 0  # bucket only in A
     assert rows[3]["cnt_a"] == 0  # bucket only in B
     assert sum(r["psi_contrib"] for r in rows.values()) > 0
+
+
+def test_drift_stream_per_batch_reports(spark, tmp_path):
+    """The streaming monitor scores every micro-batch independently
+    against the frozen reference: batch 0 (same distribution) reports
+    ~zero PSI mass; batch 1 (shifted) reports positive mass; each
+    report equals the batch-level distribution_drift run, and replay
+    overwrites its own partition idempotently."""
+    import os
+
+    from ark_invest_api_rust_data_spark.operators.quality import (
+        distribution_drift,
+    )
+    from ark_invest_api_rust_data_spark.streaming.drift import (
+        drift_batch,
+        freeze_reference,
+        start_drift_stream,
+    )
+
+    ref_vals = [float(v) for v in (5, 5, 15, 15, 25, 25)]
+    batches = [
+        [(float(v),) for v in (5, 15, 25)],        # same shape
+        [(float(v),) for v in (45, 45, 55, 55)],   # shifted
+    ]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    hist, n = freeze_reference(ref, "x", 10)
+    assert n == 6 and hist == [(0, 2), (1, 2), (2, 2)]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"part{i}.parquet")
+        spark.createDataFrame(rows, "x double").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+    out = str(tmp_path / "out")
+    q = start_drift_stream(
+        spark,
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet"),
+        hist,
+        n,
+        "x",
+        10,
+        out_root=out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    def report(i):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{out}/drift/src=b{i}")
+                .select("bucket", "cnt_a", "cnt_b", "psi_contrib")
+                .collect(),
+            )
+        )
+
+    r0, r1 = report(0), report(1)
+    assert sum(abs(r[3]) for r in r0) <= sum(abs(r[3]) for r in r1)
+    assert sum(r[3] for r in r1) > 0  # shifted batch: positive mass
+    # equals the batch-level operator on the same pair
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "x double")
+        want = sorted(
+            map(
+                tuple,
+                distribution_drift(ref, b, "x", 10)
+                .select("bucket", "cnt_a", "cnt_b", "psi_contrib")
+                .collect(),
+            )
+        )
+        assert report(i) == want
+    # replay idempotency: re-scoring batch 0 overwrites identically
+    b0 = spark.createDataFrame(batches[0], "x double")
+    drift_batch(spark, b0, hist, n, "x", 10).write.mode("overwrite").parquet(
+        f"{out}/drift/src=b0"
+    )
+    assert report(0) == r0
