@@ -144,3 +144,56 @@ PROBES = [
     Probe("s04_json_roundtrip", "S3-S5", s04_json_roundtrip, _RT_SQL),
     Probe("s05_orc_roundtrip", "S3-S5", s05_orc_roundtrip, _RT_SQL),
 ]
+
+
+# ------------------------------------------- parquet aggregate pushdown
+def s08_agg_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 extension — metadata-only aggregation: with
+    ``spark.sql.parquet.aggregatePushdown`` on, unfiltered
+    COUNT/MIN/MAX compile to a footer read (PushedAggregation in the
+    scan; plan-asserted by tests/test_plans.py) — the 100 TB "how big
+    is this table" query that never touches a data page. The conf is
+    scoped to the build and restored (other probes measure real
+    scans)."""
+    confs = {
+        # pushdown only exists on the v2 ParquetScan; parquet sits in
+        # the v1 list by default
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf, "lineitem")
+        out = li.agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_okey"),
+            F.max("l_orderkey").alias("max_okey"),
+            F.min("l_partkey").alias("min_pkey"),
+            F.max("l_partkey").alias("max_pkey"),
+        )
+        # force planning under the scoped confs — the physical plan
+        # (with PushedAggregation) is frozen into the returned frame
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+S08_AGG_PUSHDOWN_SQL = """
+SELECT count(*) AS n_rows,
+       min(l_orderkey) AS min_okey,
+       max(l_orderkey) AS max_okey,
+       min(l_partkey) AS min_pkey,
+       max(l_partkey) AS max_pkey
+FROM lineitem
+"""
+
+PROBES.append(
+    Probe("s08_agg_pushdown", "S1-S2", s08_agg_pushdown, S08_AGG_PUSHDOWN_SQL)
+)

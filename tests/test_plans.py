@@ -421,3 +421,20 @@ def test_ann_join_query_side_broadcasts_and_no_cartesian(spark):
     # the candidate join must be the equi-join on `cluster`, not a
     # post-filtered cross join
     assert "cluster" in plan
+
+
+def test_agg_pushdown_plan_reads_footers_only(spark, sf_dir):
+    """s08_agg_pushdown's frozen plan must carry PushedAggregation
+    (COUNT/MIN/MAX answered from parquet footers — no data pages);
+    and the scoped conf must be restored afterwards so other probes
+    keep measuring real scans."""
+    from ark_invest_api_rust_data_spark.plans.formats import s08_agg_pushdown
+
+    key = "spark.sql.parquet.aggregatePushdown"
+    before = spark.conf.get(key, "false")
+    df = s08_agg_pushdown(spark, sf_dir)
+    assert spark.conf.get(key, "false") == before  # conf restored
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" in plan and "COUNT(*)" in plan
+    row = df.collect()[0]
+    assert row["n_rows"] > 0 and row["min_okey"] <= row["max_okey"]
