@@ -694,3 +694,45 @@ def _release_checkpoint(df: DataFrame) -> None:
         df._jdf.logicalPlan().rdd().unpersist(False)
     except Exception:
         pass
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST canonical document per dedup cluster — the eviction
+    policy step after ``dedup_clusters``: real pipelines keep the
+    longest / highest-quality variant, not the smallest id (the
+    boilerplate-laden copy often has the lowest id because it was
+    crawled first).
+
+    ``clusters`` is (id, cluster) as produced by ``dedup_clusters`` /
+    ``connected_components``; ``scores`` carries (id, score). Returns
+    (cluster, id, score, n_members) with the (score DESC, id ASC)
+    argmax per cluster.
+
+    Scale shape: argmax via one struct-max aggregation (score, −id) —
+    map-side combined, O(clusters) output, NO per-cluster window, so
+    a pathological giant cluster (site-wide boilerplate) costs one
+    combiner cell instead of a single-reducer sort. Requires
+    non-negative ids (the negation trick); raises otherwise would be
+    silent — callers with signed ids should re-key first."""
+    joined = clusters.join(scores, id_col)
+    agg = joined.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("_s"),
+                (-F.col(id_col)).alias("_nid"),
+            )
+        ).alias("_m"),
+        F.count("*").alias("n_members"),
+    )
+    return agg.select(
+        cluster_col,
+        (-F.col("_m._nid")).cast("long").alias(id_col),
+        F.col("_m._s").alias(score_col),
+        "n_members",
+    )

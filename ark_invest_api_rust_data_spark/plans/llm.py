@@ -1597,3 +1597,39 @@ SELECT vec_id, {arr} AS proj FROM embeddings
 
 
 PROBES.append(Probe("llm_jl_project", "B30", llm_jl_project, _jl_sql()))
+
+
+def llm_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 endgame #2 — keep-BEST representative per near-dup cluster
+    (operators/dedup.cluster_representatives): the longest variant
+    (n_chars, ties on id) survives, via one struct-max aggregation —
+    no per-cluster window, so a site-wide boilerplate cluster costs a
+    combiner cell, not a single-reducer sort."""
+    from ..operators.dedup import cluster_representatives, dedup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, materialize=True)
+    clusters = dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+    return cluster_representatives(
+        clusters, docs.select("doc_id", "n_chars"), score_col="n_chars"
+    )
+
+
+def _cluster_reps_sql() -> str:
+    base = LLM_CLUSTERS_SQL.strip().removesuffix(
+        "SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node"
+    )
+    return f"""{base},
+cl AS (SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node),
+sc AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+              row_number() OVER (PARTITION BY cl.cluster_id
+                                 ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
+              count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+       FROM cl JOIN documents d USING (doc_id))
+SELECT cluster_id, doc_id, n_chars, n_members FROM sc WHERE rn = 1
+"""
+
+
+PROBES.append(Probe("llm_cluster_reps", "B29", llm_cluster_reps, _cluster_reps_sql()))

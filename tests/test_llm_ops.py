@@ -1381,3 +1381,30 @@ def test_jl_project_matches_reference_and_preserves_geometry(spark):
         cos(pv[0 * 10 + i], pv[2 * 10 + j]) for i in range(5) for j in range(5)
     ]
     assert min(within) > max(across)
+
+
+def test_cluster_representatives_keep_best(spark):
+    """Keep-best picks the (score DESC, id ASC) argmax per cluster —
+    NOT the smallest id — with exact member counts; ties on score
+    break to the smaller id."""
+    from ark_invest_api_rust_data_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (7, 200), (8, 200)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 5)],
+        "doc_id long, n_chars long",
+    )
+    got = sorted(
+        map(
+            tuple,
+            cluster_representatives(clusters, scores, "n_chars").collect(),
+        )
+    )
+    # cluster 100: score tie 99 between 2 and 3 -> id 2; cluster 200:
+    # tie 5 between 7 and 8 -> id 7
+    assert got == [(100, 2, 99, 3), (200, 7, 5, 2)]
