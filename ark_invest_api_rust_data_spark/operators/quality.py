@@ -315,3 +315,71 @@ def bucket_counts(
         .groupBy(b.alias("bucket"))
         .agg(F.count("*").alias(out))
     )
+
+
+def moments_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    cents: int = 100,
+) -> DataFrame:
+    """Higher-moment column profiling per group: mean, population
+    variance, skewness, and excess kurtosis — the distribution-shape
+    half of ANALYZE that min/max/distinct (b07_table_profile) cannot
+    see; the drift monitor's scalar companion.
+
+    Exactness contract: the value is fixed-pointed to integer
+    'cents' (floor(x·cents) — one double multiply + floor, identical
+    both engines), then the four power sums accumulate in
+    decimal(38,0) — EXACT, no float reassociation (the
+    cluster_diversity fold). The derived moments are doubles computed
+    from identical decimal-cast operands in a pinned expression
+    order, so they hash-match cross-engine:
+
+        mean  = s1/n
+        m2    = s2/n − mean²            (population variance)
+        skew  = (s3/n − 3·mean·s2/n + 2·mean³) / m2^1.5
+        kurt  = (s4/n − 4·mean·s3/n + 6·mean²·s2/n − 3·mean⁴)/m2² − 3
+
+    Bounds: |x·cents| < ~3e9 keeps x⁴ ≤ 8e37 < 10³⁸ per row; the
+    decimal sums never clip below 10³⁸ total. NULLs excluded; groups
+    with m2 = 0 report NULL skew/kurt (division by zero → NULL on
+    both engines).
+
+    Scale shape: ONE map-side-combined aggregation — four decimal
+    sums + a count per group; O(groups) output."""
+    c = F.floor(F.col(value_col).cast("double") * F.lit(float(cents))).cast(
+        "decimal(38,0)"
+    )
+    rows = df.filter(F.col(value_col).isNotNull())
+    agg = rows.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("_s1"),
+        F.sum(c * c).alias("_s2"),
+        F.sum(c * c * c).alias("_s3"),
+        F.sum(c * c * c * c).alias("_s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    # explicit m2>0 gate (constant group): ANSI Spark raises on /0 and
+    # engines disagree on double-/0 semantics — NULL is the contract
+    return agg.select(
+        *group_cols,
+        "n",
+        mean.alias("mean_c"),
+        m2.alias("var_c"),
+        F.when(m2 > 0, m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis"),
+    )

@@ -342,3 +342,53 @@ PROBES.append(
         _drift_sql(),
     )
 )
+
+
+# ------------------------------------------------ moment profiling
+def b07_moments_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """B7/B8 extension — distribution-shape profiling
+    (operators/quality.moments_profile): mean/variance/skewness/
+    kurtosis of order totals per status from four exact decimal(38,0)
+    power sums of the cent-quantized value; derived doubles share one
+    pinned expression tree with the oracle (DuckDB accumulates in
+    HUGEINT — same exact integers, same final doubles)."""
+    from ..operators.quality import moments_profile
+
+    orders = load_table(spark, sf, "orders")
+    return moments_profile(orders, "o_totalprice", ["o_orderstatus"])
+
+
+B07_MOMENTS_SQL = """
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0) AS HUGEINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL),
+s AS (
+  SELECT o_orderstatus,
+         count(*) AS n,
+         CAST(CAST(sum(v) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+         CAST(CAST(sum(v * v) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
+         CAST(CAST(sum(v * v * v) AS DECIMAL(38,0)) AS DOUBLE) AS s3,
+         CAST(CAST(sum(v * v * v * v) AS DECIMAL(38,0)) AS DOUBLE) AS s4,
+         CAST(count(*) AS DOUBLE) AS nd
+  FROM c GROUP BY 1)
+SELECT o_orderstatus, n,
+  s1 / nd AS mean_c,
+  s2 / nd - (s1 / nd) * (s1 / nd) AS var_c,
+  CASE WHEN s2 / nd - (s1 / nd) * (s1 / nd) > 0 THEN
+    (s3 / nd - 3.0 * (s1 / nd) * (s2 / nd)
+      + 2.0 * (s1 / nd) * (s1 / nd) * (s1 / nd))
+    / ((s2 / nd - (s1 / nd) * (s1 / nd))
+       * sqrt(s2 / nd - (s1 / nd) * (s1 / nd))) END AS skewness,
+  CASE WHEN s2 / nd - (s1 / nd) * (s1 / nd) > 0 THEN
+    (s4 / nd - 4.0 * (s1 / nd) * (s3 / nd)
+      + 6.0 * (s1 / nd) * (s1 / nd) * (s2 / nd)
+      - 3.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd))
+    / ((s2 / nd - (s1 / nd) * (s1 / nd))
+       * (s2 / nd - (s1 / nd) * (s1 / nd))) - 3.0 END AS kurtosis
+FROM s
+"""
+
+PROBES.append(
+    Probe("b07_moments_profile", "B7-B8", b07_moments_profile, B07_MOMENTS_SQL)
+)

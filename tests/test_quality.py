@@ -309,3 +309,56 @@ def test_drift_stream_per_batch_reports(spark, tmp_path):
         f"{out}/drift/src=b0"
     )
     assert report(0) == r0
+
+
+def test_moments_profile_matches_sequential_reference(spark):
+    """moments_profile equals a sequential replay (integer cent power
+    sums -> the same pinned double expressions): a symmetric group has
+    ~0 skew, a one-sided-outlier group positive skew and high
+    kurtosis; a constant group reports NULL skew/kurt (m2=0)."""
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.quality import moments_profile
+
+    rows = (
+        [("sym", float(v)) for v in (1, 2, 2, 3, 3, 4, 4, 5)]
+        + [("skew", float(v)) for v in (1, 1, 1, 1, 1, 1, 1, 50)]
+        + [("const", 7.0)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: (r["n"], r["mean_c"], r["var_c"], r["skewness"], r["kurtosis"])
+        for r in moments_profile(df, "x", ["g"]).collect()
+    }
+
+    def ref(vals):
+        cs = [math.floor(v * 100.0) for v in vals]
+        n = float(len(cs))
+        s1, s2 = float(sum(cs)), float(sum(c * c for c in cs))
+        s3, s4 = float(sum(c**3 for c in cs)), float(sum(c**4 for c in cs))
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+        m4 = (
+            s4 / n
+            - 4.0 * mean * (s3 / n)
+            + 6.0 * mean * mean * (s2 / n)
+            - 3.0 * mean * mean * mean * mean
+        )
+        skew = m3 / (m2 * math.sqrt(m2)) if m2 > 0 else None
+        kurt = m4 / (m2 * m2) - 3.0 if m2 > 0 else None
+        return (len(cs), mean, m2, skew, kurt)
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        n, mean, m2, skew, kurt = ref(vals)
+        gn, gmean, gvar, gskew, gkurt = got[g]
+        assert (gn, gmean, gvar) == (n, mean, m2)
+        if skew is None:
+            assert gskew is None and gkurt is None
+        else:
+            assert gskew == skew and gkurt == kurt
+    assert abs(got["sym"][3]) < 1e-9  # symmetric
+    assert got["skew"][3] > 2  # heavy right tail
