@@ -144,6 +144,9 @@ HEADLINE = [
     "llm_group_sample",
     "b07_robust_outliers",
     "b07_distribution_drift",
+    "s08_agg_pushdown",
+    "llm_cluster_reps",
+    "b07_moments_profile",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
