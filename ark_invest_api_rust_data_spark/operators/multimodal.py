@@ -1395,3 +1395,32 @@ def frame_sample(
             yield out
 
     return df.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+def audio_energy_fingerprint(samples: list[int], frame: int = 2) -> tuple[int, int]:
+    """Haitsma–Kalker-style robust audio fingerprint (ISMIR 2002,
+    simplified to one band): frame the PCM stream, per-frame energy
+    Σs² (exact int), fingerprint bit f = [E_f > E_{f−1}] — the
+    energy-DELTA signs survive volume scaling and mild noise, which
+    is what makes it a dedup key rather than a checksum. Returns
+    (n_frames, fingerprint) with bit f−1 at weight 2^(f−1); requires
+    n_frames ≤ 64 per window (callers fingerprint fixed-size windows,
+    not whole tracks — the streaming shape).
+
+    Pure integer math (the decode_wav int16 samples squared and
+    summed), so the SQL oracle replays every bit from the source
+    characters."""
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+    n_frames = len(samples) // frame
+    if n_frames > 64:
+        raise ValueError(f"too many frames for one window: {n_frames} > 64")
+    energies = [
+        sum(s * s for s in samples[f * frame : (f + 1) * frame])
+        for f in range(n_frames)
+    ]
+    fp = 0
+    for f in range(1, n_frames):
+        if energies[f] > energies[f - 1]:
+            fp |= 1 << (f - 1)
+    return n_frames, fp

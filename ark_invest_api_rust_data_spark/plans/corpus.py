@@ -1405,3 +1405,83 @@ GROUP BY 1, 2
 """
 
 PROBES.append(Probe("llm_gram_matrix", "B30", llm_gram_matrix, LLM_GRAM_SQL))
+
+
+# --------------------------------------------- audio fingerprint tier
+_AFP_FRAME = 2
+
+
+def llm_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """B32 extension — robust audio near-dup fingerprints
+    (operators/multimodal.audio_energy_fingerprint, the
+    Haitsma–Kalker energy-delta scheme): each doc's synthetic PCM16
+    window goes through the REAL WAV encode→decode round-trip, then
+    per-frame energies and delta-sign bits — all exact integers, so
+    the oracle rebuilds every bit straight from the characters. The
+    audio half of the pHash near-dup story: fingerprints band-join at
+    corpus scale exactly like image hashes.
+
+    Scale shape: 2-col pruned scan → narrow mapInPandas — no
+    shuffle."""
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        audio_energy_fingerprint,
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= 32)
+        .select("doc_id", F.substring("text", 1, 32).alias("t32"))
+    )
+    schema = "doc_id long, n_frames int, fingerprint long"
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t32"]):
+                samples = [(ord(c) * 997 % 256 - 128) * 256 for c in t]
+                decoded = decode_wav(encode_wav(8000, 1, samples))
+                if decoded is None:
+                    raise ValueError(f"WAV decode failed for doc {doc_id}")
+                _, _, s = decoded
+                n_frames, fp = audio_energy_fingerprint(s, frame=_AFP_FRAME)
+                rows.append((doc_id, n_frames, fp))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "fingerprint"]
+            )
+
+    return docs.mapInPandas(fn, schema)
+
+
+def _afp_sql() -> str:
+    # sample_i = (ascii(char_i)*997 % 256 - 128) * 256, i = 1..32
+    sample = "((ascii(t[{i}]) * 997 % 256 - 128) * 256)"
+    w = _AFP_FRAME
+    n_frames = 32 // w
+    energies = []
+    for f in range(n_frames):
+        terms = " + ".join(
+            f"{sample.format(i=f * w + j + 1)} * {sample.format(i=f * w + j + 1)}"
+            for j in range(w)
+        )
+        energies.append(f"({terms})")
+    bits = " + ".join(
+        f"(CASE WHEN {energies[f]} > {energies[f - 1]} THEN {1 << (f - 1)} ELSE 0 END)"
+        for f in range(1, n_frames)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(substring(text, 1, 32), '.') AS t
+  FROM documents WHERE length(text) >= 32)
+SELECT doc_id, {n_frames} AS n_frames,
+       CAST({bits} AS BIGINT) AS fingerprint
+FROM d
+"""
+
+
+PROBES.append(
+    Probe("llm_audio_fingerprint", "B32", llm_audio_fingerprint, _afp_sql())
+)

@@ -1408,3 +1408,31 @@ def test_cluster_representatives_keep_best(spark):
     # cluster 100: score tie 99 between 2 and 3 -> id 2; cluster 200:
     # tie 5 between 7 and 8 -> id 7
     assert got == [(100, 2, 99, 3), (200, 7, 5, 2)]
+
+
+def test_audio_energy_fingerprint_properties():
+    """Bit-level reference + robustness property: volume scaling
+    never changes the fingerprint (delta SIGNS are scale-invariant);
+    flipping one frame's energy ordering flips exactly the adjacent
+    bits; window cap enforced."""
+    import pytest
+
+    from ark_invest_api_rust_data_spark.operators.multimodal import (
+        audio_energy_fingerprint,
+    )
+
+    samples = [3, -1, 4, 1, -5, 9, 2, -6]  # 4 frames at frame=2
+    n, fp = audio_energy_fingerprint(samples, frame=2)
+    energies = [10, 17, 106, 40]
+    want = sum(
+        1 << (f - 1) for f in range(1, 4) if energies[f] > energies[f - 1]
+    )
+    assert (n, fp) == (4, want) == (4, 0b011)
+    # volume x3: identical fingerprint
+    assert audio_energy_fingerprint([s * 3 for s in samples], frame=2) == (4, fp)
+    # quieten frame 2 below frame 1: bits 1 and 2 both flip while the
+    # untouched frame-0/1 comparison (bit 0) survives
+    quiet = samples[:4] + [1, 0] + samples[6:]
+    assert audio_energy_fingerprint(quiet, frame=2)[1] == 0b101
+    with pytest.raises(ValueError):
+        audio_energy_fingerprint(list(range(200)), frame=1)
