@@ -72,7 +72,21 @@ def matview_refresh(
     view — AQE broadcasts the delta side while it fits, which is the
     normal case (a day's churn vs all-time groups). The base TABLE is
     never read."""
-    sign = F.when(F.col(op_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    # any op value outside the contract (typo, case drift, NULL)
+    # raises in-flight — silently counting it as a delete would
+    # corrupt the view (failing loudly beats silently disagreeing)
+    sign = (
+        F.when(F.col(op_col) == "insert", F.lit(1))
+        .when(F.col(op_col) == "delete", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("matview_refresh: bad op value: "),
+                    F.coalesce(F.col(op_col), F.lit("<NULL>")),
+                )
+            ).cast("int")
+        )
+    )
     d = delta.groupBy(*group_cols).agg(
         F.sum(sign).alias("_dn"),
         *[
@@ -80,9 +94,23 @@ def matview_refresh(
             for name, expr in measures.items()
         ],
     )
-    merged = base.join(d, group_cols, "full_outer")
+    # null-safe join keys: SQL groups NULL keys together, and an
+    # equality join would split a NULL-keyed group into a stale base
+    # row plus a dropped delta row (the percentile.py eqNullSafe rule)
+    d_r = d.select(
+        *[F.col(c).alias(f"_r_{c}") for c in group_cols],
+        "_dn",
+        *[f"_d_{name}" for name in measures],
+    )
+    cond = None
+    for c in group_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+        cond = clause if cond is None else cond & clause
+    merged = base.join(d_r, cond, "full_outer")
     n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
-    cols = [F.col(c) for c in group_cols] + [n.cast("long").alias(count_col)]
+    cols = [
+        F.coalesce(F.col(c), F.col(f"_r_{c}")).alias(c) for c in group_cols
+    ] + [n.cast("long").alias(count_col)]
     for name in measures:
         cols.append(
             (

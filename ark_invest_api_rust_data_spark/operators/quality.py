@@ -201,13 +201,28 @@ def robust_outliers(
 
     if c_num < 0 or c_den < 1:
         raise ValueError(f"need c_num >= 0, c_den >= 1; got {c_num}/{c_den}")
+
+    def nullsafe(left: DataFrame, right: DataFrame) -> DataFrame:
+        # NULL group keys are regular groups (the exact_percentile_hist
+        # eqNullSafe rule) — equality keys would silently drop the
+        # whole unkeyed slice from the quality report
+        r = right.select(
+            *[F.col(c).alias(f"_rj_{c}") for c in group_cols],
+            *[c for c in right.columns if c not in group_cols],
+        )
+        cond = None
+        for c in group_cols:
+            clause = F.col(c).eqNullSafe(F.col(f"_rj_{c}"))
+            cond = clause if cond is None else cond & clause
+        return left.join(r, cond).drop(*[f"_rj_{c}" for c in group_cols])
+
     med = exact_percentile_hist(df, group_cols, value_col, {"med": 0.5})
-    with_med = df.join(med, group_cols)
+    with_med = nullsafe(df, med)
     dev = with_med.withColumn(
         "_adev", F.abs(F.col(value_col) - F.col("med"))
     )
     mad = exact_percentile_hist(dev, group_cols, "_adev", {"mad": 0.5})
-    scored = dev.join(mad, group_cols)
+    scored = nullsafe(dev, mad.select(*group_cols, "mad"))
     is_out = (
         F.col(value_col).isNotNull()
         & (F.col("_adev") * F.lit(c_den) > F.lit(c_num) * F.col("mad"))
@@ -261,18 +276,17 @@ def distribution_drift(
     if not 0 < shift < 43:
         raise ValueError(f"shift must be in (0, 43), got {shift}")
 
-    def counts(df: DataFrame, out: str):
-        b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
-        return (
-            df.filter(F.col(value_col).isNotNull())
-            .groupBy(b.alias("bucket"))
-            .agg(F.count("*").alias(out))
-        )
-
-    ca, cb = counts(df_a, "cnt_a"), counts(df_b, "cnt_b")
-    na = df_a.filter(F.col(value_col).isNotNull()).count()
-    nb = df_b.filter(F.col(value_col).isNotNull()).count()
-    return drift_report(ca, cb, na, nb, shift=shift)
+    # ONE scan per snapshot: the totals come from the materialized
+    # O(buckets) histograms, not a second count() pass
+    ca = bucket_counts(df_a, value_col, bucket_width, "cnt_a").localCheckpoint(
+        eager=True
+    )
+    cb = bucket_counts(df_b, value_col, bucket_width, "cnt_b").localCheckpoint(
+        eager=True
+    )
+    na = ca.agg(F.coalesce(F.sum("cnt_a"), F.lit(0))).collect()[0][0]
+    nb = cb.agg(F.coalesce(F.sum("cnt_b"), F.lit(0))).collect()[0][0]
+    return drift_report(ca, cb, int(na), int(nb), shift=shift)
 
 
 def drift_report(

@@ -586,6 +586,13 @@ def corpus_overlap(
     combine is a 1×1 cross join. All-integer registers and estimates
     (the kmins_positions int64 contract), replayed exactly by the SQL
     oracle."""
+    # loud emptiness guard: a global min over zero rows yields NULL
+    # registers, and NULL-skipping greatest/least would then read an
+    # empty crawl as (k-1)·M distinct keys with ~total overlap — the
+    # worst possible silent answer for a contamination dashboard
+    for side, keys in (("keys_a", keys_a), ("keys_b", keys_b)):
+        if keys.filter(F.col(key_col).isNotNull()).limit(1).count() == 0:
+            raise ValueError(f"corpus_overlap: {side} has no keys")
     sa = kmins_sketch(keys_a, key_col, [], k).select(F.col("mins").alias("_ma"))
     sb = kmins_sketch(keys_b, key_col, [], k).select(F.col("mins").alias("_mb"))
     both = sa.crossJoin(sb).withColumn("_mu", kmins_merge(F.col("_ma"), F.col("_mb")))

@@ -1457,8 +1457,10 @@ def llm_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _afp_sql() -> str:
-    # sample_i = (ascii(char_i)*997 % 256 - 128) * 256, i = 1..32
-    sample = "((ascii(t[{i}]) * 997 % 256 - 128) * 256)"
+    # sample_i = (ascii(char_i)*997 % 256 - 128) * 256, i = 1..32.
+    # BIGINT cast: two squared samples can reach 2^31 in one frame
+    # (INT32 overflow aborts in DuckDB, no auto-promotion).
+    sample = "(CAST(ascii(t[{i}]) * 997 % 256 - 128 AS BIGINT) * 256)"
     w = _AFP_FRAME
     n_frames = 32 // w
     energies = []
@@ -1474,7 +1476,7 @@ def _afp_sql() -> str:
     )
     return f"""
 WITH d AS (
-  SELECT doc_id, regexp_extract_all(substring(text, 1, 32), '.') AS t
+  SELECT doc_id, regexp_extract_all(substring(text, 1, 32), '(?s).') AS t
   FROM documents WHERE length(text) >= 32)
 SELECT doc_id, {n_frames} AS n_frames,
        CAST({bits} AS BIGINT) AS fingerprint

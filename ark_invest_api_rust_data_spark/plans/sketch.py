@@ -210,15 +210,12 @@ def llm_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
 def _overlap_sql() -> str:
     from ..operators.sketch import KMINS_M, sql_kmins_positions
+    from .llm import _sql_shingles
 
     k = _OVERLAP_K
     num = (k - 1) * KMINS_M
     pos = sql_kmins_positions(k, "h")
-    gram = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
-    sh = (
-        f"list_distinct(list_transform("
-        f"generate_series(1, greatest(len(w) - 2, 1)), i -> {gram}))"
-    )
+    sh = _sql_shingles(3)  # the shared word_shingles SQL twin
 
     def reg(side: str, pred: str) -> str:
         mins = ",\n    ".join(f"min({e}) AS m{i}" for i, e in enumerate(pos))

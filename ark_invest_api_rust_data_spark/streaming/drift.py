@@ -53,9 +53,17 @@ def drift_batch(
     batch side B — positive psi_contrib mass means the batch moved
     away from the reference."""
     ca = spark.createDataFrame(ref_hist, "bucket long, cnt_a long")
-    cb = bucket_counts(batch, value_col, bucket_width, "cnt_b")
-    nb = batch.filter(F.col(value_col).isNotNull()).count()
-    return drift_report(ca, cb, ref_n, nb)
+    # one batch scan: total from the materialized O(buckets) histogram
+    cb = bucket_counts(batch, value_col, bucket_width, "cnt_b").localCheckpoint(
+        eager=True
+    )
+    nb = int(cb.agg(F.coalesce(F.sum("cnt_b"), F.lit(0))).collect()[0][0])
+    # an all-NULL batch (upstream corruption — the event this monitor
+    # exists to catch) must not kill the stream: its histogram is
+    # empty, every cnt_b is 0, and the report is then invariant to
+    # the divisor, so nb=1 yields the exact one-sided report
+    # (q_ppm = 0 per reference bucket, full positive PSI mass)
+    return drift_report(ca, cb, ref_n, max(nb, 1))
 
 
 def start_drift_stream(
@@ -76,13 +84,9 @@ def start_drift_stream(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        batch = batch.localCheckpoint(eager=True)
         report = drift_batch(
-            spark,
-            batch.localCheckpoint(eager=True),
-            ref_hist,
-            ref_n,
-            value_col,
-            bucket_width,
+            spark, batch, ref_hist, ref_n, value_col, bucket_width
         )
         report.write.mode("overwrite").parquet(
             f"{out_root}/drift/src=b{batch_id}"

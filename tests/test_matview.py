@@ -144,3 +144,32 @@ def test_matview_batch_replay_is_idempotent(spark, tmp_path):
     # crash-replay: same batch id re-applied overwrites v=1 identically
     apply_matview_batch(spark, b0, 0, store, ["k"], measures)
     assert _rows(current_view(spark, store)) == first
+
+
+def test_refresh_null_group_key_and_bad_op(spark):
+    """Review findings: NULL group keys must merge null-safely (a
+    delete against the NULL-keyed group lands on it, not on a
+    phantom row), and an op value outside {insert, delete} raises
+    instead of silently counting as a delete."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    old = spark.createDataFrame(
+        [(None, 1), (None, 2), ("b", 10)], SCHEMA
+    )
+    new = spark.createDataFrame([(None, 2), ("b", 10)], SCHEMA)
+    measures = {"sv": F.col("v")}
+    base = matview_build(old, ["k"], measures)
+    ins = new.exceptAll(old).withColumn("op", F.lit("insert"))
+    dels = old.exceptAll(new).withColumn("op", F.lit("delete"))
+
+    def rows_str(df):
+        return sorted((tuple(r) for r in df.collect()), key=str)
+
+    got = rows_str(matview_refresh(base, ins.unionByName(dels), ["k"], measures))
+    assert got == rows_str(matview_build(new, ["k"], measures))
+    assert (None, 1, 2) in got  # NULL-keyed group refreshed in place
+
+    bad = spark.createDataFrame([("b", 1, "INSERT")], SCHEMA + ", op string")
+    with pytest.raises(Exception, match="bad op value"):
+        matview_refresh(base, bad, ["k"], measures).collect()

@@ -362,3 +362,29 @@ def test_moments_profile_matches_sequential_reference(spark):
             assert gskew == skew and gkurt == kurt
     assert abs(got["sym"][3]) < 1e-9  # symmetric
     assert got["skew"][3] > 2  # heavy right tail
+
+
+def test_drift_batch_all_null_emits_one_sided_report(spark):
+    """Review finding: an all-NULL micro-batch (the corruption event
+    the monitor exists for) must yield the one-sided report — every
+    reference bucket at q_ppm=0 with positive PSI mass — not a
+    stream-killing exception."""
+    from ark_invest_api_rust_data_spark.streaming.drift import drift_batch
+
+    hist, n = [(0, 3), (1, 3)], 6
+    batch = spark.createDataFrame([(None,), (None,)], "x double")
+    rows = {r["bucket"]: r for r in drift_batch(spark, batch, hist, n, "x", 10).collect()}
+    assert all(r["cnt_b"] == 0 and r["q_ppm"] == 0 for r in rows.values())
+    assert sum(r["psi_contrib"] for r in rows.values()) > 0
+
+
+def test_robust_outliers_keeps_null_group(spark):
+    """Review finding: the NULL-keyed slice stays in the report
+    (null-safe joins, the exact_percentile_hist rule)."""
+    from ark_invest_api_rust_data_spark.operators.quality import robust_outliers
+
+    rows = [(None, 1.0), (None, 2.0), (None, 100.0), ("g", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r["n_outliers"] for r in robust_outliers(df, "x", ["g"]).collect()}
+    assert set(got) == {None, "g"}
+    assert got[None] == 1  # the planted 100 in the unkeyed slice

@@ -281,3 +281,17 @@ def test_corpus_overlap_matches_python_registers(spark):
     assert row["jaccard_ppm"] == (1_000_000 * inter) // max(eu, 1)
     # sanity: estimates in the ~1/sqrt(k-2) error band of the truth
     assert abs(ea - 150) < 150 * 0.8 and abs(eu - 250) < 250 * 0.8
+
+
+def test_corpus_overlap_empty_side_raises(spark):
+    """Review finding: an empty corpus must raise loudly — NULL
+    registers would otherwise read as ~(k-1)*M distinct keys with
+    near-total overlap."""
+    import pytest
+
+    from ark_invest_api_rust_data_spark.operators.sketch import corpus_overlap
+
+    keys = spark.createDataFrame([("a",), ("b",)], "sh string")
+    empty = spark.createDataFrame([], "sh string")
+    with pytest.raises(ValueError, match="keys_b has no keys"):
+        corpus_overlap(keys, empty, "sh", k=8)
