@@ -147,6 +147,7 @@ HEADLINE = [
     "s08_agg_pushdown",
     "llm_cluster_reps",
     "b07_moments_profile",
+    "llm_audio_fingerprint",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
