@@ -345,3 +345,70 @@ def shard_export(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+FUNNEL_STAGES = ("raw", "quality", "dedup", "train")
+
+
+def corpus_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pipeline observability: documents and tokens surviving each
+    curation stage (raw → quality filter → exact near-dup removal →
+    train split) — the funnel report every production prep run pins
+    to a dashboard, because 'the corpus shrank 40% this week' must be
+    attributable to a STAGE before anyone retrains.
+
+    Returns (stage, stage_order, n_docs, n_tokens). Stage predicates
+    are the llm_corpus_pipeline capstone's: the Gopher-style verdict,
+    md5 keep-smallest-id dedup, the content-independent 80% hash
+    split.
+
+    Scale shape: ONE corpus pass computes every per-doc flag (the
+    verdict fold is map-only; the dedup flag is one fingerprint
+    window; the split is a pure hash), then the doc's surviving
+    stages EXPLODE into (stage, tokens) rows whose aggregation is
+    map-side combined to O(stages) — no per-stage rescan, no
+    per-stage job."""
+    from .sampling import hash_bucket
+    from .text import quality_filter
+
+    verdict = quality_filter(docs, text_col=text_col, id_col=id_col)
+    flagged = docs.join(verdict.select(id_col, "keep"), id_col)
+    # dedup ranks among QUALITY SURVIVORS only (the capstone's stage
+    # order): a quality-dropped twin with a smaller id must not steal
+    # the representative slot
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    kept_min = F.min(
+        F.when(F.col("keep"), F.col(id_col))
+    ).over(w)
+    flagged = flagged.withColumn(
+        "_rep", F.col("keep") & (F.col(id_col) == kept_min)
+    ).withColumn("_train", hash_bucket(F.col(id_col)) < 80)
+    n_tok = F.size(tokens(F.col(text_col)))
+    stages = F.array(
+        F.struct(F.lit("raw").alias("stage"), F.lit(0).alias("stage_order"), F.lit(True).alias("_in")),
+        F.struct(F.lit("quality").alias("stage"), F.lit(1).alias("stage_order"), F.col("keep").alias("_in")),
+        F.struct(
+            F.lit("dedup").alias("stage"),
+            F.lit(2).alias("stage_order"),
+            (F.col("keep") & F.col("_rep")).alias("_in"),
+        ),
+        F.struct(
+            F.lit("train").alias("stage"),
+            F.lit(3).alias("stage_order"),
+            (F.col("keep") & F.col("_rep") & F.col("_train")).alias("_in"),
+        ),
+    )
+    ex = flagged.select(
+        n_tok.alias("_nt"), F.explode(stages).alias("_s")
+    ).filter(F.col("_s._in"))
+    return ex.groupBy(
+        F.col("_s.stage").alias("stage"),
+        F.col("_s.stage_order").alias("stage_order"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+    )

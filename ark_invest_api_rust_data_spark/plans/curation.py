@@ -223,3 +223,42 @@ SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= {_GS_K}
 PROBES.append(
     Probe("llm_group_sample", "B31", llm_group_sample, _group_sample_sql())
 )
+
+
+def llm_corpus_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 capstone #2 — the pipeline-observability funnel
+    (operators/curation.corpus_funnel): docs and tokens surviving raw
+    → quality → exact dedup → train split, computed in ONE corpus
+    pass (per-doc flags, stage explode, O(stages) combine). The
+    report that makes a week-over-week corpus shrink attributable to
+    a stage. Oracle chains the capstone's stage CTEs and counts each
+    one."""
+    from ..operators.curation import corpus_funnel
+
+    return corpus_funnel(load_table(spark, sf, "documents"))
+
+
+def _funnel_sql() -> str:
+    from .llm import LLM_PIPELINE_SQL
+
+    prefix = LLM_PIPELINE_SQL.split("sized AS")[0].rstrip().rstrip(",")
+    return f"""{prefix},
+tok AS (SELECT doc_id, len({_W}) AS n_tokens FROM documents)
+SELECT 'raw' AS stage, 0 AS stage_order,
+       count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM tok
+UNION ALL
+SELECT 'quality', 1, count(*), CAST(SUM(n_tokens) AS BIGINT)
+FROM tok JOIN kept USING (doc_id)
+UNION ALL
+SELECT 'dedup', 2, count(*), CAST(SUM(n_tokens) AS BIGINT)
+FROM tok JOIN deduped USING (doc_id)
+UNION ALL
+SELECT 'train', 3, count(*), CAST(SUM(n_tokens) AS BIGINT)
+FROM tok JOIN train USING (doc_id)
+"""
+
+
+PROBES.append(
+    Probe("llm_corpus_funnel", "B31", llm_corpus_funnel, _funnel_sql())
+)

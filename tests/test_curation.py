@@ -369,3 +369,49 @@ def test_group_sample_matches_hash_order_reference(spark):
     assert got == sorted(want)
     assert ("tiny", 1, 100) in got
     assert len([t for t in got if t[0] == "g0"]) == k
+
+
+def test_corpus_funnel_stage_semantics(spark):
+    """Funnel counts equal the independently-computed stage frames —
+    including the subtlety that dedup ranks among QUALITY SURVIVORS
+    (a quality-dropped twin with a smaller id must not steal the
+    representative slot)."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.curation import corpus_funnel
+    from ark_invest_api_rust_data_spark.operators.dedup import exact_dedup
+    from ark_invest_api_rust_data_spark.operators.sampling import split_assign
+    from ark_invest_api_rust_data_spark.operators.text import quality_filter
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, "short doc"),                 # fails quality (n_tokens < 20)
+            (2, base),                         # kept
+            (3, base),                         # dup of 2 -> dropped at dedup
+            (4, base + " tail extra tokens"),  # kept, unique
+            (5, "x " * 10),                    # fails quality (repetition/uniq)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["stage"]: (r["stage_order"], r["n_docs"], r["n_tokens"])
+        for r in corpus_funnel(docs).collect()
+    }
+
+    kept = quality_filter(docs, keep_docs=True)
+    deduped = exact_dedup(
+        kept.withColumn("_fp", F.md5("text")), ["_fp"], [F.asc("doc_id")]
+    ).drop("_fp")
+    train = split_assign(deduped).filter("split = 'train'")
+    ntok = lambda df: (  # noqa: E731
+        df.select(F.sum(F.size(F.split(F.trim("text"), r"\s+")))).collect()[0][0]
+    )
+    assert got["raw"] == (0, 5, ntok(docs))
+    assert got["quality"] == (1, kept.count(), ntok(kept))
+    assert got["dedup"] == (2, deduped.count(), ntok(deduped))
+    assert got["train"] == (3, train.count(), ntok(train) or 0)
+    # the quality-dropped doc 1 must not have stolen a dedup slot:
+    # docs 2,3 share text; survivor is 2
+    dedup_ids = {r["doc_id"] for r in deduped.collect()}
+    assert 2 in dedup_ids and 3 not in dedup_ids
