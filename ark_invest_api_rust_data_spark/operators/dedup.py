@@ -70,8 +70,23 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     construction — the quality gate drops sub-n-token docs before any
     shingle-based stage — and the oracle's NULL-gram semantics for
     short docs would diverge from concat_ws anyway, so failing loudly
-    beats silently disagreeing."""
-    toks = F.split(F.trim(text), r"\s+")
+    beats silently disagreeing.
+
+    PERF NOTE: ``toks`` inlines into every gram's lambda (HOF
+    transforms are CodegenFallback — the regex split runs ~3n times
+    per gram). Fine for one-shot frames; corpus-scale callers should
+    materialize the split in its own projection and use
+    ``shingles_from_tokens`` (measured 150 s → seconds on the sf10
+    shingle stage)."""
+    return shingles_from_tokens(F.split(F.trim(text), r"\s+"), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """``word_shingles`` over an already-split token array — pass a
+    MATERIALIZED column (own projection; multi-referenced non-trivial
+    columns survive CollapseProject) so the split evaluates once per
+    row instead of once per element_at inside the interpreted gram
+    lambda."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.concat_ws(
@@ -149,7 +164,14 @@ def _signature_frame(
     incremental path."""
     return (
         _spread(df)
-        .select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        )
+        # split materialized once (multi-referenced, survives
+        # CollapseProject) — inlined it re-runs per element_at in the
+        # interpreted gram lambda, ~3n regex splits per row
+        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
         # separate projection: _base is referenced 16× by the signature,
         # and multi-referenced non-trivial columns are NOT inlined by
         # CollapseProject — so the char-fold runs once per shingle.
@@ -370,7 +392,14 @@ def incremental_near_dup_pairs(
         corpus.join(
             cand_corpus_ids.withColumnRenamed("_id", id_col), id_col, "leftsemi"
         )
-        .select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        )
+        # split materialized once (multi-referenced, survives
+        # CollapseProject) — inlined it re-runs per element_at in the
+        # interpreted gram lambda, ~3n regex splits per row
+        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
     )
     all_sh = new_sig.select("_id", "_sh").union(corpus_sh)
     sh_a = all_sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
@@ -394,8 +423,13 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs (the O(n²) baseline; the oracle for
     B29 and the small-corpus fallback). Cross join — use only when one
     side fits comfortably; LSH above is the scale path."""
-    base = _spread(df).select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    base = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        )
+        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
     )
     a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
     b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
@@ -464,8 +498,9 @@ def jaccard_prefix_pairs(
         _spread(df)
         .select(
             F.col(id_col).alias("_id"),
-            word_shingles(F.col(text_col), n).alias("_sh"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
         )
+        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
         .withColumn("_sz", F.size("_sh"))
         .persist()
     )
