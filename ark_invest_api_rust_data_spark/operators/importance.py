@@ -182,3 +182,35 @@ def dsir_select_threshold(
     return weights.join(F.broadcast(thr), F.col(score_col) >= F.col("_thr")).drop(
         "_thr"
     )
+
+
+def dsir_score_batch(
+    batch: DataFrame,
+    lam: DataFrame,
+    d: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental DSIR: score an ARRIVING batch against a FROZEN
+    λ table (a prior ``dsir_lambda`` output) — the deployment shape,
+    mirroring the incremental-IVF contract: the corpus models train
+    once on the reference snapshot, every subsequent ingest batch is
+    scored with zero retraining and zero corpus-wide work (one batch
+    explode + a d-row broadcast join + a per-doc combine).
+
+    Buckets absent from the frozen table (tokens the reference corpus
+    never hashed into — possible when the reference is a subset) score
+    λ = 0, the uninformative prior; identical to what retraining with
+    +0 counts would NOT give, so the choice is documented rather than
+    silent. Bit-identical to ``dsir_weights`` for any batch drawn
+    from the λ table's raw corpus (pytest pins it)."""
+    toks = batch.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t") != "")
+    scored = toks.select(id_col, _bucket(F.col("_t"), d).alias("bucket")).join(
+        F.broadcast(lam.select("bucket", "lam")), "bucket", "left"
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.coalesce(F.sum("lam"), F.lit(0)).cast("long").alias("dsir_score"),
+    )

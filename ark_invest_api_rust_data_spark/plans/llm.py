@@ -1633,3 +1633,54 @@ SELECT cluster_id, doc_id, n_chars, n_members FROM sc WHERE rn = 1
 
 
 PROBES.append(Probe("llm_cluster_reps", "B29", llm_cluster_reps, _cluster_reps_sql()))
+
+
+def llm_dsir_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """B31 extension — incremental DSIR scoring (operators/
+    importance.dsir_score_batch): the λ table trains ONCE on the
+    even-doc_id half (raw = even docs, target = even ∩ lang='en'),
+    then the odd half arrives as a batch and is scored against the
+    frozen model — zero retraining, zero corpus-wide work per batch
+    (the incremental-IVF contract for importance weights). Unseen
+    buckets score the λ=0 prior. Oracle replays the frozen training
+    and one scoring pass."""
+    from ..operators.importance import dsir_lambda, dsir_score_batch
+
+    docs = load_table(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    lam = dsir_lambda(
+        ref, ref.filter(F.col("lang") == "en"), d=_DSIR_D, shift=_DSIR_SHIFT
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dsir_score_batch(batch, lam, d=_DSIR_D)
+
+
+def _dsir_incr_sql() -> str:
+    h = _sql_hash("tok")
+    scale = 1 << _DSIR_SHIFT
+    return f"""
+WITH t AS (SELECT doc_id, lang, unnest({_W}) AS tok FROM documents
+           WHERE doc_id % 2 = 0),
+tb AS (SELECT doc_id, lang, CAST({h} % {_DSIR_D} AS INTEGER) AS bucket
+       FROM t WHERE tok <> ''),
+cr AS (SELECT bucket, count(*) AS cr FROM tb GROUP BY 1),
+ct AS (SELECT bucket, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+lam AS (SELECT cr.bucket,
+          CAST(length(bin(greatest(
+            ((coalesce(ct.ct, 0) + 1) * {scale}) // (cr.cr + 1), 1)))
+            - 1 - {_DSIR_SHIFT} AS BIGINT) AS lam
+        FROM cr LEFT JOIN ct ON cr.bucket = ct.bucket),
+bt AS (SELECT doc_id, unnest({_W}) AS tok FROM documents
+       WHERE doc_id % 2 = 1),
+bb AS (SELECT doc_id, CAST({h} % {_DSIR_D} AS INTEGER) AS bucket
+       FROM bt WHERE tok <> '')
+SELECT bb.doc_id, count(*) AS n_tokens,
+       CAST(coalesce(sum(lam.lam), 0) AS BIGINT) AS dsir_score
+FROM bb LEFT JOIN lam ON bb.bucket = lam.bucket
+GROUP BY 1
+"""
+
+
+PROBES.append(
+    Probe("llm_dsir_incremental", "B31", llm_dsir_incremental, _dsir_incr_sql())
+)

@@ -1436,3 +1436,44 @@ def test_audio_energy_fingerprint_properties():
     assert audio_energy_fingerprint(quiet, frame=2)[1] == 0b101
     with pytest.raises(ValueError):
         audio_energy_fingerprint(list(range(200)), frame=1)
+
+
+def test_dsir_score_batch_matches_full_and_handles_unseen(spark):
+    """Frozen-lambda batch scoring is bit-identical to dsir_weights
+    when the batch comes from the reference raw corpus; tokens
+    hashing into buckets the reference never saw score the lambda=0
+    prior instead of dropping rows."""
+    from ark_invest_api_rust_data_spark.operators.importance import (
+        dsir_lambda,
+        dsir_score_batch,
+        dsir_weights,
+    )
+
+    docs = [
+        (1, "good clean prose text", "en"),
+        (2, "good text text noise", "en"),
+        (3, "zz9 zz9 noise junk", "xx"),
+        (4, "prose clean good", "xx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    d, shift = 64, 20
+    target = df.filter("lang = 'en'")
+    lam = dsir_lambda(df, target, d=d, shift=shift)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+        for r in dsir_score_batch(df, lam, d=d).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+        for r in dsir_weights(df, target, d=d, shift=shift).collect()
+    }
+    assert got == want
+
+    # a batch with tokens never seen by the reference: rows survive
+    # with the lambda=0 prior contribution for unseen buckets
+    unseen = spark.createDataFrame(
+        [(9, "qqqqz8 wwwwz7 good")], "doc_id long, text string"
+    )
+    row = dsir_score_batch(unseen, lam, d=d).collect()[0]
+    assert row["n_tokens"] == 3
+    assert row["dsir_score"] is not None
