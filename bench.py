@@ -148,6 +148,8 @@ HEADLINE = [
     "llm_cluster_reps",
     "b07_moments_profile",
     "llm_audio_fingerprint",
+    "llm_corpus_funnel",
+    "llm_dsir_incremental",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
