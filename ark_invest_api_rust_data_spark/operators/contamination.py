@@ -138,7 +138,12 @@ def pair_ngram_overlap(
     # materialize the small shingled frame ONCE, because both pair
     # sides read it (without the cut, each side re-ran the corpus
     # scan + semi join + shingle build: measured 184 s → one scan at
-    # sf10)
+    # sf10). Storage contract mirrors minhash_lsh_pairs' materialize
+    # tier: persist() the shingle frame (spillable, releasable),
+    # eagerly checkpoint only the TINY per-pair metric result, and
+    # unpersist before returning — a long-lived session must not
+    # accumulate shingle-array storage per call (r8 advisor finding:
+    # the previous eager localCheckpoint of `sh` was never released).
     sh = (
         docs.join(F.broadcast(touched), id_col, "semi")
         .select(
@@ -146,7 +151,7 @@ def pair_ngram_overlap(
             F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
         )
         .select(id_col, shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     a = sh.select(F.col(id_col).alias(a_col), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias(b_col), F.col("_sh").alias("_sb"))
@@ -155,7 +160,7 @@ def pair_ngram_overlap(
     n_b = F.size("_sb")
     n_inter = F.size(F.array_intersect("_sa", "_sb"))
     n_union = F.size(F.array_union("_sa", "_sb"))
-    return joined.select(
+    result = joined.select(
         a_col,
         b_col,
         n_a.alias("n_a"),
@@ -165,4 +170,8 @@ def pair_ngram_overlap(
         (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
         (n_inter.cast("double") / n_a.cast("double")).alias("containment_a"),
         (n_inter.cast("double") / n_b.cast("double")).alias("containment_b"),
-    )
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
+    # the returned frame holds only O(pairs) metric rows; callers that
+    # are done with it can free even that via dedup._release_checkpoint
+    return result

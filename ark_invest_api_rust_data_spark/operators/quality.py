@@ -377,7 +377,25 @@ def moments_profile(
     s1 = F.col("_s1").cast("double")
     s2 = F.col("_s2").cast("double")
     s3 = F.col("_s3").cast("double")
-    s4 = F.col("_s4").cast("double")
+    # loud overflow guard (r8 advisor finding): non-ANSI Spark yields
+    # NULL on decimal(38,0) sum overflow while DuckDB's HUGEINT path
+    # raises — a silent cross-engine divergence. (Under ANSI mode —
+    # the Spark 4 default — the decimal op itself raises
+    # NUMERIC_VALUE_OUT_OF_RANGE before this guard is reached; the
+    # guard makes non-ANSI deployments equally loud.) _s4 sums c⁴ ≥ 0, the
+    # largest-magnitude accumulator, so it overflows first; every
+    # group has ≥ 1 non-null row post-filter, so NULL here can ONLY
+    # mean overflow. raise_error is referenced through kurtosis's s4
+    # operand, so Catalyst cannot prune it.
+    s4 = F.when(
+        F.col("_s4").isNull(),
+        F.raise_error(
+            F.lit(
+                "moments_profile: decimal(38,0) power-sum overflow — "
+                "reduce `cents` or pre-scale the value column"
+            )
+        ).cast("double"),
+    ).otherwise(F.col("_s4").cast("double"))
     mean = s1 / n
     m2 = s2 / n - mean * mean
     m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean

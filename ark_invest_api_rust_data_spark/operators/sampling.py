@@ -347,9 +347,20 @@ def group_sample(
     Scale shape: a row_number window per group would sort EVERY
     group's full row set through one reducer (the knn_join hot-key
     argument); this is the salted two-phase top-k instead — per
-    (group, salt) partial top-k via sorted-struct arrays, then a
-    final ≤ n_salts·k merge per group. Shuffle carries at most
-    n_salts·k rows per group regardless of group size."""
+    (group, salt) top-k via sorted-struct arrays, then a final
+    ≤ n_salts·k merge per group. What the salting bounds is the
+    REDUCER: no single task ever sorts more than ~group_size/n_salts
+    elements, and the second stage merges ≤ n_salts·k rows per group.
+    It does NOT bound shuffle bytes — collect_list's partial
+    aggregation ships each map partition's full per-(group, salt)
+    list to the exchange (F.slice runs only after the merge), so
+    stage-1 shuffle is O(rows), same as any grouped aggregation of
+    the id column (8-byte structs, not documents). At 100 TB the
+    skew protection is the point; if shuffle volume itself is the
+    constraint, pre-reduce per input partition (mapInPandas top-k
+    per (group, salt)) before the groupBy — bounded output
+    O(partitions · groups · n_salts · k) — at the cost of an Arrow
+    hop in the hot path."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     h = token_hash32(F.col(id_col).cast("string"))

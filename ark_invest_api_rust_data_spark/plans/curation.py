@@ -244,18 +244,23 @@ def _funnel_sql() -> str:
     prefix = LLM_PIPELINE_SQL.split("sized AS")[0].rstrip().rstrip(",")
     return f"""{prefix},
 tok AS (SELECT doc_id, len({_W}) AS n_tokens FROM documents)
+-- HAVING count(*) > 0 on every branch: the Spark side's
+-- explode+filter+groupBy emits NO row for an empty stage, while a
+-- bare ungrouped aggregate would emit (stage, order, 0, NULL) —
+-- the branches must agree when quality/dedup/train empties at some
+-- SF (r8 advisor finding)
 SELECT 'raw' AS stage, 0 AS stage_order,
        count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-FROM tok
+FROM tok HAVING count(*) > 0
 UNION ALL
 SELECT 'quality', 1, count(*), CAST(SUM(n_tokens) AS BIGINT)
-FROM tok JOIN kept USING (doc_id)
+FROM tok JOIN kept USING (doc_id) HAVING count(*) > 0
 UNION ALL
 SELECT 'dedup', 2, count(*), CAST(SUM(n_tokens) AS BIGINT)
-FROM tok JOIN deduped USING (doc_id)
+FROM tok JOIN deduped USING (doc_id) HAVING count(*) > 0
 UNION ALL
 SELECT 'train', 3, count(*), CAST(SUM(n_tokens) AS BIGINT)
-FROM tok JOIN train USING (doc_id)
+FROM tok JOIN train USING (doc_id) HAVING count(*) > 0
 """
 
 

@@ -1520,12 +1520,20 @@ def llm_pair_overlap(spark: SparkSession, sf: str) -> DataFrame:
     Jaccard, and Broder-style asymmetric containments — the metric
     that catches a benchmark item embedded in a long training doc
     (low Jaccard, containment ≈ 1). Pairs are detector output, so the
-    shingle-attach joins probe with a small side."""
+    shingle-attach joins probe with a small side.
+
+    Probe threshold 0.8 (not the operator's 0.5 default): the oracle
+    enumerates ALL pairs with exact jaccard ≥ t exhaustively, while
+    the detector nominates via (16-hash, r=2) banding whose recall at
+    a borderline s=0.5 pair is only ~90% — data-dependent gate
+    equality. At s ≥ 0.8, P(miss) = (1−0.8²)⁸ ≈ 2.8e-4 and falls
+    super-exponentially above it, so equality is robust at any SF
+    (r8 advisor finding)."""
     from ..operators.contamination import pair_ngram_overlap
     from ..operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, materialize=True)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, materialize=True)
     return pair_ngram_overlap(docs, pairs, n=3)
 
 
@@ -1538,7 +1546,7 @@ p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.5)
+      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8)
 SELECT doc_a, doc_b,
   CAST(len(sa) AS INTEGER) AS n_a,
   CAST(len(sb) AS INTEGER) AS n_b,
@@ -1604,11 +1612,16 @@ def llm_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
     (operators/dedup.cluster_representatives): the longest variant
     (n_chars, ties on id) survives, via one struct-max aggregation —
     no per-cluster window, so a site-wide boilerplate cluster costs a
-    combiner cell, not a single-reducer sort."""
+    combiner cell, not a single-reducer sort.
+
+    Probe threshold 0.8: same LSH-recall-vs-exhaustive-oracle
+    robustness argument as llm_pair_overlap (r8 advisor finding) —
+    at s ≥ 0.8 banding recall is ≥ 1−2.8e-4, so the edge set (and
+    hence the clustering) matches the exhaustive oracle at any SF."""
     from ..operators.dedup import cluster_representatives, dedup_clusters
 
     docs = load_table(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, materialize=True)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, materialize=True)
     clusters = dedup_clusters(pairs).select(
         F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
     )
@@ -1618,8 +1631,15 @@ def llm_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _cluster_reps_sql() -> str:
-    base = LLM_CLUSTERS_SQL.strip().removesuffix(
-        "SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node"
+    # probe runs the cluster pipeline at threshold 0.8 (LSH-recall
+    # robustness, see llm_cluster_reps docstring); the shared cluster
+    # SQL is written at the 0.5 default, so mirror the raise here
+    base = (
+        LLM_CLUSTERS_SQL.replace("WHERE jc >= 0.5", "WHERE jc >= 0.8")
+        .strip()
+        .removesuffix(
+            "SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node"
+        )
     )
     return f"""{base},
 cl AS (SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node),

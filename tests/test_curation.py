@@ -415,3 +415,34 @@ def test_corpus_funnel_stage_semantics(spark):
     # docs 2,3 share text; survivor is 2
     dedup_ids = {r["doc_id"] for r in deduped.collect()}
     assert 2 in dedup_ids and 3 not in dedup_ids
+
+
+def test_corpus_funnel_empty_stage_parity_with_oracle(spark):
+    """r8 advisor regression: when every doc fails quality, the Spark
+    funnel (explode+filter+groupBy) emits ONLY the 'raw' row — and the
+    DuckDB oracle must agree (HAVING count(*) > 0 per branch), not
+    emit (stage, order, 0, NULL) rows from ungrouped aggregates."""
+    import duckdb
+
+    from ark_invest_api_rust_data_spark.operators.curation import corpus_funnel
+    from ark_invest_api_rust_data_spark.plans.curation import _funnel_sql
+
+    rows = [(i, "short doc", "en", "web", 9) for i in range(1, 6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = sorted(
+        (r["stage"], r["stage_order"], r["n_docs"], r["n_tokens"])
+        for r in corpus_funnel(docs).collect()
+    )
+    assert got == [("raw", 0, 5, 10)]  # quality/dedup/train all empty
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(tuple(r) for r in con.execute(_funnel_sql()).fetchall())
+    assert got == want

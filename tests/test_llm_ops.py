@@ -1477,3 +1477,32 @@ def test_dsir_score_batch_matches_full_and_handles_unseen(spark):
     row = dsir_score_batch(unseen, lam, d=d).collect()[0]
     assert row["n_tokens"] == 3
     assert row["dsir_score"] is not None
+
+
+def test_pair_ngram_overlap_releases_shingle_storage(spark):
+    """r8 advisor regression: repeated calls in a long-lived session
+    must not accumulate block-manager storage for the shingled frame.
+    After the operator returns, only the O(pairs) result checkpoint
+    may remain — and _release_checkpoint frees that too."""
+    from ark_invest_api_rust_data_spark.operators.contamination import (
+        pair_ngram_overlap,
+    )
+    from ark_invest_api_rust_data_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    results = [pair_ngram_overlap(docs, pairs, n=2) for _ in range(3)]
+    for r in results:
+        assert r.count() == 1
+    # the persisted shingle frame was unpersisted inside the operator;
+    # at most the 3 tiny result checkpoints remain
+    assert jsc.getPersistentRDDs().size() <= base + 3
+    for r in results:
+        _release_checkpoint(r)
+    assert jsc.getPersistentRDDs().size() <= base

@@ -388,3 +388,24 @@ def test_robust_outliers_keeps_null_group(spark):
     got = {r["g"]: r["n_outliers"] for r in robust_outliers(df, "x", ["g"]).collect()}
     assert set(got) == {None, "g"}
     assert got[None] == 1  # the planted 100 in the unkeyed slice
+
+
+def test_moments_profile_overflow_raises_not_null(spark):
+    """r8 advisor regression: a value whose cent⁴ power sum exceeds
+    decimal(38,0) must FAIL LOUDLY, not silently emit NULL moments
+    where DuckDB's HUGEINT path would raise. Under ANSI mode (Spark 4
+    default) the decimal multiply/sum itself raises
+    NUMERIC_VALUE_OUT_OF_RANGE; under non-ANSI configs the operator's
+    raise_error guard fires on the NULL sum. Either way: loud. A
+    single |c| ≈ 3.3e9 row puts c⁴ ≈ 1.2e38 > 10³⁸−1."""
+    import pytest
+
+    from ark_invest_api_rust_data_spark.operators.quality import moments_profile
+
+    df = spark.createDataFrame(
+        [("g", 3.3e7), ("g", -3.3e7)], "g string, x double"
+    )
+    with pytest.raises(
+        Exception, match="power-sum overflow|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        moments_profile(df, "x", ["g"]).collect()
