@@ -36,6 +36,8 @@ hash-match a DuckDB oracle that unrolls the same iterations in CTEs.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -454,6 +456,7 @@ def kmeans_fit(
     nprobe: int = 1,
     checkpoint_dir: str | None = None,
     probe_ratio2: float | None = None,
+    arrow: bool | None = None,
 ) -> tuple[dict[int, list[float]], DataFrame]:
     """``kmeans_assign`` plus the fitted model: returns
     ``(centroids, assignments)`` where centroids maps cluster id →
@@ -477,6 +480,12 @@ def kmeans_fit(
     column (1 = nearest). The ITERATION updates stay hard-assigned —
     soft membership only widens the downstream consumer's view (e.g.
     semantic_dedup's cross-cluster-boundary recall).
+
+    ``arrow`` overrides the tier auto-pick (None = k·dim bound): the
+    two tiers are BIT-IDENTICAL (pytest-pinned), so forcing is purely
+    a perf decision — ``two_level_assign`` forces True because its
+    coarse pass has small k but corpus-sized n, where the interpreted
+    expression fold loses to NumPy regardless of the k·dim bound.
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
@@ -517,7 +526,8 @@ def kmeans_fit(
         # fully Catalyst-visible). Scaled SemDeDup crosses the bound
         # exactly where the interpreted fold would turn the decade
         # super-linear (k grows with the corpus ⇒ n·k·dim work).
-        arrow = k * dim > _ARROW_ASSIGN_BOUND
+        if arrow is None:
+            arrow = k * dim > _ARROW_ASSIGN_BOUND
 
         for it in range(1, iters + 1):
             if it == iters and nprobe > 1:
@@ -764,6 +774,167 @@ def scaled_k(n: int, target_cluster_size: int = 32, k_min: int = 8) -> int:
     return max(k_min, -(-n // target_cluster_size))
 
 
+# k above this threshold switches semantic_dedup_scaled's build to the
+# two-level (coarse cell → per-cell Lloyd's) assignment. One-level
+# assignment is Θ(n·k·d) FLOPs — with SemDeDup's corpus-scaled
+# k = n/target that is Θ(n²·d/target), the only super-linear wall in
+# the dedup tier (SCALE.md finding 27). Two-level is
+# O(n·(√k + k/√k)·d) = O(n^1.5·d/√target). Below the bound one-level
+# is both cheaper (no extra shuffle) and oracle-unrolled, so the gate
+# probes keep their exact SQL proof.
+_TWO_LEVEL_BOUND = 4096
+
+
+def two_level_assign(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    probe_ratio2: float | None = None,
+    cells: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Two-level k-means assignment — the bounded-compute IVF build
+    the SemDeDup paper itself uses (faiss IVF: coarse quantizer, then
+    per-list refinement). Level 1 runs the exact distributed Lloyd's
+    (``kmeans_fit``) at ``cells ≈ ⌈√k⌉`` coarse cells; level 2 runs an
+    independent local Lloyd's INSIDE each cell at k₂ = ⌈k/cells⌉
+    sub-centroids — every cell fitted in parallel in one
+    ``applyInPandas`` pass, no per-cell driver loop. Assignment FLOPs
+    drop from Θ(n·k·d) to O(n·(√k + k/√k)·d): at k = 65 536 that is
+    512 comparisons per row instead of 65 536.
+
+    Determinism contract (partitioning-invariant, pytest-pinned
+    against a sequential replay): level 1 inherits kmeans_fit's
+    (lowest-id seeds, coordinate-ascending IEEE accumulation, exact
+    int64 sums, carry-forward empty cells); level 2 applies the SAME
+    rules cell-locally — seeds are the cell's k₂ lowest-id rows,
+    distances accumulate coordinate-by-coordinate via
+    ``_assign_dists_chunks``, argmin ties break to the lowest local
+    cid, updates divide exact int64 sums by counts in one float64
+    division per coordinate. Returned cluster id = cell·k₂ + local id
+    (ids are stable, globally unique, sparse where a small cell seeds
+    fewer than k₂ sub-centroids).
+
+    ``nprobe > 1`` emits soft top-m ranks WITHIN the row's coarse
+    cell (probe_rank 1..m, optional ``probe_ratio2`` gate — the same
+    masking order as ``_assign_arrow``). Cross-CELL recall is the
+    coarse quantizer's residual blind spot; exact near-dups always
+    co-locate (distance 0 rows tie-break to the same cell), and the
+    downstream consumer's recall is pinned in pytest.
+
+    Scale shape: level 1 is the audited kmeans_fit (forced Arrow tier
+    — small k but corpus-sized n, where the interpreted fold loses);
+    level 2 adds ONE hash exchange of (id, q, cell) — linear bytes —
+    and cell-local NumPy whose per-task memory is bounded by
+    ``_assign_dists_chunks``'s ~32 MB dist buffer. Worst case is a
+    degenerate coarse fit collapsing most rows into one cell (that
+    cell's local fit serializes on one task); real embedding corpora
+    spread far wider, and the cap is target_cluster_size·k₂ expected
+    rows. Unlike faiss, both levels keep exact arithmetic — the
+    approximation is WHERE cluster boundaries fall, never the cosine
+    verify that decides drops."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    import numpy as np
+
+    k1 = cells if cells is not None else max(2, int(math.isqrt(k - 1)) + 1)
+    k2 = -(-k // k1)
+    _cents, asg1 = kmeans_fit(
+        df, k=k1, iters=iters, id_col=id_col, vec_col=vec_col,
+        checkpoint_dir=checkpoint_dir, arrow=True,
+    )
+    base = (
+        df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_q"))
+        .join(asg1.select(id_col, F.col("cluster").alias("_cell")), id_col)
+    )
+    m_declared = min(nprobe, k2)
+    soft = m_declared > 1
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_t}, cluster long" + (
+        ", probe_rank int" if soft else ""
+    )
+    ratio2 = None if probe_ratio2 is None else float(probe_ratio2)
+
+    def fit_cell(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)  # lowest-id seeds, stable order
+        ids = pdf[id_col].to_numpy()
+        cell = int(pdf["_cell"].iloc[0])
+        Qi = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+        Q = Qi.astype(np.float64)
+        kk = min(k2, len(ids))
+        C = Q[:kk].copy()
+        base_cid = cell * k2
+        for it in range(1, iters + 1):
+            if it == iters:
+                frames = []
+                m_eff = min(m_declared, kk)
+                for rows, dists in _assign_dists_chunks(Q, C):
+                    if not soft:
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    id_col: ids[rows],
+                                    "cluster": base_cid
+                                    + dists.argmin(axis=1).astype(np.int64),
+                                }
+                            )
+                        )
+                        continue
+                    out_id, out_c, out_r = [], [], []
+                    arange = np.arange(len(dists))
+                    d1 = None
+                    for r in range(1, m_eff + 1):
+                        c = dists.argmin(axis=1)
+                        d = dists[arange, c]
+                        if r == 1:
+                            d1 = d.copy()
+                            keep = np.ones(len(c), dtype=bool)
+                        else:
+                            keep = (
+                                np.ones(len(c), dtype=bool)
+                                if ratio2 is None
+                                else d <= ratio2 * d1
+                            )
+                        out_id.append(ids[rows][keep])
+                        out_c.append(base_cid + c[keep].astype(np.int64))
+                        out_r.append(
+                            np.full(int(keep.sum()), r, dtype=np.int32)
+                        )
+                        dists[arange, c] = np.inf
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                id_col: np.concatenate(out_id),
+                                "cluster": np.concatenate(out_c),
+                                "probe_rank": np.concatenate(out_r),
+                            }
+                        )
+                    )
+                return pd.concat(frames, ignore_index=True)
+            # update pass: exact int64 sums; empty sub-clusters carry
+            # their previous centroid forward (kmeans_fit's rule)
+            cnt = np.zeros(kk, dtype=np.int64)
+            sums = np.zeros((kk, Q.shape[1]), dtype=np.int64)
+            for rows, dists in _assign_dists_chunks(Q, C):
+                cid = dists.argmin(axis=1)
+                cnt += np.bincount(cid, minlength=kk)
+                np.add.at(sums, cid, Qi[rows])
+            live = cnt > 0
+            C[live] = sums[live] / cnt[live, None]
+        raise AssertionError("unreachable")
+
+    return base.groupBy("_cell").applyInPandas(fit_cell, schema=schema)
+
+
 def semantic_dedup_incremental(
     corpus: DataFrame,
     batch: DataFrame,
@@ -899,11 +1070,28 @@ def semantic_dedup_scaled(
     nprobe: int = 1,
     probe_ratio2: float | None = None,
     verify: str = "arrow",
+    k_max: int = 65536,
+    two_level_bound: int = _TWO_LEVEL_BOUND,
 ) -> DataFrame:
     """SemDeDup's production shape: k derived from the corpus size
     (``scaled_k``) so the pairwise stage stays linear, instead of a
     fixed k that turns quadratic as the corpus grows. The one count()
     action is a bounded driver crossing (a single long).
+
+    Build-cost posture (round 9): ``k_max`` caps the derived k (the
+    SemDeDup paper itself runs a FIXED k≈100k on 5B embeddings —
+    cluster size, not cluster count, is what the paper scales), and
+    above ``two_level_bound`` the assignment switches from one-level
+    Lloyd's (Θ(n·k·d) FLOPs — Θ(n²·d/target) once k scales with n,
+    SCALE.md finding 27's only super-linear wall) to the two-level
+    coarse-cell → per-cell build (``two_level_assign``,
+    O(n·√k·d) — the faiss-IVF architecture the paper trains with).
+    Below the bound nothing changes: the one-level plan is cheaper
+    there and keeps its exact unrolled SQL oracle. The two tiers
+    cluster differently (both deterministically), which moves WHICH
+    near-dup pairs share a cluster — never precision (the cosine
+    verify is exact); exact duplicates co-locate under both (distance
+    0 seeds/ties), and recall on planted near-dups is pytest-pinned.
 
     Pass ``assignments`` to skip the clustering entirely and reuse an
     existing partition of the corpus — e.g. ``IvfIndex.build(...)
@@ -934,11 +1122,17 @@ def semantic_dedup_scaled(
     carry is retained.
     """
     if assignments is None:
-        k = scaled_k(df.count(), target_cluster_size, k_min)
-        assignments = kmeans_assign(
-            df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, nprobe=nprobe,
-            probe_ratio2=probe_ratio2,
-        )
+        k = min(scaled_k(df.count(), target_cluster_size, k_min), k_max)
+        if k > two_level_bound:
+            assignments = two_level_assign(
+                df, k, iters=iters, id_col=id_col, vec_col=vec_col,
+                nprobe=nprobe, probe_ratio2=probe_ratio2,
+            )
+        else:
+            assignments = kmeans_assign(
+                df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+                nprobe=nprobe, probe_ratio2=probe_ratio2,
+            )
     elif nprobe != 1:
         raise ValueError("nprobe applies only when assignments is None")
     return semantic_dedup(

@@ -174,6 +174,55 @@ LLM_KMEANS_SQL = (
 )
 
 
+# ------------------------------------------------ two-level k-means
+_TL_K, _TL_K1, _TL_K2, _TL_ITERS = 16, 4, 4, 2
+
+
+def llm_kmeans_two_level(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 (round 9) — the bounded-compute IVF build
+    (operators/clustering.two_level_assign): coarse Lloyd's at
+    ⌈√k⌉ = 4 cells, then an independent per-cell Lloyd's at
+    k₂ = 4 sub-centroids — the tier semantic_dedup_scaled switches to
+    above its k threshold, where one-level assignment FLOPs turn
+    Θ(n²·d/target). Fully hash-gated: the oracle unrolls the coarse
+    chain with the existing _kmeans_ctes technique, then expresses
+    the per-cell level GROUPED (no per-cell unrolling needed — the
+    update is one (cell, cid, i) aggregation per iteration), under
+    the shared determinism contract (lowest-id seeds, left-to-right
+    IEEE folds, exact int sums, carry-forward empties, lowest-cid
+    ties)."""
+    from ..operators.clustering import two_level_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    return two_level_assign(emb, k=_TL_K, iters=_TL_ITERS)
+
+
+LLM_KMEANS_TWO_LEVEL_SQL = f"""{_kmeans_ctes(k_limit=str(_TL_K1), iters=_TL_ITERS)},
+cellasg AS (SELECT vec_id, q, cluster AS cell FROM a{_TL_ITERS}),
+l0 AS (SELECT * FROM (
+  SELECT cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS cid,
+         list_transform(q, x -> CAST(x AS DOUBLE)) AS coords
+  FROM cellasg) WHERE cid < {_TL_K2}),
+la1 AS (SELECT vec_id, cell, q, cid AS cluster FROM (
+  SELECT e.vec_id, e.cell, e.q, c.cid, {_DIST} AS dist,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY {_DIST}, c.cid) AS rn
+  FROM cellasg e JOIN l0 c ON e.cell = c.cell) WHERE rn = 1),
+l1_s AS (SELECT cell, cluster AS cid, i, CAST(sum(q[i]) AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM la1, unnest(generate_series(1, {_DIM})) AS t(i)
+  GROUP BY cell, cluster, i),
+l1_new AS (SELECT cell, cid, list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS coords
+  FROM l1_s GROUP BY cell, cid),
+l1 AS (SELECT p.cell, p.cid, coalesce(n.coords, p.coords) AS coords
+  FROM l0 p LEFT JOIN l1_new n ON p.cell = n.cell AND p.cid = n.cid),
+la2 AS (SELECT vec_id, cell, cid AS cluster FROM (
+  SELECT e.vec_id, e.cell, c.cid, {_DIST} AS dist,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY {_DIST}, c.cid) AS rn
+  FROM cellasg e JOIN l1 c ON e.cell = c.cell) WHERE rn = 1)
+SELECT vec_id, CAST(cell * {_TL_K2} + cluster AS BIGINT) AS cluster FROM la2
+"""
+
+
 # ------------------------------------------------- cluster diversity
 def llm_cluster_diversity(spark: SparkSession, sf: str) -> DataFrame:
     """B29 — per-cluster diversity scoring (operators/clustering.py
@@ -1121,6 +1170,10 @@ PROBES = [
     Probe("llm_doc_chunk", "B31", llm_doc_chunk, LLM_DOC_CHUNK_SQL),
     Probe("llm_lm_score", "B31", llm_lm_score, LLM_LM_SCORE_SQL),
     Probe("llm_kmeans", "B30", llm_kmeans, LLM_KMEANS_SQL),
+    Probe(
+        "llm_kmeans_two_level", "B30",
+        llm_kmeans_two_level, LLM_KMEANS_TWO_LEVEL_SQL,
+    ),
     Probe(
         "llm_cluster_diversity", "B29",
         llm_cluster_diversity, LLM_CLUSTER_DIVERSITY_SQL,

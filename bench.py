@@ -75,6 +75,7 @@ HEADLINE = [
     "llm_doc_chunk",
     "llm_lm_score",
     "llm_kmeans",
+    "llm_kmeans_two_level",
     # round-3 session-3 curation additions
     "llm_substring_dedup",
     "llm_classifier_score",

@@ -704,3 +704,150 @@ def test_semantic_dedup_incremental_equals_full_restricted(spark):
     out2 = semantic_dedup_incremental(corpus, dup, model, threshold=0.45)
     (row,) = out2.collect()
     assert row["vec_id"] == 10**9 and row["kept"] is False
+
+
+# ------------------------------------------------- two-level build
+def test_two_level_assign_matches_sequential_reference(spark):
+    """two_level_assign == a pure-Python replay of both levels under
+    the shared determinism contract: lowest-id seeds, coordinate-
+    ascending IEEE accumulation, exact int sums with one float
+    division per coordinate, argmin ties to the lowest cid, empty
+    clusters carrying their centroid forward. Cluster id =
+    cell·k₂ + local id."""
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        two_level_assign,
+    )
+
+    # 24 vectors in 3 well-separated blobs + planted structure, dim 4
+    rows = []
+    for i in range(24):
+        blob = i % 3
+        base = [blob * 10.0, blob * -7.0, blob * 3.0, 1.0]
+        rows.append((i, [c + (i % 5) * 0.25 + d * 0.01 for d, c in enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k, iters = 9, 2  # k1 = ceil(sqrt(9)) = 3, k2 = 3
+    got = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in two_level_assign(emb, k=k, iters=iters).collect()
+    )
+
+    import math
+
+    vecs = {i: [math.floor(v * 1_000_000) for v in e] for i, e in rows}
+    dim = 4
+
+    def dist(q, c):
+        acc = 0.0
+        for i in range(dim):
+            d = float(q[i]) - c[i]
+            acc += d * d
+        return acc
+
+    def lloyd(ids, kk, iters):
+        ids = sorted(ids)
+        kk = min(kk, len(ids))
+        cents = {cid: [float(v) for v in vecs[ids[cid]]] for cid in range(kk)}
+        for it in range(1, iters + 1):
+            assign = {
+                i: min(range(kk), key=lambda c: (dist(vecs[i], cents[c]), c))
+                for i in ids
+            }
+            if it == iters:
+                return assign
+            sums = {c: [0] * dim for c in range(kk)}
+            cnt = {c: 0 for c in range(kk)}
+            for i, c in assign.items():
+                cnt[c] += 1
+                for d in range(dim):
+                    sums[c][d] += vecs[i][d]
+            for c in range(kk):
+                if cnt[c]:
+                    cents[c] = [sums[c][d] / cnt[c] for d in range(dim)]
+        raise AssertionError
+
+    k1 = 3
+    k2 = -(-k // k1)
+    coarse = lloyd(list(vecs), k1, iters)
+    want = []
+    cells: dict[int, list[int]] = {}
+    for i, c in coarse.items():
+        cells.setdefault(c, []).append(i)
+    for cell, members in cells.items():
+        local = lloyd(members, k2, iters)
+        want += [(i, cell * k2 + c) for i, c in local.items()]
+    assert got == sorted(want)
+
+
+def test_two_level_dedup_recall_and_precision(spark):
+    """Forced two-level SemDeDup on planted exact duplicates: every
+    planted dup is dropped (identical vectors co-locate at both
+    levels — distance-0 ties), every drop is a TRUE near-dup against
+    a lower-id same-cluster neighbor (precision 1.0, recomputed
+    exactly), and the output covers every input id exactly once."""
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        semantic_dedup_scaled,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    # plant exact duplicates: ids shifted up, so the original is the
+    # lower-id survivor
+    dups = emb.limit(10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    df = emb.select("vec_id", "embedding").unionByName(dups)
+    out = semantic_dedup_scaled(
+        df, target_cluster_size=32, iters=2, threshold=0.45, two_level_bound=1
+    ).collect()
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    assign = {r["vec_id"]: r["cluster"] for r in out}
+    assert len(out) == df.count()  # one row per input id
+    for r in emb.limit(10).collect():
+        assert kept[r["vec_id"] + 100000] is False  # planted dup dropped
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in df.collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return float(d) / (
+            math.sqrt(float(sum(x * x for x in a)))
+            * math.sqrt(float(sum(y * y for y in b)))
+        )
+
+    for x, is_kept in kept.items():
+        if not is_kept:  # precision: a real lower-id neighbor exists
+            assert any(
+                assign[y] == assign[x] and cos(vecs[x], vecs[y]) >= 0.45
+                for y in vecs
+                if y < x
+            ), f"vec {x} dropped without a qualifying neighbor"
+
+
+def test_two_level_soft_ranks_and_ratio_gate(spark):
+    """nprobe=2 two-level assignment emits probe_rank 1..2 within the
+    row's coarse cell; probe_ratio2 prunes ONLY rank-2 rows; rank-1
+    rows equal the hard assignment exactly."""
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        two_level_assign,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    hard = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in two_level_assign(emb, k=16, iters=2).collect()
+    )
+    soft = two_level_assign(emb, k=16, iters=2, nprobe=2).collect()
+    assert sorted(
+        (r["vec_id"], r["cluster"]) for r in soft if r["probe_rank"] == 1
+    ) == hard
+    gated = two_level_assign(
+        emb, k=16, iters=2, nprobe=2, probe_ratio2=1.0
+    ).collect()
+    g1 = [r for r in gated if r["probe_rank"] == 1]
+    assert sorted((r["vec_id"], r["cluster"]) for r in g1) == hard
+    assert len([r for r in gated if r["probe_rank"] == 2]) <= len(
+        [r for r in soft if r["probe_rank"] == 2]
+    )
