@@ -43,28 +43,159 @@ surface); this extends SURVEY.md §2 B31.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
-from .text import token_hash32, tokens
+from .text import HASH_MOD, token_hash32, tokens
 
 DEFAULT_D = 1024
 DEFAULT_SHIFT = 20
+
+# Java's default \s ([ \t\n\x0B\f\r]) == Python's \s under re.ASCII —
+# without the flag Python would also split on Unicode whitespace
+# (e.g. \xa0) and the fused tier would tokenize differently from
+# F.split(text, r"\s+")
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def _bucket(tok: Column, d: int) -> Column:
     return F.pmod(token_hash32(tok), F.lit(d)).cast("int")
 
 
+def _token_buckets_np(texts, d: int):
+    """Vectorized fused tokenize→hash→bucket for one Arrow batch:
+    returns (doc_idx, bucket) int64 arrays, one entry per non-empty
+    token. The hash is EXACTLY token_hash32's char fold — h = (h·31 +
+    codepoint) mod 2³² — vectorized ACROSS tokens per char position
+    (the accumulation order per token is unchanged, and the math is
+    pure integers, so the result is bit-identical to the expression
+    tier and the DuckDB oracle). Codepoints come from a UTF-32 view
+    of the concatenated token text (1:1 with F.ascii/ord)."""
+    import numpy as np
+
+    toks: list[str] = []
+    doc_idx: list[int] = []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        tt = [x for x in _WS.split(t) if x]
+        toks.extend(tt)
+        doc_idx.extend([i] * len(tt))
+    if not toks:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+        )
+    codes = np.frombuffer(
+        "".join(toks).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    offs = np.zeros(len(toks), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    h = np.zeros(len(toks), dtype=np.int64)
+    for i in range(int(lens.max())):
+        act = lens > i
+        # h·31 + code < 2³²·31 + 2²¹ — comfortably inside int64
+        h[act] = (h[act] * 31 + codes[offs[act] + i]) % HASH_MOD
+    return np.asarray(doc_idx, dtype=np.int64), h % d
+
+
 def _bucket_counts(df: DataFrame, d: int, text_col: str, out: str) -> DataFrame:
     """Hashed-unigram corpus model: (bucket, count) — at most ``d``
-    rows after one map-side-combined aggregation."""
+    rows after one map-side-combined aggregation (expression tier)."""
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("_t")).filter(
         F.col("_t") != ""
     )
     return toks.groupBy(_bucket(F.col("_t"), d).alias("bucket")).agg(
         F.count("*").alias(out)
+    )
+
+
+def _bucket_counts_arrow(
+    df: DataFrame, d: int, text_col: str, out: str
+) -> DataFrame:
+    """Fused Arrow tier of ``_bucket_counts``: one mapInPandas pass
+    emits ≤ d partial (bucket, count) rows per batch — the corpus
+    never explodes into a token stream, and the per-token char fold
+    runs vectorized in NumPy instead of the interpreted expression
+    evaluator (HOF folds are CodegenFallback — the C7 lesson). Counts
+    are exact integers, so the d-row model is bit-identical."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            _, b = _token_buckets_np(pdf[text_col].tolist(), d)
+            if not len(b):
+                continue
+            cnt = np.bincount(b, minlength=d)
+            live = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {"bucket": live.astype(np.int32), "_c": cnt[live]}
+            )
+
+    partials = df.select(text_col).mapInPandas(gen, "bucket int, _c long")
+    return partials.groupBy("bucket").agg(F.sum("_c").cast("long").alias(out))
+
+
+def _score_fused(
+    df: DataFrame,
+    lam_rows: list,
+    d: int,
+    id_col: str,
+    text_col: str,
+    keep_missing: bool,
+) -> DataFrame:
+    """Fused Arrow scoring pass: (id, n_tokens, dsir_score) computed
+    per document INSIDE one mapInPandas — no token explode, no join,
+    and (because a document's text lives in one row) no shuffle at
+    all; the λ table rides along as a plain d-slot array in the
+    closure. ``keep_missing`` mirrors the two join semantics: False =
+    dsir_weights' INNER join (a token whose bucket is absent from λ
+    is dropped from count and sum), True = dsir_score_batch's LEFT
+    join (counted, λ=0 prior). Integer math end to end — bit-equal to
+    the expression tier (pytest-pinned)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        lam_arr = np.zeros(d, dtype=np.int64)
+        present = np.zeros(d, dtype=bool)
+        for b, v in lam_rows:
+            lam_arr[b] = v
+            present[b] = True
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            doc_idx, b = _token_buckets_np(pdf[text_col].tolist(), d)
+            if not keep_missing and len(b):
+                keep = present[b]
+                doc_idx, b = doc_idx[keep], b[keep]
+            if not len(b):
+                continue
+            n = np.bincount(doc_idx, minlength=len(ids))
+            sc = np.zeros(len(ids), dtype=np.int64)
+            np.add.at(sc, doc_idx, lam_arr[b])
+            live = np.flatnonzero(n)
+            yield pd.DataFrame(
+                {
+                    id_col: ids[live],
+                    "n_tokens": n[live],
+                    "dsir_score": sc[live],
+                }
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} {id_t}, n_tokens long, dsir_score long"
     )
 
 
@@ -74,17 +205,28 @@ def dsir_lambda(
     d: int = DEFAULT_D,
     text_col: str = "text",
     shift: int = DEFAULT_SHIFT,
+    tier: str = "arrow",
 ) -> DataFrame:
     """The per-bucket integer log-likelihood-ratio table
     (bucket, ct, cr, lam) — ``d`` rows, broadcastable. Buckets are the
     ones present in the RAW corpus (documents scored are drawn from
-    it, so every token they contain lands in a raw bucket)."""
+    it, so every token they contain lands in a raw bucket).
+
+    ``tier``: 'arrow' (default) fuses tokenize→hash→count into one
+    vectorized mapInPandas pass per corpus; 'expr' keeps the
+    explode+groupBy expression plan. Bit-identical (integer counts) —
+    the expression tier's per-char HOF fold is CodegenFallback, which
+    made model building O(corpus chars) INTERPRETED (SCALE.md
+    finding 30's DSIR wall)."""
     if d < 1:
         raise ValueError(f"d must be >= 1, got {d}")
     if not 0 < shift < 43:
         raise ValueError(f"shift must be in (0, 43), got {shift}")
-    cr = _bucket_counts(raw, d, text_col, "cr")
-    ct = _bucket_counts(target, d, text_col, "ct")
+    if tier not in ("arrow", "expr"):
+        raise ValueError(f"tier must be 'arrow' or 'expr', got {tier!r}")
+    counts = _bucket_counts_arrow if tier == "arrow" else _bucket_counts
+    cr = counts(raw, d, text_col, "cr")
+    ct = counts(target, d, text_col, "ct")
     # x = ((ct+1) << shift) DIV (cr+1), clamped to >= 1 so the bit
     # length is defined; lambda = bitlen(x) - 1 - shift can go negative
     # (bucket rarer in target than raw), exactly like the float LLR.
@@ -106,14 +248,30 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     shift: int = DEFAULT_SHIFT,
+    tier: str = "arrow",
 ) -> DataFrame:
     """Per-document importance weights against a trusted target corpus.
 
     Returns (id, n_tokens, dsir_score): score = sum over the doc's
     tokens of the bucket's integer log-ratio — exact int64. Higher =
     more target-like. Docs with no tokens are omitted (consistent with
-    the tokenizing operators)."""
-    lam = dsir_lambda(raw, target, d=d, text_col=text_col, shift=shift)
+    the tokenizing operators).
+
+    ``tier``: 'arrow' (default) collects the d-row λ table (one
+    bounded driver crossing, the kmeans-seed pattern) and scores each
+    document inside ONE fused mapInPandas — no token explode, no
+    join, no per-doc shuffle; 'expr' keeps the lazy
+    explode→broadcast-join→groupBy plan. Bit-identical int64 output
+    either way (pytest-pinned tier equality)."""
+    lam = dsir_lambda(raw, target, d=d, text_col=text_col, shift=shift, tier=tier)
+    if tier == "arrow":
+        lam_rows = [
+            (r["bucket"], r["lam"])
+            for r in lam.select("bucket", "lam").collect()
+        ]
+        return _score_fused(
+            raw, lam_rows, d, id_col, text_col, keep_missing=False
+        )
     toks = raw.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).filter(F.col("_t") != "")
@@ -190,6 +348,7 @@ def dsir_score_batch(
     d: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tier: str = "arrow",
 ) -> DataFrame:
     """Incremental DSIR: score an ARRIVING batch against a FROZEN
     λ table (a prior ``dsir_lambda`` output) — the deployment shape,
@@ -203,7 +362,19 @@ def dsir_score_batch(
     λ = 0, the uninformative prior; identical to what retraining with
     +0 counts would NOT give, so the choice is documented rather than
     silent. Bit-identical to ``dsir_weights`` for any batch drawn
-    from the λ table's raw corpus (pytest pins it)."""
+    from the λ table's raw corpus (pytest pins it).
+
+    ``tier`` as in ``dsir_weights``; the arrow tier collects the
+    frozen λ (d rows) once per call — at deployment scale amortize by
+    collecting once and scoring many batches via ``_score_fused``."""
+    if tier == "arrow":
+        lam_rows = [
+            (r["bucket"], r["lam"])
+            for r in lam.select("bucket", "lam").collect()
+        ]
+        return _score_fused(
+            batch, lam_rows, d, id_col, text_col, keep_missing=True
+        )
     toks = batch.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).filter(F.col("_t") != "")

@@ -1506,3 +1506,59 @@ def test_pair_ngram_overlap_releases_shingle_storage(spark):
     for r in results:
         _release_checkpoint(r)
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_dsir_tier_equality_arrow_vs_expr(spark):
+    """The fused Arrow DSIR tier (vectorized char-fold hash, no
+    explode/join/shuffle) must be BIT-IDENTICAL to the expression
+    tier for the λ model, the weights (inner-join semantics: tokens
+    in buckets absent from λ drop from count AND sum), and the
+    frozen-λ batch scoring (left-join semantics: λ=0 prior, token
+    counted). Includes a non-ASCII token to pin codepoint-fold parity
+    and tab/multi-space boundaries to pin the \\s tokenizer."""
+    from ark_invest_api_rust_data_spark.operators.importance import (
+        dsir_lambda,
+        dsir_score_batch,
+        dsir_weights,
+    )
+
+    rows = [
+        (1, "alpha beta\tgamma  delta alpha"),
+        (2, "beta beta café résumé"),
+        (3, "zeta eta theta iota kappa"),
+        (4, ""),
+        (5, "alpha"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id IN (1, 2)")
+    d = 64
+
+    lam_a = sorted(
+        tuple(r) for r in dsir_lambda(docs, target, d=d, tier="arrow").collect()
+    )
+    lam_e = sorted(
+        tuple(r) for r in dsir_lambda(docs, target, d=d, tier="expr").collect()
+    )
+    assert lam_a == lam_e
+
+    w_a = sorted(
+        tuple(r) for r in dsir_weights(docs, target, d=d, tier="arrow").collect()
+    )
+    w_e = sorted(
+        tuple(r) for r in dsir_weights(docs, target, d=d, tier="expr").collect()
+    )
+    assert w_a == w_e
+    assert 4 not in {t[0] for t in w_a}  # empty doc omitted by both
+
+    lam = dsir_lambda(target, target, d=d, tier="arrow")  # subset model:
+    # docs 3/5 carry buckets the frozen table never saw (λ=0 prior)
+    b_a = sorted(
+        tuple(r)
+        for r in dsir_score_batch(docs, lam, d=d, tier="arrow").collect()
+    )
+    b_e = sorted(
+        tuple(r)
+        for r in dsir_score_batch(docs, lam, d=d, tier="expr").collect()
+    )
+    assert b_a == b_e
+    assert 3 in {t[0] for t in b_a}  # unseen-bucket doc still scored
