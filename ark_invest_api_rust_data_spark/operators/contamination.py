@@ -121,7 +121,7 @@ def pair_ngram_overlap(
     shingle arrays are hash joins whose probe side is small (AQE
     broadcasts it under the threshold); the intersect/union math is
     per-row JVM expressions, no shuffle beyond the joins."""
-    from .dedup import shingles_from_tokens
+    from .dedup import hashed_shingles_from_tokens
 
     # Shingle ONLY pair-touched documents: pairs are detector output
     # (orders of magnitude below the corpus), so semi-joining first
@@ -150,7 +150,13 @@ def pair_ngram_overlap(
             F.col(id_col),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
         )
-        .select(id_col, shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+        # hashed (int64) shingles: the metrics are set sizes and
+        # ratios — identical over hashes absent 64-bit collisions
+        # (hashed_shingles_from_tokens contract), and the persisted
+        # frame + joins ship 8-byte ints instead of gram strings
+        .select(
+            id_col, hashed_shingles_from_tokens(F.col("_toks"), n).alias("_sh")
+        )
         .persist()
     )
     a = sh.select(F.col(id_col).alias(a_col), F.col("_sh").alias("_sa"))
