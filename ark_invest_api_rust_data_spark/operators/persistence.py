@@ -40,18 +40,70 @@ of not restarting an hours-long job from round 0.
 
 from __future__ import annotations
 
+import time
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
+
+# run-scoped subdirectory prefix under the caller's checkpoint_dir;
+# recognizable so the startup vacuum never touches foreign content
+_RUN_PREFIX = "matrun-"
+# default vacuum TTL: generously above any sane job duration, so a
+# CONCURRENT long run's live directory is never reclaimed. Deployments
+# with longer jobs must raise it (the TTL is the liveness proxy — an
+# abnormal exit leaves no other tombstone).
+DEFAULT_VACUUM_TTL_SEC = 7 * 24 * 3600
 
 
 class Materializer:
     """Policy object: ``cut(df)`` materializes + truncates lineage on
-    the chosen tier; ``release(df)`` frees a superseded cut."""
+    the chosen tier; ``release(df)`` frees a superseded cut.
 
-    def __init__(self, spark: SparkSession, checkpoint_dir: str | None = None):
+    Reliable-tier directory hygiene (round-9): ``release`` reclaims
+    superseded cuts DURING a run, but a killed driver leaves the final
+    round's files behind with nothing to delete them. Each Materializer
+    therefore checkpoints into its own run-scoped subdirectory
+    (``<checkpoint_dir>/matrun-<millis>-<rand>``) and, at construction,
+    VACUUMS expired sibling run dirs (modification time older than
+    ``vacuum_ttl_sec``) — the same startup-vacuum contract as the lake
+    compactor: crash debris survives at most until the next run whose
+    TTL has elapsed, and live concurrent runs are protected by the
+    TTL (set it above your longest job)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | None = None,
+        vacuum_ttl_sec: int = DEFAULT_VACUUM_TTL_SEC,
+    ):
         self._dir = checkpoint_dir
         self._spark = spark
         if checkpoint_dir is not None:
-            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            self._vacuum_expired(checkpoint_dir, vacuum_ttl_sec)
+            run = f"{_RUN_PREFIX}{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+            self._run_dir = f"{checkpoint_dir.rstrip('/')}/{run}"
+            spark.sparkContext.setCheckpointDir(self._run_dir)
+
+    def _vacuum_expired(self, root_dir: str, ttl_sec: int) -> None:
+        """Best-effort delete of expired ``matrun-*`` siblings via the
+        Hadoop FS API (works for local paths, HDFS, and object
+        stores). Never touches non-matrun content or young dirs."""
+        try:
+            jvm = self._spark._jvm
+            hconf = self._spark._jsc.hadoopConfiguration()
+            root = jvm.org.apache.hadoop.fs.Path(root_dir)
+            fs = root.getFileSystem(hconf)
+            if not fs.exists(root):
+                return
+            cutoff_ms = int(time.time() * 1000) - ttl_sec * 1000
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith(_RUN_PREFIX) and (
+                    st.getModificationTime() <= cutoff_ms
+                ):
+                    fs.delete(st.getPath(), True)
+        except Exception:
+            pass
 
     @property
     def reliable(self) -> bool:
