@@ -334,6 +334,43 @@ def main() -> None:
                 for n in common
             }
 
+    # Shuffle-delta gate (round-8 judge stretch item): compare this
+    # run's per-query shuffle-read bytes against the committed
+    # BENCH_DETAIL.json from the previous round. A query whose shuffle
+    # grew >1.5× signals a plan-shape flip (the class that caught
+    # triangles' broadcast→SMJ regression late) — deliberate plan
+    # changes should land with a SCALE.md note explaining their row.
+    # WARN-only (rc stays 0): the driver's bench must keep parsing.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    shuffle_deltas = None
+    try:
+        with open(detail_path) as f:
+            prev_sh = json.load(f).get("shuffle_bytes") or {}
+        regressions = {}
+        for q, cur in shuffle.items():
+            p = prev_sh.get(q)
+            if not isinstance(p, dict):
+                continue
+            pr, cr = p.get("read", 0), cur.get("read", 0)
+            # 1 MB floor: sub-MB exchanges are scheduling noise
+            if pr >= 1_000_000 and cr > 1.5 * pr:
+                regressions[q] = {
+                    "prev_read": pr,
+                    "cur_read": cr,
+                    "ratio": round(cr / pr, 2),
+                }
+        shuffle_deltas = {"threshold": 1.5, "regressions": regressions}
+        if regressions:
+            print(
+                "WARN shuffle regression (>1.5x read bytes vs previous "
+                f"BENCH_DETAIL.json): {json.dumps(regressions)}",
+                file=sys.stderr,
+            )
+    except (OSError, ValueError):
+        pass  # first run / unreadable previous detail: no gate
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -344,15 +381,13 @@ def main() -> None:
         "shuffle_bytes": shuffle,
         "deltas_vs": deltas_vs,
         "delta_table": delta_table,
+        "shuffle_deltas": shuffle_deltas,
         "sf": sf_val,
     }
     # Detail first: one JSON line for humans/greppers, plus a sibling
     # file for round-over-round shuffle-plan diffs.
     print(json.dumps(detail))
     try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
             f.write("\n")
@@ -369,6 +404,9 @@ def main() -> None:
         "n_queries": len(HEADLINE),
         "queries": {n: timings[n] for n in HEADLINE},
         "deltas_vs": deltas_vs,
+        "shuffle_regressions": (
+            len(shuffle_deltas["regressions"]) if shuffle_deltas else None
+        ),
         "sf": sf_val,
     }
     line = json.dumps(summary)
