@@ -223,6 +223,34 @@ SELECT vec_id, CAST(cell * {_TL_K2} + cluster AS BIGINT) AS cluster FROM la2
 """
 
 
+def llm_semantic_dedup_two_level(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 (round 9) — the 100 TB SemDeDup composition, gate-proven
+    end to end: the two-level (coarse cell → per-cell Lloyd's)
+    assignment feeding the within-cluster keep-first cosine dedup.
+    This is exactly the plan semantic_dedup_scaled executes above its
+    k threshold; here it runs at fixed k=16 so the same grouped
+    two-level oracle hash-verifies the ENTIRE pipeline (assignment +
+    drop set), not just the clustering."""
+    from ..operators.clustering import semantic_dedup, two_level_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    asg = two_level_assign(emb, k=_TL_K, iters=_TL_ITERS)
+    out = semantic_dedup(emb, threshold=0.45, assignments=asg)
+    return out.withColumn("cluster", F.col("cluster").cast("int"))
+
+
+def _two_level_dedup_sql() -> str:
+    base = LLM_KMEANS_TWO_LEVEL_SQL.strip().removesuffix(
+        f"SELECT vec_id, CAST(cell * {_TL_K2} + cluster AS BIGINT) AS cluster FROM la2"
+    ).rstrip().rstrip(",")
+    # re-attach q (la2 is 1:1 with cellasg) and globalize the id, then
+    # reuse the shared within-cluster dedup tail
+    tl = f""",
+tl AS (SELECT l.vec_id, c.q, l.cell * {_TL_K2} + l.cluster AS cluster
+       FROM la2 l JOIN cellasg c USING (vec_id))"""
+    return _semdedup_sql(base + tl, "tl")
+
+
 # ------------------------------------------------- cluster diversity
 def llm_cluster_diversity(spark: SparkSession, sf: str) -> DataFrame:
     """B29 — per-cluster diversity scoring (operators/clustering.py
@@ -1173,6 +1201,10 @@ PROBES = [
     Probe(
         "llm_kmeans_two_level", "B30",
         llm_kmeans_two_level, LLM_KMEANS_TWO_LEVEL_SQL,
+    ),
+    Probe(
+        "llm_semantic_dedup_two_level", "B29",
+        llm_semantic_dedup_two_level, _two_level_dedup_sql(),
     ),
     Probe(
         "llm_cluster_diversity", "B29",

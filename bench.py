@@ -76,6 +76,7 @@ HEADLINE = [
     "llm_lm_score",
     "llm_kmeans",
     "llm_kmeans_two_level",
+    "llm_semantic_dedup_two_level",
     # round-3 session-3 curation additions
     "llm_substring_dedup",
     "llm_classifier_score",
