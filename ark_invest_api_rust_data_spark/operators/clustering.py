@@ -37,6 +37,7 @@ hash-match a DuckDB oracle that unrolls the same iterations in CTEs.
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
@@ -795,6 +796,8 @@ def two_level_assign(
     probe_ratio2: float | None = None,
     cells: int | None = None,
     checkpoint_dir: str | None = None,
+    _emit_centroids: bool = False,
+    _coarse: tuple | None = None,
 ) -> DataFrame:
     """Two-level k-means assignment — the bounded-compute IVF build
     the SemDeDup paper itself uses (faiss IVF: coarse quantizer, then
@@ -846,20 +849,25 @@ def two_level_assign(
 
     k1 = cells if cells is not None else max(2, int(math.isqrt(k - 1)) + 1)
     k2 = -(-k // k1)
-    _cents, asg1 = kmeans_fit(
-        df, k=k1, iters=iters, id_col=id_col, vec_col=vec_col,
-        checkpoint_dir=checkpoint_dir, arrow=True,
-    )
+    if _coarse is not None:  # precomputed by two_level_model
+        _cents, asg1 = _coarse
+    else:
+        _cents, asg1 = kmeans_fit(
+            df, k=k1, iters=iters, id_col=id_col, vec_col=vec_col,
+            checkpoint_dir=checkpoint_dir, arrow=True,
+        )
     base = (
         df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_q"))
         .join(asg1.select(id_col, F.col("cluster").alias("_cell")), id_col)
     )
     m_declared = min(nprobe, k2)
     soft = m_declared > 1
+    if _emit_centroids and soft:
+        raise ValueError("_emit_centroids supports hard assignment only")
     id_t = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_t}, cluster long" + (
         ", probe_rank int" if soft else ""
-    )
+    ) + (", coords array<double>, _cent boolean" if _emit_centroids else "")
     ratio2 = None if probe_ratio2 is None else float(probe_ratio2)
 
     def fit_cell(pdf):
@@ -879,15 +887,17 @@ def two_level_assign(
                 m_eff = min(m_declared, kk)
                 for rows, dists in _assign_dists_chunks(Q, C):
                     if not soft:
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    id_col: ids[rows],
-                                    "cluster": base_cid
-                                    + dists.argmin(axis=1).astype(np.int64),
-                                }
-                            )
+                        out = pd.DataFrame(
+                            {
+                                id_col: ids[rows],
+                                "cluster": base_cid
+                                + dists.argmin(axis=1).astype(np.int64),
+                            }
                         )
+                        if _emit_centroids:
+                            out["coords"] = None
+                            out["_cent"] = False
+                        frames.append(out)
                         continue
                     out_id, out_c, out_r = [], [], []
                     arange = np.arange(len(dists))
@@ -919,6 +929,22 @@ def two_level_assign(
                             }
                         )
                     )
+                if _emit_centroids:
+                    # one row per FROZEN sub-centroid: the model an
+                    # incremental batch later assigns against. Coords
+                    # are the exact float64s the final pass used, so a
+                    # batch row's dists replay bit-identically.
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                id_col: np.zeros(kk, dtype=ids.dtype),
+                                "cluster": base_cid
+                                + np.arange(kk, dtype=np.int64),
+                                "coords": list(C),
+                                "_cent": True,
+                            }
+                        )
+                    )
                 return pd.concat(frames, ignore_index=True)
             # update pass: exact int64 sums; empty sub-clusters carry
             # their previous centroid forward (kmeans_fit's rule)
@@ -933,6 +959,132 @@ def two_level_assign(
         raise AssertionError("unreachable")
 
     return base.groupBy("_cell").applyInPandas(fit_cell, schema=schema)
+
+
+class TwoLevelModel(NamedTuple):
+    """Frozen two-level quantizer: coarse GRID-space centroids in
+    kmeans_fit's dict format, plus per-GLOBAL-cid sub-centroid
+    coordinates (the exact float64s the training pass assigned
+    against). Bounded driver state: k1 + k rows."""
+
+    coarse: dict[int, list[float]]
+    sub: dict[int, list[float]]  # global cid (cell·k2 + local) → coords
+    k2: int
+
+
+def two_level_model(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[TwoLevelModel, DataFrame]:
+    """``two_level_assign`` plus the FROZEN model — the two-level twin
+    of ``kmeans_fit``'s (centroids, assignments) contract, enabling
+    incremental ingest at corpus-scaled k: train the tree once, then
+    assign every arriving batch with ``assign_to_two_level`` (zero
+    re-clustering, zero corpus-wide work — the band-store discipline).
+    Returns (model, assignments); assignments are eagerly
+    materialized on the caller's tier so the model collect (≤ k1 + k
+    rows, the kmeans-seed bounded pattern) doesn't recompute the
+    fit."""
+    from .persistence import Materializer
+
+    k1 = cells if cells is not None else max(2, int(math.isqrt(k - 1)) + 1)
+    k2 = -(-k // k1)
+    cents1, asg1 = kmeans_fit(
+        df, k=k1, iters=iters, id_col=id_col, vec_col=vec_col,
+        checkpoint_dir=checkpoint_dir, arrow=True,
+    )
+    mat = Materializer(df.sparkSession, checkpoint_dir)
+    raw = mat.cut(
+        two_level_assign(
+            df, k, iters=iters, id_col=id_col, vec_col=vec_col,
+            cells=k1, checkpoint_dir=checkpoint_dir,
+            _emit_centroids=True, _coarse=(cents1, asg1),
+        )
+    )
+    sub = {
+        int(r["cluster"]): [float(v) for v in r["coords"]]
+        for r in raw.filter(F.col("_cent")).select("cluster", "coords").collect()
+    }
+    asg = raw.filter(~F.col("_cent")).select(id_col, "cluster")
+    return TwoLevelModel(cents1, sub, k2), asg
+
+
+def assign_to_two_level(
+    df: DataFrame,
+    model: TwoLevelModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign rows to a FROZEN two-level quantizer — coarse cell via
+    the audited ``assign_to_centroids`` fold, then the cell's frozen
+    sub-centroids via one Arrow pass with the ≤ k-row model riding in
+    the closure. Bit-consistent with training: the sub coords are the
+    exact float64s the fit's final pass used, distances accumulate
+    coordinate-ascending, argmin ties to the lowest LOCAL cid. Narrow
+    maps + one id-join — per-batch cost is O(batch·(k1+k2)·d), never
+    a corpus re-scan."""
+    import numpy as np
+
+    asg1 = assign_to_centroids(
+        df, model.coarse, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed("cluster", "_cell")
+    base = (
+        df.select(F.col(id_col), _quantize(F.col(vec_col)).alias("_q"))
+        .join(asg1, id_col)
+    )
+    k2 = model.k2
+    # per-cell (coords matrix, global cids ordered by local cid)
+    by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for gcid, coords in model.sub.items():
+        by_cell.setdefault(gcid // k2, []).append((gcid, coords))
+    cell_mats = {
+        cell: (
+            np.array([c for _, c in sorted(rows)], dtype=np.float64),
+            np.array([g for g, _ in sorted(rows)], dtype=np.int64),
+        )
+        for cell, rows in by_cell.items()
+    }
+    bc = df.sparkSession.sparkContext.broadcast(cell_mats)
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        mats = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_id, out_c = [], []
+            for cell, grp in pdf.groupby("_cell"):
+                entry = mats.get(int(cell))
+                if entry is None:
+                    # coarse cell that held NO training rows (its seed
+                    # centroid carried forward empty): no sub-centroids
+                    # exist — park the batch rows on the cell's local-0
+                    # slot deterministically
+                    out_id.append(grp[id_col].to_numpy())
+                    out_c.append(
+                        np.full(len(grp), int(cell) * k2, dtype=np.int64)
+                    )
+                    continue
+                C, gcids = entry
+                Q = np.stack(grp["_q"].to_numpy()).astype(np.float64)
+                for rows, dists in _assign_dists_chunks(Q, C):
+                    out_id.append(grp[id_col].to_numpy()[rows])
+                    out_c.append(gcids[dists.argmin(axis=1)])
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "cluster": np.concatenate(out_c),
+                }
+            )
+
+    return base.mapInPandas(gen, f"{id_col} {id_t}, cluster long")
 
 
 def semantic_dedup_incremental(
@@ -960,9 +1112,22 @@ def semantic_dedup_incremental(
     full-union ``semantic_dedup(assignments=frozen)`` restricted to
     batch rows: the keep-first rule drops against RAW lower-id
     neighbors, not surviving ones, so batch decisions never depend on
-    corpus-internal drops (pytest equivalence)."""
+    corpus-internal drops (pytest equivalence).
+
+    ``model`` may also be ``two_level_model``'s (TwoLevelModel,
+    assignments) pair — the corpus-scaled-k regime where the frozen
+    quantizer is a two-level tree; batch rows then assign through
+    ``assign_to_two_level`` (coarse cell, then the cell's frozen
+    sub-centroids), same zero-retraining contract."""
     cents, asg_corpus = model
-    asg_batch = assign_to_centroids(batch, cents, id_col=id_col, vec_col=vec_col)
+    if isinstance(cents, TwoLevelModel):
+        asg_batch = assign_to_two_level(
+            batch, cents, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        asg_batch = assign_to_centroids(
+            batch, cents, id_col=id_col, vec_col=vec_col
+        )
     touched = asg_batch.select("cluster").distinct()
     pruned = asg_corpus.join(F.broadcast(touched), "cluster").select(
         id_col, "cluster"

@@ -197,7 +197,15 @@ def llm_kmeans_two_level(spark: SparkSession, sf: str) -> DataFrame:
     return two_level_assign(emb, k=_TL_K, iters=_TL_ITERS)
 
 
-LLM_KMEANS_TWO_LEVEL_SQL = f"""{_kmeans_ctes(k_limit=str(_TL_K1), iters=_TL_ITERS)},
+def _two_level_ctes(where: str = "") -> str:
+    """Grouped two-level Lloyd's CTE chain ending in
+    ``tl (vec_id, q, cluster)`` — the coarse chain via _kmeans_ctes,
+    then the per-CELL level expressed GROUPED (one (cell, cid, dim)
+    aggregation per iteration; no per-cell unrolling). ``where``
+    restricts the training corpus (the incremental probe trains on
+    the even-id half). Shared by the two-level k-means, dedup, and
+    incremental oracles."""
+    return f"""{_kmeans_ctes(k_limit=str(_TL_K1), iters=_TL_ITERS, where=where)},
 cellasg AS (SELECT vec_id, q, cluster AS cell FROM a{_TL_ITERS}),
 l0 AS (SELECT * FROM (
   SELECT cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS cid,
@@ -215,12 +223,17 @@ l1_new AS (SELECT cell, cid, list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS coords
   FROM l1_s GROUP BY cell, cid),
 l1 AS (SELECT p.cell, p.cid, coalesce(n.coords, p.coords) AS coords
   FROM l0 p LEFT JOIN l1_new n ON p.cell = n.cell AND p.cid = n.cid),
-la2 AS (SELECT vec_id, cell, cid AS cluster FROM (
-  SELECT e.vec_id, e.cell, c.cid, {_DIST} AS dist,
+la2 AS (SELECT vec_id, q, cell, cid AS cluster FROM (
+  SELECT e.vec_id, e.q, e.cell, c.cid, {_DIST} AS dist,
     row_number() OVER (PARTITION BY e.vec_id ORDER BY {_DIST}, c.cid) AS rn
-  FROM cellasg e JOIN l1 c ON e.cell = c.cell) WHERE rn = 1)
-SELECT vec_id, CAST(cell * {_TL_K2} + cluster AS BIGINT) AS cluster FROM la2
-"""
+  FROM cellasg e JOIN l1 c ON e.cell = c.cell) WHERE rn = 1),
+tl AS (SELECT vec_id, q, CAST(cell * {_TL_K2} + cluster AS BIGINT) AS cluster
+       FROM la2)"""
+
+
+LLM_KMEANS_TWO_LEVEL_SQL = (
+    _two_level_ctes() + "\nSELECT vec_id, cluster FROM tl\n"
+)
 
 
 def llm_semantic_dedup_two_level(spark: SparkSession, sf: str) -> DataFrame:
@@ -240,15 +253,63 @@ def llm_semantic_dedup_two_level(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _two_level_dedup_sql() -> str:
-    base = LLM_KMEANS_TWO_LEVEL_SQL.strip().removesuffix(
-        f"SELECT vec_id, CAST(cell * {_TL_K2} + cluster AS BIGINT) AS cluster FROM la2"
-    ).rstrip().rstrip(",")
-    # re-attach q (la2 is 1:1 with cellasg) and globalize the id, then
-    # reuse the shared within-cluster dedup tail
-    tl = f""",
-tl AS (SELECT l.vec_id, c.q, l.cell * {_TL_K2} + l.cluster AS cluster
-       FROM la2 l JOIN cellasg c USING (vec_id))"""
-    return _semdedup_sql(base + tl, "tl")
+    # the two-level chain already ends in tl (vec_id, q, cluster);
+    # reuse the shared within-cluster dedup tail directly
+    return _semdedup_sql(_two_level_ctes(), "tl")
+
+
+def llm_semantic_dedup_incr2l(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 (round 9) — incremental SemDeDup at corpus-scaled k: the
+    even-id half trains a FROZEN two-level quantizer
+    (clustering.two_level_model — coarse cells + per-cell
+    sub-centroids, ≤ k1+k rows of driver state), then the odd-id half
+    arrives as a batch and dedups against it with ZERO re-clustering
+    (assign_to_two_level: coarse fold, then the cell's frozen
+    sub-centroids). The oracle replays the frozen training (two-level
+    CTEs over the corpus half), assigns the batch against the frozen
+    c-final and l1 tables, and runs the shared dedup tail over the
+    union, reporting batch rows — hash-proving the whole incremental
+    tree end to end."""
+    from ..operators.clustering import (
+        semantic_dedup_incremental,
+        two_level_model,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    model = two_level_model(corpus, k=_TL_K, iters=_TL_ITERS)
+    out = semantic_dedup_incremental(corpus, batch, model)
+    return out.withColumn("cluster", F.col("cluster").cast("int"))
+
+
+def _incr2l_sql() -> str:
+    qexpr = (
+        "list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    )
+    # frozen model pieces: c{iters-1} is what kmeans_fit RETURNS after
+    # its last update (the final corpus pass assigned against it), and
+    # l1 is the per-cell analogue
+    ctes = f"""{_two_level_ctes(where=" WHERE vec_id % 2 = 0")},
+eb AS (SELECT vec_id, {qexpr} AS q FROM embeddings WHERE vec_id % 2 = 1),
+ba1 AS (SELECT vec_id, q, cid AS cell FROM (
+  SELECT e.vec_id, e.q, c.cid, {_DIST} AS dist,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY {_DIST}, c.cid) AS rn
+  FROM eb e CROSS JOIN c{_TL_ITERS - 1} c) WHERE rn = 1),
+ba2m AS (SELECT vec_id, q, CAST(cell * {_TL_K2} + cid AS BIGINT) AS cluster FROM (
+  SELECT e.vec_id, e.q, e.cell, c.cid, {_DIST} AS dist,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY {_DIST}, c.cid) AS rn
+  FROM ba1 e JOIN l1 c ON e.cell = c.cell) WHERE rn = 1),
+ba AS (SELECT * FROM ba2m
+       UNION ALL
+       SELECT vec_id, q, CAST(cell * {_TL_K2} AS BIGINT) AS cluster FROM ba1
+       WHERE cell NOT IN (SELECT cell FROM l1)),
+allasg AS (SELECT vec_id, q, cluster FROM tl
+           UNION ALL SELECT vec_id, q, cluster FROM ba)"""
+    return _semdedup_sql(
+        ctes, "allasg", final_filter="WHERE vec_id % 2 = 1"
+    )
 
 
 # ------------------------------------------------- cluster diversity
@@ -383,13 +444,17 @@ def llm_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("cluster", F.col("cluster").cast("int"))
 
 
-def _semdedup_sql(ctes: str, final_a: str, soft: bool = False) -> str:
+def _semdedup_sql(
+    ctes: str, final_a: str, soft: bool = False, final_filter: str = ""
+) -> str:
     """Within-cluster keep-first pairwise dedup over the assignment
-    CTE ``final_a`` — shared by the fixed-k, scaled-k, and soft-nprobe
-    probes. ``soft``: final_a carries m rows per vec (probe_rank);
-    pairs form on ANY shared cluster, the emitted row keeps the
-    primary (probe_rank 1) cluster."""
-    final_where = "WHERE probe_rank = 1" if soft else ""
+    CTE ``final_a`` — shared by the fixed-k, scaled-k, soft-nprobe,
+    and two-level probes. ``soft``: final_a carries m rows per vec
+    (probe_rank); pairs form on ANY shared cluster, the emitted row
+    keeps the primary (probe_rank 1) cluster. ``final_filter``: extra
+    WHERE on the emitted rows (the incremental probes report only
+    batch rows — the pair set still spans the full union)."""
+    final_where = "WHERE probe_rank = 1" if soft else final_filter
     # multi-probe IVF candidate rule (mirrors operators/clustering
     # semantic_dedup): soft pairs must meet through at least one
     # side's PRIMARY cell — mutual-secondary meetings are skipped
@@ -1205,6 +1270,10 @@ PROBES = [
     Probe(
         "llm_semantic_dedup_two_level", "B29",
         llm_semantic_dedup_two_level, _two_level_dedup_sql(),
+    ),
+    Probe(
+        "llm_semantic_dedup_incr2l", "B29",
+        llm_semantic_dedup_incr2l, _incr2l_sql(),
     ),
     Probe(
         "llm_cluster_diversity", "B29",

@@ -77,6 +77,7 @@ HEADLINE = [
     "llm_kmeans",
     "llm_kmeans_two_level",
     "llm_semantic_dedup_two_level",
+    "llm_semantic_dedup_incr2l",
     # round-3 session-3 curation additions
     "llm_substring_dedup",
     "llm_classifier_score",

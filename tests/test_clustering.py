@@ -851,3 +851,58 @@ def test_two_level_soft_ranks_and_ratio_gate(spark):
     assert len([r for r in gated if r["probe_rank"] == 2]) <= len(
         [r for r in soft if r["probe_rank"] == 2]
     )
+
+
+def test_two_level_model_frozen_assignment_consistency(spark):
+    """two_level_model's (model, assignments): assignments equal
+    two_level_assign's; re-assigning the TRAINING rows through the
+    frozen tree reproduces them bit-for-bit (the sub coords are the
+    exact float64s of the final training pass)."""
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        assign_to_two_level,
+        two_level_assign,
+        two_level_model,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    model, asg = two_level_model(emb, k=16, iters=2)
+    a1 = sorted(tuple(r) for r in asg.collect())
+    assert a1 == sorted(
+        tuple(r) for r in two_level_assign(emb, k=16, iters=2).collect()
+    )
+    assert len(model.sub) == 16 and model.k2 == 4
+    re_assigned = sorted(
+        tuple(r) for r in assign_to_two_level(emb, model).collect()
+    )
+    assert re_assigned == a1
+
+
+def test_two_level_incremental_equals_full_union_restriction(spark):
+    """semantic_dedup_incremental with a frozen TwoLevelModel equals
+    the full-union semantic_dedup over the frozen assignments,
+    restricted to batch rows — the same equivalence contract as the
+    one-level incremental path."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        assign_to_two_level,
+        semantic_dedup,
+        semantic_dedup_incremental,
+        two_level_model,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    model = two_level_model(corpus, k=16, iters=2)
+    inc = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup_incremental(corpus, batch, model).collect()
+    }
+    frozen_union = model[1].unionByName(assign_to_two_level(batch, model[0]))
+    full = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup(emb, assignments=frozen_union).collect()
+    }
+    assert inc == {k: v for k, v in full.items() if k % 2 == 1}
+    assert len(inc) == batch.count()
