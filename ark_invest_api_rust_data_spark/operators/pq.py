@@ -173,6 +173,58 @@ def pq_train(
         base.unpersist()
 
 
+def pq_encode_batch(
+    model: PqModel,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode an ARRIVING batch against FROZEN codebooks — the PQ half
+    of the incremental-ingest lifecycle (the compressed twin of
+    clustering.assign_to_centroids / assign_to_two_level): codebooks
+    train once on the reference corpus, every subsequent batch encodes
+    with zero retraining, keeping code semantics append-consistent
+    across batches (ADC tables built from the same codebooks rank old
+    and new codes identically).
+
+    Returns (id, code_0..code_{m-1}) — the rows a deployment appends
+    to the persisted codes table. Bit-identical to what pq_train's own
+    final encode pass would produce for the same rows (it is the SAME
+    ``_assign_expr`` over the same codebook literals): one narrow map
+    over a broadcast coordinate row, ZERO shuffle, so ingest cost is
+    one scan of the batch regardless of corpus size."""
+    from .dedup import _spread
+    from .similarity import _quantize
+
+    m, sub, id_col = model.m, model.sub, model.id_col
+    k_eff = len(model.codebooks[0])
+    spark = batch.sparkSession
+
+    def flat(j: int) -> list[float]:
+        cb = model.codebooks[j]
+        return [float(v) for cid in range(len(cb)) for v in cb[cid]]
+
+    cdf = spark.createDataFrame(
+        [tuple(flat(j) for j in range(m))],
+        ", ".join(f"_cflat{j}: array<double>" for j in range(m)),
+    )
+    base = _spread(batch).select(
+        F.col(id_col),
+        *[
+            _quantize(F.slice(F.col(vec_col), j * sub + 1, sub)).alias(f"_q{j}")
+            for j in range(m)
+        ],
+    )
+    return base.crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col),
+        *[
+            _assign_expr(
+                F.col(f"_q{j}"), F.col(f"_cflat{j}"), k_eff, sub
+            ).alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
+
+
 def adc_tables(model: PqModel, query: list[float]) -> list[list[float]]:
     """Per-subspace ADC distance tables for ``query`` (raw embedding
     space): table[j][code] = squared distance between the query's j-th

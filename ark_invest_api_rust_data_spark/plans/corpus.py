@@ -1331,11 +1331,13 @@ def llm_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_adc_topk(model, query, topk=_PQ_TOPK)
 
 
-def _pq_parts(m: int, k: int, iters: int, sub: int) -> list[str]:
+def _pq_parts(m: int, k: int, iters: int, sub: int, where: str = "") -> list[str]:
     """Unrolled per-subspace Lloyd's chains + per-subspace ADC tables
     (CTE fragments e{j}/c*_{j}/a*_{j}/qt{j}/dt{j}) — the _kmeans_ctes
     technique applied once per subspace over a sliced quantized view
-    of the embedding column. Shared by the PQ and IVF-PQ oracles."""
+    of the embedding column. ``where`` restricts the TRAINING corpus
+    (the incremental probe trains on the even-id half). Shared by the
+    PQ, IVF-PQ, and incremental-encode oracles."""
     dist = (
         f"list_reduce(list_transform(generate_series(1, {sub}), "
         "i -> (CAST(e.q[i] AS DOUBLE) - c.coords[i])"
@@ -1351,7 +1353,7 @@ def _pq_parts(m: int, k: int, iters: int, sub: int) -> list[str]:
         lo, hi = j * sub + 1, (j + 1) * sub
         parts.append(
             f"""e{j} AS (SELECT vec_id, list_transform(embedding[{lo}:{hi}],
-  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM embeddings),
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q FROM embeddings{where}),
 c0_{j} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
   list_transform(q, x -> CAST(x AS DOUBLE)) AS coords
   FROM e{j} ORDER BY vec_id LIMIT {k})"""
@@ -1410,6 +1412,61 @@ PROBES.append(
         llm_pq_topk,
         _pq_sql(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_TOPK),
     )
+)
+
+
+def llm_pq_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 (round 9) — incremental PQ encoding (operators/pq.py
+    pq_encode_batch): codebooks train ONCE on the even-id half, the
+    odd-id half arrives as a batch and encodes against the FROZEN
+    codebooks — zero retraining, the compressed-tier twin of the
+    incremental IVF/two-level assignment contract. The oracle unrolls
+    the per-subspace Lloyd's over the training half, then assigns the
+    batch's sliced subvectors against each frozen c-final — the whole
+    frozen-encode path hash-proven."""
+    from ..operators.pq import pq_encode_batch, pq_train
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    model = pq_train(corpus, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    return pq_encode_batch(model, batch)
+
+
+def _pq_incr_sql() -> str:
+    m, k, iters, sub = _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB
+    parts = _pq_parts(m, k, iters, sub, where=" WHERE vec_id % 2 = 0")
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (CAST(e.q[i] AS DOUBLE) - c.coords[i])"
+        " * (CAST(e.q[i] AS DOUBLE) - c.coords[i])), (a, b) -> a + b)"
+    )
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"""be{j} AS (SELECT vec_id, list_transform(embedding[{lo}:{hi}],
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 2 = 1),
+bb{j} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM be{j} e CROSS JOIN c{iters - 1}_{j} c) WHERE rn = 1)"""
+        )
+    code_cols = ", ".join(
+        f"CAST(bb{j}.cluster AS INTEGER) AS code_{j}" for j in range(m)
+    )
+    joins = "bb0" + "".join(
+        f" JOIN bb{j} USING (vec_id)" for j in range(1, m)
+    )
+    body = ",\n".join(parts)
+    return f"""WITH
+{body}
+SELECT vec_id, {code_cols} FROM {joins}"""
+
+
+PROBES.append(
+    Probe("llm_pq_incremental", "B30", llm_pq_incremental, _pq_incr_sql())
 )
 
 

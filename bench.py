@@ -98,6 +98,7 @@ HEADLINE = [
     "llm_bpe_learn",
     "llm_bpe_segment",
     "llm_pq_topk",
+    "llm_pq_incremental",
     "llm_ivfpq_topk",
     "llm_sq8_topk",
     # round-6 session 2: sketch tier (Bloom decontamination at

@@ -160,3 +160,21 @@ def test_pq_validates(spark):
         F.greatest(*[F.max(f"code_{j}") for j in range(2)]).alias("m")
     ).first()["m"]
     assert 0 <= mx < 4
+
+
+def test_pq_encode_batch_matches_train_encode(spark):
+    """Frozen-codebook batch encode == pq_train's own final encode of
+    the same rows: train on the full set, re-encode every row through
+    pq_encode_batch, expect the codes table verbatim (same
+    _assign_expr over the same codebook literals)."""
+    from ark_invest_api_rust_data_spark.catalog import load_table
+    from ark_invest_api_rust_data_spark.operators.pq import (
+        pq_encode_batch,
+        pq_train,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    model = pq_train(emb, m=4, k=16, iters=2)
+    want = sorted(tuple(r) for r in model.codes.collect())
+    got = sorted(tuple(r) for r in pq_encode_batch(model, emb).collect())
+    assert got == want
