@@ -1139,3 +1139,136 @@ def test_kmins_stateful_batch_fallback(spark, event_dir):
     assert _rows(kmins_distinct_stateful(df)) == _rows(
         kmins_distinct(df, "user_id", ["event_type"])
     )
+
+
+def test_semantic_dedup_stream_equals_frozen_batch_policy(spark, tmp_path):
+    """B24×B29 — streaming semantic dedup against a frozen quantizer
+    with a growing assignment store equals the batch first-seen-
+    canonical rule: a streamed vector is dropped iff some smaller-id
+    vector (seed corpus or any earlier/kept-or-dropped streamed one)
+    shares its frozen cluster at cosine >= threshold. Streams in two
+    id-ordered micro-batches; forces the TWO-LEVEL model tier
+    (two_level_bound=1) so the streaming loop exercises the
+    corpus-scaled-k path; also proves model-reload restartability
+    (the stream starts from the persisted model.json)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        semantic_dedup,
+    )
+    from ark_invest_api_rust_data_spark.streaming.semantic import (
+        _assign_frozen,
+        load_model,
+        seed_semantic_store,
+        start_semantic_dedup_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 10 < 8)
+    streamed = emb.filter(F.col("vec_id") % 10 >= 8)
+    stream_rows = sorted(streamed.collect(), key=lambda r: r["vec_id"])
+    stream_ids = {r["vec_id"] for r in stream_rows}
+
+    store_root = str(tmp_path / "store")
+    seed_semantic_store(corpus, store_root, two_level_bound=1)
+    model = load_model(store_root)
+
+    # batch twin: frozen assignments over EVERYTHING, keep-first dedup,
+    # restricted to streamed ids
+    frozen_union = spark.read.parquet(f"{store_root}/asg").select(
+        "vec_id", "cluster"
+    ).unionByName(_assign_frozen(streamed, model, "vec_id", "embedding"))
+    full = semantic_dedup(emb, assignments=frozen_union).collect()
+    expected = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in full
+        if r["vec_id"] in stream_ids
+    }
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    half = len(stream_rows) // 2
+    for i, chunk in enumerate((stream_rows[:half], stream_rows[half:])):
+        p = str(src / f"part{i}.parquet")
+        spark.createDataFrame(chunk, streamed.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+
+    stream_in = (
+        spark.readStream.schema(streamed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet")
+    )
+    q = start_semantic_dedup_stream(
+        spark, stream_in, store_root, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(f"{store_root}/out")
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"]) for r in out.collect()
+    }
+    assert got == expected
+    # the store grew: corpus + one asg/vecs partition per micro-batch
+    srcs = {
+        r["src"]
+        for r in spark.read.parquet(f"{store_root}/asg")
+        .select("src").distinct().collect()
+    }
+    assert srcs == {"corpus", "b0", "b1"}
+
+
+def test_semantic_dedup_stream_replay_overwrites_stale_attempt(spark, tmp_path):
+    """Crash-replay: stale (and wrong — all-kept) src=b0 partitions
+    from a crashed attempt are OVERWRITTEN by the replay, never read
+    as the replay's own input."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.streaming.semantic import (
+        _assign_frozen,
+        load_model,
+        seed_semantic_store,
+        start_semantic_dedup_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 10 < 8)
+    streamed = emb.filter(F.col("vec_id") % 10 >= 8)
+
+    store_root = str(tmp_path / "store")
+    seed_semantic_store(corpus, store_root, two_level_bound=1)
+    model = load_model(store_root)
+    # stale crashed attempt: every row marked kept, assignments present
+    _assign_frozen(streamed, model, "vec_id", "embedding").withColumn(
+        "kept", F.lit(True)
+    ).write.mode("overwrite").parquet(f"{store_root}/out/src=b0")
+    _assign_frozen(streamed, model, "vec_id", "embedding").write.mode(
+        "overwrite"
+    ).parquet(f"{store_root}/asg/src=b0")
+    streamed.write.mode("overwrite").parquet(f"{store_root}/vecs/src=b0")
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    streamed.coalesce(1).write.mode("overwrite").parquet(
+        str(src / "part0.parquet")
+    )
+    stream_in = (
+        spark.readStream.schema(streamed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet")
+    )
+    q = start_semantic_dedup_stream(
+        spark, stream_in, store_root, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(f"{store_root}/out")
+    assert out.count() == streamed.count()  # replaced, not appended
