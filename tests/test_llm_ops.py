@@ -1562,3 +1562,40 @@ def test_dsir_tier_equality_arrow_vs_expr(spark):
     )
     assert b_a == b_e
     assert 3 in {t[0] for t in b_a}  # unseen-bucket doc still scored
+
+
+def test_dsir_fused_scoring_plan_has_no_shuffle(spark):
+    """Plan-shape regression for the fused DSIR tier: scoring is one
+    narrow mapInPandas over the scan — no token explode, no join, no
+    exchange of any kind (a doc's text lives in one row, so per-doc
+    aggregation is partition-local)."""
+    from ark_invest_api_rust_data_spark.operators.importance import (
+        _score_fused,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    out = _score_fused(docs, [(0, 1)], 64, "doc_id", "text", keep_missing=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_pq_encode_batch_plan_is_narrow(spark):
+    """Frozen-codebook encode ships only a broadcast coordinate row —
+    the batch side never shuffles (BroadcastNestedLoopJoin over one
+    literal row; no ShuffleExchange)."""
+    from ark_invest_api_rust_data_spark.catalog import load_table
+    from ark_invest_api_rust_data_spark.operators.pq import (
+        pq_encode_batch,
+        pq_train,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    model = pq_train(emb.limit(100), m=4, k=8, iters=1)
+    out = pq_encode_batch(model, emb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", ""
+    ) and "Exchange hashpartitioning" not in plan
