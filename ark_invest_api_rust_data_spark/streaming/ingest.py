@@ -175,7 +175,13 @@ def band_store_srcs(store_root: str) -> list[str]:
     ``corpus``, ``b0``, ``compact_g1``) — including RETIRED partitions
     awaiting deferred deletion; see ``read_band_store`` for the live
     view probes should use."""
-    base = f"{store_root}/bands"
+    return partition_srcs(f"{store_root}/bands")
+
+
+def partition_srcs(base: str) -> list[str]:
+    """``src=`` partition values physically under ``base`` (generic —
+    any append-per-micro-batch store: bands, semantic assignments,
+    vector archives)."""
     if not os.path.isdir(base):
         return []
     return sorted(
@@ -189,7 +195,11 @@ _RETIRED_MARKER = ".retired.json"
 def retired_band_srcs(store_root: str) -> list[str]:
     """Srcs folded into a compacted generation by the LAST compaction
     and kept on disk as tombstones (deleted by the NEXT compaction)."""
-    path = f"{store_root}/bands/{_RETIRED_MARKER}"
+    return retired_srcs(f"{store_root}/bands")
+
+
+def retired_srcs(base: str) -> list[str]:
+    path = f"{base}/{_RETIRED_MARKER}"
     try:
         with open(path) as f:
             import json
@@ -199,24 +209,102 @@ def retired_band_srcs(store_root: str) -> list[str]:
         return []
 
 
-def _write_retired(store_root: str, srcs: list[str]) -> None:
+def _write_retired_at(base: str, srcs: list[str]) -> None:
     import json
 
-    base = f"{store_root}/bands"
     tmp = f"{base}/{_RETIRED_MARKER}.tmp"
     with open(tmp, "w") as f:
         json.dump({"retired": sorted(srcs)}, f)
     os.replace(tmp, f"{base}/{_RETIRED_MARKER}")  # atomic on POSIX
 
 
-def _unretire(store_root: str, src: str) -> None:
-    """Remove ``src`` from the tombstone set if present — called after a
-    per-batch write so a partition re-created under a reused batch id
-    (fresh-checkpoint restart) is live again instead of being pruned by
-    every reader and destroyed by the next compaction."""
-    retired = retired_band_srcs(store_root)
+def _write_retired(store_root: str, srcs: list[str]) -> None:
+    _write_retired_at(f"{store_root}/bands", srcs)
+
+
+def unretire_src(base: str, src: str) -> None:
+    """Remove ``src`` from ``base``'s tombstone set if present — called
+    after a per-batch write so a partition re-created under a reused
+    batch id (fresh-checkpoint restart) is live again instead of being
+    pruned by every reader and destroyed by the next compaction."""
+    retired = retired_srcs(base)
     if src in retired:
-        _write_retired(store_root, [s for s in retired if s != src])
+        _write_retired_at(base, [s for s in retired if s != src])
+
+
+def _unretire(store_root: str, src: str) -> None:
+    unretire_src(f"{store_root}/bands", src)
+
+
+def read_live_partitions(spark: SparkSession, base: str) -> DataFrame:
+    """The LIVE view of a ``src=``-partitioned store: everything except
+    retired tombstones (a partition-pruning predicate — pruned
+    partitions produce no scan tasks, which is what makes the deferred
+    delete in the next compaction safe under a running stream)."""
+    df = spark.read.parquet(base)
+    retired = retired_srcs(base)
+    if retired:
+        df = df.filter(~F.col("src").isin(retired))
+    return df
+
+
+def compact_partition_dir(
+    spark: SparkSession,
+    base: str,
+    sort_col: str,
+    retired_ids: DataFrame | None = None,
+    id_col: str | None = None,
+    target_files: int | None = None,
+    dedup: bool = True,
+) -> dict:
+    """Generic fold of a ``src=``-partitioned append store into ONE
+    ``sort_col``-range-partitioned, within-file-sorted generation,
+    with the full concurrency/crash discipline compact_band_store
+    documents (committed-only fold, staged tmp + atomic rename,
+    tombstone-then-deferred-delete, duplicate-row self-healing).
+    ``retired_ids`` (with ``id_col``) drops deleted entities from the
+    folded generation. Returns {"generation", "folded", "deleted",
+    "rows"}."""
+    import shutil
+
+    all_srcs = partition_srcs(base)
+    if not all_srcs:
+        raise FileNotFoundError(f"no partition store under {base}")
+    prev_retired = retired_srcs(base)
+    for s in prev_retired:
+        shutil.rmtree(f"{base}/src={s}", ignore_errors=True)
+    srcs = [
+        s
+        for s in all_srcs
+        if s not in prev_retired and os.path.exists(f"{base}/src={s}/_SUCCESS")
+    ]
+    if not srcs:
+        raise FileNotFoundError(f"no committed partitions under {base}")
+    gen = 1 + max(
+        (int(s[len("compact_g") :]) for s in all_srcs if s.startswith("compact_g")),
+        default=0,
+    )
+    tmp = f"{base}/.compact_tmp"
+    df = spark.read.parquet(*[f"{base}/src={s}" for s in srcs]).drop("src")
+    if dedup:
+        df = df.dropDuplicates()
+    if retired_ids is not None:
+        if id_col is None:
+            raise ValueError("retired_ids requires id_col")
+        df = df.join(retired_ids.select(id_col).distinct(), id_col, "left_anti")
+    n_files = target_files or max(
+        1, spark.sparkContext.defaultParallelism // 4
+    )
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    n_rows = spark.read.parquet(tmp).count()
+    os.rename(tmp, f"{base}/src=compact_g{gen}")
+    _write_retired_at(base, srcs)
+    return {"generation": gen, "folded": srcs, "deleted": prev_retired, "rows": n_rows}
 
 
 def read_band_store(spark: SparkSession, store_root: str) -> DataFrame:
@@ -225,11 +313,7 @@ def read_band_store(spark: SparkSession, store_root: str) -> DataFrame:
     pruned partitions produce no scan tasks, so their files are never
     opened, which is what makes the deferred delete in the next
     ``compact_band_store`` safe under a running ingest stream."""
-    df = spark.read.parquet(f"{store_root}/bands")
-    retired = retired_band_srcs(store_root)
-    if retired:
-        df = df.filter(~F.col("src").isin(retired))
-    return df
+    return read_live_partitions(spark, f"{store_root}/bands")
 
 
 def compact_band_store(
@@ -284,54 +368,17 @@ def compact_band_store(
       (pytest-pinned in tests/test_streaming.py).
 
     Returns {"generation", "folded", "deleted", "rows"}.
-    """
-    import shutil
 
-    base = f"{store_root}/bands"
-    all_srcs = band_store_srcs(store_root)
-    if not all_srcs:
-        raise FileNotFoundError(f"no band store under {store_root}")
-    # 1) deferred delete: drop partitions the PREVIOUS compaction folded
-    #    and tombstoned. Their rows live in compact_g<N-1>; every batch
-    #    started since then prunes them (read_band_store), so no live
-    #    scan holds their file paths.
-    prev_retired = retired_band_srcs(store_root)
-    for s in prev_retired:
-        shutil.rmtree(f"{base}/src={s}", ignore_errors=True)
-    # 2) fold only COMMITTED, non-retired partitions (_SUCCESS marker)
-    #    — an in-flight ingest batch's partial partition must be
-    #    neither read nor deleted
-    srcs = [
-        s
-        for s in all_srcs
-        if s not in prev_retired and os.path.exists(f"{base}/src={s}/_SUCCESS")
-    ]
-    if not srcs:
-        raise FileNotFoundError(f"no committed band partitions under {store_root}")
-    gen = 1 + max(
-        (int(s[len("compact_g") :]) for s in all_srcs if s.startswith("compact_g")),
-        default=0,
+    (Round 9: the mechanics — committed-only fold, staged tmp +
+    atomic rename, tombstone-then-deferred-delete, duplicate-row
+    self-heal — are the generic ``compact_partition_dir``, shared with
+    the semantic store's compaction.)
+    """
+    return compact_partition_dir(
+        spark,
+        f"{store_root}/bands",
+        "band_key",
+        retired_ids=retired_ids,
+        id_col=id_col,
+        target_files=target_files,
     )
-    tmp = f"{base}/.compact_tmp"
-    df = spark.read.parquet(*[f"{base}/src={s}" for s in srcs]).drop("src")
-    # self-heal the crash window: if a previous compaction died between
-    # the generation rename and the tombstone write, the folded srcs and
-    # the generation both reach this fold — collapse the exact-dup rows
-    df = df.dropDuplicates()
-    if retired_ids is not None:
-        df = df.join(retired_ids.select(id_col).distinct(), id_col, "left_anti")
-    n_files = target_files or max(
-        1, spark.sparkContext.defaultParallelism // 4
-    )
-    (
-        df.repartitionByRange(n_files, "band_key")
-        .sortWithinPartitions("band_key")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    n_rows = spark.read.parquet(tmp).count()
-    os.rename(tmp, f"{base}/src=compact_g{gen}")
-    # 3) tombstone (don't delete) what we folded — the next compaction
-    #    deletes it, after every live batch has moved past it
-    _write_retired(store_root, srcs)
-    return {"generation": gen, "folded": srcs, "deleted": prev_retired, "rows": n_rows}

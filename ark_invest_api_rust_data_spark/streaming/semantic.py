@@ -57,8 +57,40 @@ from ..operators.clustering import (
     semantic_dedup_incremental,
     two_level_model,
 )
+from .ingest import compact_partition_dir, read_live_partitions, unretire_src
 
 _MODEL_FILE = "model.json"
+
+
+def compact_semantic_store(
+    spark: SparkSession,
+    store_root: str,
+    retired_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    target_files: int | None = None,
+) -> dict:
+    """Semantic-store lifecycle: fold the per-micro-batch ``asg`` and
+    ``vecs`` partitions — one small file per batch forever — into one
+    range-partitioned generation each (``asg`` clustered by the
+    cluster id so the incremental verify's touched-cluster prune maps
+    to file/row-group pruning; ``vecs`` by the vector id for the
+    verify join-back), dropping ``retired_ids`` (vectors deleted from
+    the corpus) from both. Same concurrency/crash contract as
+    ``compact_band_store`` (shared ``compact_partition_dir``):
+    committed-only fold, tombstone + deferred delete, safe under the
+    running stream. Returns {"asg": {...}, "vecs": {...}}."""
+    return {
+        "asg": compact_partition_dir(
+            spark, f"{store_root}/asg", "cluster",
+            retired_ids=retired_ids, id_col=id_col,
+            target_files=target_files,
+        ),
+        "vecs": compact_partition_dir(
+            spark, f"{store_root}/vecs", id_col,
+            retired_ids=retired_ids, id_col=id_col,
+            target_files=target_files,
+        ),
+    }
 
 
 def _save_model(store_root: str, model) -> None:
@@ -162,13 +194,16 @@ def start_semantic_dedup_stream(
         # CRASH-REPLAY SAFETY (same contract as streaming/ingest.py):
         # a replay of batch N must not read the crashed attempt's own
         # src=bN partitions — stale input AND the overwrite target.
+        # read_live_partitions additionally prunes RETIRED partitions
+        # (folded by a previous compact_semantic_store, pending
+        # deferred deletion).
         asg_store = (
-            spark.read.parquet(f"{store_root}/asg")
+            read_live_partitions(spark, f"{store_root}/asg")
             .filter(F.col("src") != me)
             .select(id_col, "cluster")
         )
         seen_vecs = (
-            spark.read.parquet(f"{store_root}/vecs")
+            read_live_partitions(spark, f"{store_root}/vecs")
             .filter(F.col("src") != me)
             .select(id_col, vec_col)
         )
@@ -191,6 +226,11 @@ def start_semantic_dedup_stream(
         batch.select(id_col, vec_col).write.mode("overwrite").parquet(
             f"{store_root}/vecs/src={me}"
         )
+        # BATCH-ID REUSE SAFETY (ingest.py contract): a fresh-checkpoint
+        # restart reuses b0 — un-tombstone our own src so a re-created
+        # partition is live instead of pruned-then-deleted
+        unretire_src(f"{store_root}/asg", me)
+        unretire_src(f"{store_root}/vecs", me)
 
     writer = (
         stream_vecs.writeStream.foreachBatch(process_batch)

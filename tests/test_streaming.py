@@ -1272,3 +1272,75 @@ def test_semantic_dedup_stream_replay_overwrites_stale_attempt(spark, tmp_path):
 
     out = spark.read.parquet(f"{store_root}/out")
     assert out.count() == streamed.count()  # replaced, not appended
+
+
+def test_semantic_store_compaction_preserves_stream_results(spark, tmp_path):
+    """compact_semantic_store between micro-batches: the folded
+    asg/vecs generations replace the per-batch partitions (tombstoned,
+    deferred-deleted by a second compaction) and the next batch's
+    dedup decisions are unchanged vs the uncompacted run; retired ids
+    drop out of both stores."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        partition_srcs,
+        retired_srcs,
+    )
+    from ark_invest_api_rust_data_spark.streaming.semantic import (
+        compact_semantic_store,
+        seed_semantic_store,
+        start_semantic_dedup_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 10 < 8)
+    streamed = sorted(
+        emb.filter(F.col("vec_id") % 10 >= 8).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    half = len(streamed) // 2
+    schema = "vec_id long, embedding array<double>"
+
+    def run(root, compact_between):
+        src = tmp_path / f"arr_{compact_between}"
+        src.mkdir()
+        seed_semantic_store(corpus, root, two_level_bound=1)
+        for i, chunk in enumerate((streamed[:half], streamed[half:])):
+            p = str(src / f"part{i}.parquet")
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(p)
+            stream_in = (
+                spark.readStream.schema(spark.read.parquet(p).schema)
+                .parquet(p)
+            )
+            q = start_semantic_dedup_stream(
+                spark, stream_in, root,
+                checkpoint=str(tmp_path / f"ck_{compact_between}_{i}"),
+            )
+            q.awaitTermination()
+            if compact_between and i == 0:
+                compact_semantic_store(spark, root)
+        return {
+            r["vec_id"]: (r["cluster"], r["kept"])
+            for r in spark.read.parquet(f"{root}/out").collect()
+        }
+
+    plain = run(str(tmp_path / "s_plain"), False)
+    compacted = run(str(tmp_path / "s_comp"), True)
+    assert plain == compacted and plain
+    # generation landed, folded srcs tombstoned; second compaction
+    # physically deletes them
+    root = str(tmp_path / "s_comp")
+    asg_base = f"{root}/asg"
+    assert any(s.startswith("compact_g") for s in partition_srcs(asg_base))
+    assert retired_srcs(asg_base)
+    compact_semantic_store(spark, root)
+    # the first generation folded src=corpus and tombstoned it; the
+    # second compaction physically deletes the tombstoned partitions
+    assert not os.path.isdir(f"{asg_base}/src=corpus")
+    assert "corpus" not in partition_srcs(asg_base)
