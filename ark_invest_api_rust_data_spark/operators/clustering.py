@@ -933,11 +933,14 @@ def two_level_assign(
                     # one row per FROZEN sub-centroid: the model an
                     # incremental batch later assigns against. Coords
                     # are the exact float64s the final pass used, so a
-                    # batch row's dists replay bit-identically.
+                    # batch row's dists replay bit-identically. The id
+                    # slot is ignored on _cent rows — repeat a REAL id
+                    # so the column stays type-valid for any id dtype
+                    # (string ids would reject a zeros() filler).
                     frames.append(
                         pd.DataFrame(
                             {
-                                id_col: np.zeros(kk, dtype=ids.dtype),
+                                id_col: np.repeat(ids[:1], kk),
                                 "cluster": base_cid
                                 + np.arange(kk, dtype=np.int64),
                                 "coords": list(C),

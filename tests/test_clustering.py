@@ -906,3 +906,25 @@ def test_two_level_incremental_equals_full_union_restriction(spark):
     }
     assert inc == {k: v for k, v in full.items() if k % 2 == 1}
     assert len(inc) == batch.count()
+
+
+def test_two_level_model_supports_string_ids(spark):
+    """r9 self-review regression: the frozen-model centroid rows must
+    stay type-valid for non-numeric id columns (the filler id is a
+    repeated real id, not a numeric zero)."""
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        assign_to_two_level,
+        two_level_model,
+    )
+
+    rows = [
+        (f"doc-{i:03d}", [float((i * 7 + d) % 5) for d in range(4)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    model, asg = two_level_model(emb, k=9, iters=2)
+    a = sorted(tuple(r) for r in asg.collect())
+    assert len(a) == 40 and model.k2 == 3
+    assert sorted(
+        tuple(r) for r in assign_to_two_level(emb, model).collect()
+    ) == a

@@ -1309,26 +1309,38 @@ def test_semantic_store_compaction_preserves_stream_results(spark, tmp_path):
         src = tmp_path / f"arr_{compact_between}"
         src.mkdir()
         seed_semantic_store(corpus, root, two_level_bound=1)
+        # ONE checkpoint across both runs: the resumed file source
+        # assigns batch 1 to the second file — batch ids must never
+        # collide across restarts or src=b0 would be overwritten
+        ckpt = str(tmp_path / f"ck_{compact_between}")
         for i, chunk in enumerate((streamed[:half], streamed[half:])):
             p = str(src / f"part{i}.parquet")
             spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(p)
             stream_in = (
-                spark.readStream.schema(spark.read.parquet(p).schema)
-                .parquet(p)
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/part*.parquet")
             )
             q = start_semantic_dedup_stream(
-                spark, stream_in, root,
-                checkpoint=str(tmp_path / f"ck_{compact_between}_{i}"),
+                spark, stream_in, root, checkpoint=ckpt
             )
             q.awaitTermination()
             if compact_between and i == 0:
                 compact_semantic_store(spark, root)
-        return {
+        got = {
             r["vec_id"]: (r["cluster"], r["kept"])
             for r in spark.read.parquet(f"{root}/out").collect()
         }
+        assert set(got) == {r["vec_id"] for r in streamed}  # both batches
+        srcs = {
+            r["src"]
+            for r in spark.read.parquet(f"{root}/asg")
+            .select("src").distinct().collect()
+        }
+        assert "b1" in srcs  # batch ids advanced across the restart
+        return got
 
     plain = run(str(tmp_path / "s_plain"), False)
     compacted = run(str(tmp_path / "s_comp"), True)
