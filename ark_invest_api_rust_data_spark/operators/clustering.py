@@ -775,6 +775,25 @@ def scaled_k(n: int, target_cluster_size: int = 32, k_min: int = 8) -> int:
     return max(k_min, -(-n // target_cluster_size))
 
 
+def derive_cells(n: int, k: int, max_cell_rows: int | None) -> int:
+    """Coarse cell count for the two-level build: ⌈√k⌉ by default
+    (balances the two levels' assignment FLOPs), RAISED to
+    ⌈n / max_cell_rows⌉ in the capped-k regime (r9 advisor finding):
+    once k stops growing with the corpus (k == k_max), √k cells would
+    hold n/√k rows each — linear in the corpus — and
+    ``two_level_assign``'s per-cell fit loads one cell's Qi+Q matrices
+    into a single task. Bounding EXPECTED cell rows bounds per-task
+    fit memory at ~max_cell_rows · d · 16 bytes (one int64 + one
+    float64 copy), independent of corpus size: at d=768,
+    max_cell_rows=131072 that is ~1.6 GB — tune max_cell_rows to the
+    executor's per-task budget. More cells also means smaller k₂, so
+    total sub-centroids stay ≥ k (cells·⌈k/cells⌉)."""
+    cells = max(2, int(math.isqrt(k - 1)) + 1)
+    if max_cell_rows:
+        cells = max(cells, -(-n // max_cell_rows))
+    return cells
+
+
 # k above this threshold switches semantic_dedup_scaled's build to the
 # two-level (coarse cell → per-cell Lloyd's) assignment. One-level
 # assignment is Θ(n·k·d) FLOPs — with SemDeDup's corpus-scaled
@@ -831,12 +850,18 @@ def two_level_assign(
     Scale shape: level 1 is the audited kmeans_fit (forced Arrow tier
     — small k but corpus-sized n, where the interpreted fold loses);
     level 2 adds ONE hash exchange of (id, q, cell) — linear bytes —
-    and cell-local NumPy whose per-task memory is bounded by
-    ``_assign_dists_chunks``'s ~32 MB dist buffer. Worst case is a
-    degenerate coarse fit collapsing most rows into one cell (that
-    cell's local fit serializes on one task); real embedding corpora
-    spread far wider, and the cap is target_cluster_size·k₂ expected
-    rows. Unlike faiss, both levels keep exact arithmetic — the
+    and cell-local NumPy whose DIST buffer is bounded by
+    ``_assign_dists_chunks`` (~32 MB) but whose Qi+Q matrices hold the
+    WHOLE cell (~n/cells · d · 16 bytes per task). While k grows with
+    the corpus (k = n/target), expected cell rows are target·k₂ —
+    bounded. Once a caller caps k (semantic_dedup_scaled's k_max),
+    ⌈√k⌉ cells would hold n/√k rows each — LINEAR in the corpus — so
+    in that regime derive ``cells`` from n via ``derive_cells``
+    (⌈n/max_cell_rows⌉, the caller-side fix semantic_dedup_scaled
+    applies; r9 advisor finding). Worst case remains a degenerate
+    coarse fit collapsing most rows into one cell (that cell's local
+    fit serializes on one task); real embedding corpora spread far
+    wider. Unlike faiss, both levels keep exact arithmetic — the
     approximation is WHERE cluster boundaries fall, never the cosine
     verify that decides drops."""
     if iters < 1:
@@ -1240,6 +1265,7 @@ def semantic_dedup_scaled(
     verify: str = "arrow",
     k_max: int = 65536,
     two_level_bound: int = _TWO_LEVEL_BOUND,
+    max_cell_rows: int = 1 << 17,
 ) -> DataFrame:
     """SemDeDup's production shape: k derived from the corpus size
     (``scaled_k``) so the pairwise stage stays linear, instead of a
@@ -1255,7 +1281,11 @@ def semantic_dedup_scaled(
     coarse-cell → per-cell build (``two_level_assign``,
     O(n·√k·d) — the faiss-IVF architecture the paper trains with).
     Below the bound nothing changes: the one-level plan is cheaper
-    there and keeps its exact unrolled SQL oracle. The two tiers
+    there and keeps its exact unrolled SQL oracle. In the capped-k
+    regime (k == k_max) ``max_cell_rows`` keeps the two-level build's
+    per-task fit memory bounded by deriving the coarse cell count
+    from n (``derive_cells``) instead of √k — expected per-cell rows
+    stay ≤ max_cell_rows however large the corpus grows. The two tiers
     cluster differently (both deterministically), which moves WHICH
     near-dup pairs share a cluster — never precision (the cosine
     verify is exact); exact duplicates co-locate under both (distance
@@ -1290,11 +1320,17 @@ def semantic_dedup_scaled(
     carry is retained.
     """
     if assignments is None:
-        k = min(scaled_k(df.count(), target_cluster_size, k_min), k_max)
+        n = df.count()
+        k = min(scaled_k(n, target_cluster_size, k_min), k_max)
         if k > two_level_bound:
+            # cells from n, not just √k: once k_max caps k, √k cells
+            # would hold n/√k rows each — linear per-task fit memory
+            # (r9 advisor). derive_cells bounds expected cell rows at
+            # max_cell_rows regardless of corpus size.
             assignments = two_level_assign(
                 df, k, iters=iters, id_col=id_col, vec_col=vec_col,
                 nprobe=nprobe, probe_ratio2=probe_ratio2,
+                cells=derive_cells(n, k, max_cell_rows),
             )
         else:
             assignments = kmeans_assign(

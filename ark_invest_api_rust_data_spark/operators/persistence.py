@@ -40,6 +40,7 @@ of not restarting an hours-long job from round 0.
 
 from __future__ import annotations
 
+import sys
 import time
 import uuid
 
@@ -48,6 +49,9 @@ from pyspark.sql import DataFrame, SparkSession
 # run-scoped subdirectory prefix under the caller's checkpoint_dir;
 # recognizable so the startup vacuum never touches foreign content
 _RUN_PREFIX = "matrun-"
+# liveness marker inside each run dir, refreshed by every cut();
+# dot-prefixed so Spark's partition/file discovery ignores it
+_HEARTBEAT = ".heartbeat"
 # default vacuum TTL: generously above any sane job duration, so a
 # CONCURRENT long run's live directory is never reclaimed. Deployments
 # with longer jobs must raise it (the TTL is the liveness proxy — an
@@ -83,11 +87,34 @@ class Materializer:
             run = f"{_RUN_PREFIX}{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
             self._run_dir = f"{checkpoint_dir.rstrip('/')}/{run}"
             spark.sparkContext.setCheckpointDir(self._run_dir)
+            self._touch_heartbeat()
+
+    def _touch_heartbeat(self) -> None:
+        """Refresh this run's liveness marker (r9 advisor finding:
+        directory mtime alone is a bad death certificate — a live job
+        outlasting the TTL, or an object store that never updates
+        'directory' timestamps, would lose its checkpoints mid-run).
+        The marker is an explicit FILE whose mtime every ``cut``
+        refreshes, so a run is live as long as it keeps iterating.
+        Best-effort: without it the dir mtime remains the fallback."""
+        try:
+            jvm = self._spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(
+                f"{self._run_dir}/{_HEARTBEAT}"
+            )
+            fs = path.getFileSystem(self._spark._jsc.hadoopConfiguration())
+            fs.create(path, True).close()
+        except Exception:
+            pass
 
     def _vacuum_expired(self, root_dir: str, ttl_sec: int) -> None:
         """Best-effort delete of expired ``matrun-*`` siblings via the
         Hadoop FS API (works for local paths, HDFS, and object
-        stores). Never touches non-matrun content or young dirs."""
+        stores). Never touches non-matrun content or young dirs.
+        Liveness = the freshest of the dir mtime and the run's
+        ``.heartbeat`` marker mtime; each reclaimed dir is logged so
+        operators can correlate a later missing-checkpoint failure
+        with the vacuum that caused it."""
         try:
             jvm = self._spark._jvm
             hconf = self._spark._jsc.hadoopConfiguration()
@@ -98,10 +125,27 @@ class Materializer:
             cutoff_ms = int(time.time() * 1000) - ttl_sec * 1000
             for st in fs.listStatus(root):
                 name = st.getPath().getName()
-                if name.startswith(_RUN_PREFIX) and (
-                    st.getModificationTime() <= cutoff_ms
-                ):
+                if not name.startswith(_RUN_PREFIX):
+                    continue
+                live_ms = st.getModificationTime()
+                try:
+                    hb = jvm.org.apache.hadoop.fs.Path(
+                        f"{st.getPath().toString()}/{_HEARTBEAT}"
+                    )
+                    if fs.exists(hb):
+                        live_ms = max(
+                            live_ms,
+                            fs.getFileStatus(hb).getModificationTime(),
+                        )
+                except Exception:
+                    pass
+                if live_ms <= cutoff_ms:
                     fs.delete(st.getPath(), True)
+                    print(
+                        f"Materializer vacuum: reclaimed expired run dir "
+                        f"{st.getPath()} (idle > {ttl_sec}s)",
+                        file=sys.stderr,
+                    )
         except Exception:
             pass
 
@@ -111,7 +155,9 @@ class Materializer:
 
     def cut(self, df: DataFrame) -> DataFrame:
         if self._dir is not None:
-            return df.checkpoint(eager=True)
+            out = df.checkpoint(eager=True)
+            self._touch_heartbeat()  # per-iteration liveness refresh
+            return out
         return df.localCheckpoint(eager=True)
 
     def release(self, df: DataFrame) -> None:

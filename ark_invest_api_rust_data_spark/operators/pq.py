@@ -198,6 +198,18 @@ def pq_encode_batch(
     m, sub, id_col = model.m, model.sub, model.id_col
     k_eff = len(model.codebooks[0])
     spark = batch.sparkSession
+    # Frozen-encode is the one PQ entry point with no trained-dim
+    # check (pq_train validates its own input): a wrong-dim batch
+    # would slice short subvectors, and under non-ANSI configs
+    # element_at past the end yields NULL distances — arbitrary but
+    # valid-looking codes instead of an error (r9 advisor finding).
+    # One bounded driver crossing (a single int) guards the contract.
+    probe = batch.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and probe["d"] != m * sub:
+        raise ValueError(
+            f"batch {vec_col!r} dimension {probe['d']} != model dim "
+            f"{m * sub} (m={m} subspaces × sub={sub} coords)"
+        )
 
     def flat(j: int) -> list[float]:
         cb = model.codebooks[j]

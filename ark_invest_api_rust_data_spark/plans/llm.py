@@ -541,25 +541,82 @@ def llm_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-LLM_CLUSTERS_SQL = f"""
-WITH RECURSIVE sh AS (
+_MINLABEL_ROUNDS = 10
+
+
+def _clusters_body(threshold: float, rounds: int = _MINLABEL_ROUNDS) -> str:
+    """Exhaustive near-dup edges + UNROLLED min-label closure — the
+    r9 judge's sf0.1 unblocking fix: the old ``WITH RECURSIVE
+    reach(node, via)`` materializes the full transitive closure
+    (quadratic rows per component, breadth-first candidate explosion)
+    and never terminates at sf0.1. This is the log-step scheme the
+    engine's own star-contraction uses, as ~2·rounds chained CTEs of
+    Awerbuch–Shiloach hook+shortcut:
+
+      hook      h_r(v) = min(l_{r-1}(v), min over neighbors u of
+                             l_{r-1}(u))
+      shortcut  l_r(v) = h_r(h_r(v))     (pointer jump)
+
+    Labels are node ids, monotone non-increasing, and never leave the
+    component (hook reads neighbors; shortcut follows a label that is
+    itself a member id) — so at any round-over-round fixpoint every
+    edge joins equal labels and the constant per component is its MIN
+    member id, exactly ``dedup_clusters``'s contract. Convergence is
+    O(log n) rounds (every round with an unequal-label edge strictly
+    decreases some label); measured fixpoint on this data is 2 rounds
+    at sf0.01 AND sf0.1 (components ≤ 4 nodes), so {rounds} rounds is
+    a wide margin — and the final SELECT carries a CANARY: if the
+    last round still changed any label the oracle raises
+    ``error(...)`` instead of silently hashing an unconverged answer.
+    Every CTE is MATERIALIZED: DuckDB inlines CTEs referenced twice,
+    which would otherwise re-run the whole prefix per reference."""
+    parts = [
+        f"""sh AS MATERIALIZED (
   SELECT doc_id, {_sql_shingles(3)} AS s
   FROM (SELECT doc_id, {_W} AS w FROM documents)),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jc
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-  WHERE jc >= 0.5),
-edges AS (
+  WHERE jc >= {threshold}),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs),
-reach(node, via) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.via = e.src)
-SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""h{r} AS MATERIALIZED (
+  SELECT l.node, least(l.lbl, min(nl.lbl)) AS lbl
+  FROM l{r - 1} l JOIN edges e ON e.src = l.node
+  JOIN l{r - 1} nl ON nl.node = e.dst
+  GROUP BY l.node, l.lbl),
+l{r} AS MATERIALIZED (
+  SELECT a.node, b.lbl FROM h{r} a JOIN h{r} b ON b.node = a.lbl)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _clusters_select(rounds: int = _MINLABEL_ROUNDS) -> str:
+    """Final projection with the convergence canary (see
+    ``_clusters_body``): sound because hook+shortcut fixpoint ⇒
+    per-component-min labels, so equality of the last two rounds
+    CERTIFIES the answer; inequality raises instead of mis-hashing."""
+    return f"""SELECT node AS doc_id,
+  CASE WHEN (SELECT count(*) FROM l{rounds} a
+             JOIN l{rounds - 1} b ON a.node = b.node AND a.lbl <> b.lbl) = 0
+       THEN lbl
+       ELSE error('min-label closure not converged in {rounds} rounds')
+  END AS cluster_id
+FROM l{rounds}"""
+
+
+LLM_CLUSTERS_SQL = f"""
+{_clusters_body(0.5)}
+{_clusters_select()}
 """
 
 PROBES.append(Probe("llm_dedup_clusters", "B29", llm_dedup_clusters, LLM_CLUSTERS_SQL))
@@ -1632,17 +1689,11 @@ def llm_cluster_reps(spark: SparkSession, sf: str) -> DataFrame:
 
 def _cluster_reps_sql() -> str:
     # probe runs the cluster pipeline at threshold 0.8 (LSH-recall
-    # robustness, see llm_cluster_reps docstring); the shared cluster
-    # SQL is written at the 0.5 default, so mirror the raise here
-    base = (
-        LLM_CLUSTERS_SQL.replace("WHERE jc >= 0.5", "WHERE jc >= 0.8")
-        .strip()
-        .removesuffix(
-            "SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node"
-        )
-    )
-    return f"""{base},
-cl AS (SELECT node AS doc_id, min(via) AS cluster_id FROM reach GROUP BY node),
+    # robustness, see llm_cluster_reps docstring); same unrolled
+    # min-label closure as LLM_CLUSTERS_SQL, composed instead of
+    # string-patched
+    return f"""{_clusters_body(0.8)},
+cl AS ({_clusters_select()}),
 sc AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
               row_number() OVER (PARTITION BY cl.cluster_id
                                  ORDER BY d.n_chars DESC, cl.doc_id) AS rn,

@@ -144,6 +144,20 @@ def start_incremental_dedup_stream(
         ).unionByName(
             batch.join(drop_ids, id_col, "left_semi").withColumn("kept", F.lit(False))
         )
+        # BATCH-ID REUSE SAFETY: a stream restarted with a FRESH
+        # checkpoint restarts batch ids at b0. If a past compaction
+        # tombstoned src=b0, this batch's overwrite would succeed but
+        # read_band_store would keep pruning it and the next compaction
+        # would delete it — new data silently invisible, then destroyed.
+        # Un-tombstone our own src BEFORE the rewrite (r9 advisor):
+        # unretiring after left a window where a concurrent
+        # compaction's deferred delete could rmtree the freshly
+        # rewritten partition and the late unretire would then mark a
+        # deleted partition live. With unretire-first, any compaction
+        # that reads the tombstones after this point spares the
+        # partition; one that read them before is caught by
+        # compact_partition_dir's rewrite-detection mtime guard.
+        _unretire(store_root, me)
         # idempotent per-batch writes: replays overwrite in place
         out.write.mode("overwrite").parquet(f"{docs_dir}/src={me}")
         (
@@ -152,14 +166,6 @@ def start_incremental_dedup_stream(
             .write.mode("overwrite")
             .parquet(f"{store_root}/bands/src={me}")
         )
-        # BATCH-ID REUSE SAFETY: a stream restarted with a FRESH
-        # checkpoint restarts batch ids at b0. If a past compaction
-        # tombstoned src=b0, this batch's overwrite would succeed but
-        # read_band_store would keep pruning it and the next compaction
-        # would delete it — new data silently invisible, then destroyed.
-        # Un-tombstone our own src after the write so a re-created
-        # partition is live again.
-        _unretire(store_root, me)
 
     writer = (
         stream_docs.writeStream.foreachBatch(process_batch)
@@ -271,8 +277,30 @@ def compact_partition_dir(
     if not all_srcs:
         raise FileNotFoundError(f"no partition store under {base}")
     prev_retired = retired_srcs(base)
+    # Rewrite-detection guard (r9 advisor): a batch-id-reuse replay may
+    # have rewritten a retired src AFTER it was tombstoned (the
+    # unretire-first ordering in the writers shrinks but cannot close
+    # the window — this compaction may have been listed before the
+    # unretire landed). A retired dir whose mtime is newer than the
+    # tombstone file was rewritten with live data: skip the delete and
+    # leave it out of this fold; the fresh tombstone set written below
+    # no longer contains it, so it is live again afterward (any
+    # duplicate rows vs an earlier generation heal on the next fold's
+    # dropDuplicates).
+    try:
+        tomb_mtime = os.path.getmtime(f"{base}/{_RETIRED_MARKER}")
+    except OSError:
+        tomb_mtime = float("inf")
+    deleted = []
     for s in prev_retired:
-        shutil.rmtree(f"{base}/src={s}", ignore_errors=True)
+        d = f"{base}/src={s}"
+        try:
+            if os.path.getmtime(d) > tomb_mtime:
+                continue  # rewritten after retirement — live data
+        except OSError:
+            pass  # already gone: rmtree below is a no-op
+        shutil.rmtree(d, ignore_errors=True)
+        deleted.append(s)
     srcs = [
         s
         for s in all_srcs
@@ -304,7 +332,7 @@ def compact_partition_dir(
     n_rows = spark.read.parquet(tmp).count()
     os.rename(tmp, f"{base}/src=compact_g{gen}")
     _write_retired_at(base, srcs)
-    return {"generation": gen, "folded": srcs, "deleted": prev_retired, "rows": n_rows}
+    return {"generation": gen, "folded": srcs, "deleted": deleted, "rows": n_rows}
 
 
 def read_band_store(spark: SparkSession, store_root: str) -> DataFrame:

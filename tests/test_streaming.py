@@ -1356,3 +1356,48 @@ def test_semantic_store_compaction_preserves_stream_results(spark, tmp_path):
     # second compaction physically deletes the tombstoned partitions
     assert not os.path.isdir(f"{asg_base}/src=corpus")
     assert "corpus" not in partition_srcs(asg_base)
+
+
+def test_compaction_spares_retired_src_rewritten_after_tombstone(spark, tmp_path):
+    """r9 advisor: a batch-id-reuse replay can rewrite a RETIRED src
+    after it was tombstoned but before its unretire lands (the
+    writers now unretire first, but a compaction that listed the
+    tombstones earlier can still race). The rewritten partition's dir
+    mtime is newer than the tombstone file — compaction must spare it
+    (skip the deferred delete, leave it out of the fold) and the fresh
+    tombstone set makes it live again."""
+    import time as _time
+
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        compact_partition_dir,
+        read_live_partitions,
+        retired_srcs,
+    )
+
+    base = str(tmp_path / "store")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(
+        f"{base}/src=b0"
+    )
+    info = compact_partition_dir(spark, base, "k")
+    assert info["folded"] == ["b0"] and retired_srcs(base) == ["b0"]
+    _time.sleep(0.05)
+    # the race: a replay rewrites retired src=b0 with NEW rows; its
+    # unretire has not landed when the next compaction starts
+    spark.range(100, 110).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/src=b0")
+    info2 = compact_partition_dir(spark, base, "k")
+    assert info2["deleted"] == [], "rewritten partition must not be deleted"
+    assert "b0" not in info2["folded"]
+    live = {
+        r["k"] for r in read_live_partitions(spark, base).select("k").collect()
+    }
+    assert set(range(100, 110)) <= live, "replayed rows must be live"
+    assert set(range(10)) <= live, "folded generation rows intact"
+    # the NEXT compaction folds the now-live partition normally
+    info3 = compact_partition_dir(spark, base, "k")
+    assert "b0" in info3["folded"]
+    live3 = {
+        r["k"] for r in read_live_partitions(spark, base).select("k").collect()
+    }
+    assert live3 == set(range(10)) | set(range(100, 110))
