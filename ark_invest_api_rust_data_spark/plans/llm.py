@@ -145,6 +145,42 @@ WHERE jc >= 0.5
 """
 
 
+# ------------------------------------------------- skew-guarded keep-first
+def llm_dedup_skew_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 — keep-first near-dup dedup behind the mega-bucket guard
+    (operators/dedup.minhash_dedup_keep_first, r9 judge item 4). At
+    gate scale no bucket exceeds the cap, so the engine's verdict is
+    the plain greedy rule over the LSH-verified pair set — which
+    equals the oracle's exhaustive-pair greedy rule by the same
+    banding-recall argument as llm_minhash_lsh. The over-full fast
+    path is exercised by the planted-10k-clone chaos pytest."""
+    from ..operators.dedup import minhash_dedup_keep_first
+
+    return minhash_dedup_keep_first(
+        load_table(spark, sf, "documents"), threshold=0.5
+    )
+
+
+LLM_DEDUP_SKEW_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(3)} AS s
+  FROM (SELECT doc_id, {_W} AS w FROM documents)),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jc
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE jc >= 0.5)
+SELECT d.doc_id,
+       d.doc_id NOT IN (SELECT doc_b FROM pairs) AS kept
+FROM documents d
+"""
+
+# (registered in the PROBES list below — this section sits above the
+# list literal)
+
+
 # ------------------------------------------------- incremental near-dup
 def llm_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """B29 production shape — the corpus (80% of docs by id-hash) has a
@@ -337,6 +373,7 @@ PROBES = [
     Probe("llm_lang_id", "B31", llm_lang_id, LLM_LANG_ID_SQL),
     Probe("llm_exact_dedup", "B28", llm_exact_dedup, LLM_EXACT_DEDUP_SQL),
     Probe("llm_minhash_lsh", "B29", llm_minhash_lsh, LLM_MINHASH_SQL),
+    Probe("llm_dedup_skew_guarded", "B29", llm_dedup_skew_guarded, LLM_DEDUP_SKEW_SQL),
     Probe("llm_incremental_dedup", "B29", llm_incremental_dedup, LLM_INCREMENTAL_SQL),
     Probe("llm_ngram_jaccard", "B29", llm_ngram_jaccard, LLM_NGRAM_SQL),
     Probe("llm_jaccard_prefix", "B29", llm_jaccard_prefix, LLM_JACCARD_PREFIX_SQL),

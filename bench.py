@@ -154,6 +154,9 @@ HEADLINE = [
     "llm_audio_fingerprint",
     "llm_corpus_funnel",
     "llm_dsir_incremental",
+    # round-10: mega-bucket-guarded keep-first dedup (viral
+    # boilerplate clusters collapse via the fast path, O(n·cap) pairs)
+    "llm_dedup_skew_guarded",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
