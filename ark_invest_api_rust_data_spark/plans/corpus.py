@@ -1541,6 +1541,53 @@ PROBES.append(
 )
 
 
+# --------------------------------------------- IVF-PQ persisted lake
+_IVFPQ_LAKE_CACHE: dict = {}
+
+
+def llm_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — the PRODUCTION read path of IVF-PQ (r9 judge item 5):
+    train once, write the codes ``partitionBy(cluster)`` to a lake
+    dir, then serve the query from the FROZEN model with a scan that
+    reads only the nprobe probed cluster directories
+    (operators/pq.IvfPqIndex). Training determinism makes the frozen
+    search bit-identical to the per-invocation llm_ivfpq_topk, so the
+    probe shares its SQL oracle — what this row newly proves is the
+    persisted layout + frozen-model half of the lifecycle (the
+    partition-pruning plan shape is asserted in tests/test_pq.py)."""
+    import tempfile
+
+    from ..operators.pq import IvfPqIndex
+
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _IVFPQ_LAKE_CACHE.get(key)
+    if cached is None:
+        emb = load_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfpq_lake_")
+        idx = IvfPqIndex.build(
+            emb, path, n_centroids=_IVFPQ_NC, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+        )
+        query = list(emb.orderBy("vec_id").limit(1).select("embedding").first()[0])
+        cached = (path, idx, query)
+        _IVFPQ_LAKE_CACHE[key] = cached
+    path, idx, query = cached
+    return idx.search(
+        spark, path, query, nprobe=_IVFPQ_NPROBE, topk=_PQ_TOPK
+    )
+
+
+PROBES.append(
+    Probe(
+        "llm_ivfpq_persisted",
+        "B30",
+        llm_ivfpq_persisted,
+        _ivfpq_sql(
+            _IVFPQ_NC, _IVFPQ_NPROBE, _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_TOPK
+        ),
+    )
+)
+
+
 # ------------------------------------------------------------- SQ8
 _SQ_DIM, _SQ_TOPK = 64, 10
 

@@ -157,6 +157,8 @@ HEADLINE = [
     # round-10: mega-bucket-guarded keep-first dedup (viral
     # boilerplate clusters collapse via the fast path, O(n·cap) pairs)
     "llm_dedup_skew_guarded",
+    # round-10: persisted IVF-PQ lake + frozen partition-pruned search
+    "llm_ivfpq_persisted",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
