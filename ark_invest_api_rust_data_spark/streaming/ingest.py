@@ -100,6 +100,11 @@ def start_incremental_dedup_stream(
             )
             seen = seen.unionByName(prev)
 
+        # collapse_exact: the streaming mega-bucket guard — a viral
+        # batch of byte-identical docs (boilerplate floods are bursty
+        # by nature) enters the band machinery as ONE representative
+        # plus linear synthesized (canonical, clone, jc=1) pairs; the
+        # drop set is provably identical (dedup.py docstring + pytest)
         pairs = incremental_near_dup_pairs(
             seen,
             batch,
@@ -107,6 +112,7 @@ def start_incremental_dedup_stream(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
+            collapse_exact=True,
             **lsh,
         )
         # classify pair sides: batch-vs-seen → drop the batch side;

@@ -1679,3 +1679,56 @@ def test_minhash_dedup_mega_bucket_guard_bounds_candidates(spark):
         d for d in baseline if out[d] != baseline[d] and d != viral_id
     }
     assert not mismatches, f"skew changed unrelated verdicts: {sorted(mismatches)[:5]}"
+
+
+def test_incremental_collapse_exact_preserves_drop_set(spark):
+    """The streaming mega-bucket guard (collapse_exact=True): on a
+    batch with planted byte-identical clones the ingest consumer's
+    DROP SET must equal the unguarded run's, while the band machinery
+    sees only the min-id representatives (candidate rows bounded
+    linear in clones, not quadratic)."""
+    from ark_invest_api_rust_data_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch_base = docs.filter(F.col("doc_id") % 5 == 0)
+    # plant 50 byte-identical clones of one batch doc
+    src = batch_base.orderBy("doc_id").limit(1)
+    clones = (
+        spark.range(50)
+        .crossJoin(src.select(F.col("text").alias("_t")))
+        .select(
+            (F.col("id") + 900_000).alias("doc_id"),
+            F.col("_t").alias("text"),
+        )
+    )
+    batch = batch_base.select("doc_id", "text").unionByName(clones)
+
+    def drop_set(collapse):
+        pairs = incremental_near_dup_pairs(
+            corpus, batch, threshold=0.5, collapse_exact=collapse
+        )
+        b_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        drops = set()
+        for r in pairs.collect():
+            a, b = r["doc_a"], r["doc_b"]
+            if b in b_ids:
+                drops.add(b)
+            elif a in b_ids:
+                drops.add(a)
+        return drops
+
+    unguarded = drop_set(False)
+    guarded = drop_set(True)
+    assert guarded == unguarded
+    # all 50 clones dropped; the pair stream carrying them is linear
+    assert all((i + 900_000) in guarded for i in range(50))
+    pairs_g = incremental_near_dup_pairs(
+        corpus, batch, threshold=0.5, collapse_exact=True
+    ).count()
+    pairs_u = incremental_near_dup_pairs(
+        corpus, batch, threshold=0.5, collapse_exact=False
+    ).count()
+    assert pairs_g < pairs_u  # clone-clone quadratic pairs gone
