@@ -916,10 +916,18 @@ def two_level_assign(
     if soft_coarse:
         # frozen top-p coarse assignment: rank 1 ≡ asg1 (pytest-pinned
         # frozen-reproduce contract), ranks 2..p are the boundary
-        # memberships
-        celldf = assign_to_centroids(
-            df, _cents, id_col=id_col, vec_col=vec_col,
-            nprobe=min(coarse_probe, k1), probe_ratio2=coarse_ratio2,
+        # memberships. FORCED Arrow tier for the same reason kmeans_fit
+        # passes arrow=True above: k1·d is small but n is corpus-sized,
+        # and the interpreted insert-gated fold loses there (measured
+        # sf10: 51 s → the expression tier was the whole premium).
+        from .dedup import _spread
+
+        _qbase = _spread(df).select(
+            F.col(id_col), _quantize(F.col(vec_col)).alias("_q")
+        )
+        celldf = _assign_arrow(
+            _qbase, _cents, len(next(iter(_cents.values()))), id_col,
+            m=min(coarse_probe, k1), probe_ratio2=coarse_ratio2,
         ).select(
             id_col,
             F.col("cluster").alias("_cell"),
