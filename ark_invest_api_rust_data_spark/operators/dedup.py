@@ -500,6 +500,107 @@ def minhash_dedup_keep_first(
     return out
 
 
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """CCNet-style corpus-wide SEGMENT dedup — the line/paragraph
+    granularity between exact doc dedup (B28) and within-doc
+    repetition stats: web corpora repeat boilerplate lines (nav bars,
+    cookie banners, license footers) across MILLIONS of otherwise
+    distinct pages, and the standard pipeline fix (CCNet; Gopher's
+    repetition filters are the within-doc cousin) is to hash every
+    line/paragraph and keep only the FIRST occurrence corpus-wide.
+
+    Segmentation: ``delimiter`` (e.g. ``"\\n"``) splits on a literal
+    separator — the true CCNet line/paragraph granularity; empty
+    segments are skipped. ``delimiter=None`` falls back to fixed
+    non-overlapping ``window``-token spans (the probe mode — this
+    repo's synthetic corpus has no newlines). Window mode detects
+    duplicated ALIGNED spans (two docs sharing a phrase at different
+    window offsets won't match — exact-copy prefixes/docs do); real
+    boilerplate removal should pass the corpus's actual separator.
+    Keep-first is globally deterministic: the surviving copy of a
+    segment is the one with the smallest (doc id, segment index).
+
+    Returns one row per input doc: (id, kept_text, n_segments,
+    n_dropped) — kept segments re-joined in document order, empty
+    string when everything was boilerplate.
+
+    Scale shape (100 TB): segments explode narrowly (one row per
+    segment, linear in corpus tokens, 8-byte xxhash64 keys per the
+    shingle discipline — the SQL oracle keeps comparing raw segment
+    strings, so the gate re-verifies the no-collision assumption);
+    the keep-first decision is a ``min(struct(id, idx))`` AGGREGATION
+    per key, NOT a per-key window — partial aggregation combines
+    map-side, so a viral boilerplate segment repeated 10M times costs
+    one combiner cell per task instead of a 10M-row single-task sort
+    (the same mega-bucket argument as minhash_dedup_keep_first);
+    the rebuild is one groupBy(doc) with a sort_array over collected
+    (idx, seg) structs — bounded by the doc's own segment count."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if delimiter is not None:
+        import re as _re
+
+        segs = F.filter(
+            F.split(F.col(text_col), _re.escape(delimiter), -1),
+            lambda s: F.trim(s) != "",
+        )
+    else:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        nseg = F.greatest(
+            F.lit(1), F.ceil(F.size(toks) / F.lit(window)).cast("int")
+        )
+        segs = F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: F.array_join(
+                F.slice(toks, (i - F.lit(1)) * window + F.lit(1), window), " "
+            ),
+        )
+    seg_rows = _spread(df).select(
+        F.col(id_col).alias("_id"), F.posexplode(segs).alias("_idx", "_seg")
+    ).withColumn("_key", F.xxhash64("_seg"))
+    first = seg_rows.groupBy("_key").agg(
+        F.min(F.struct("_id", "_idx")).alias("_first")
+    )
+    marked = seg_rows.join(first, "_key").select(
+        "_id", "_idx", "_seg",
+        (
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first._idx") == F.col("_idx"))
+        ).alias("_keep"),
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep"),
+                                    F.struct("_idx", "_seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["_seg"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def incremental_near_dup_pairs(
     corpus: DataFrame,
     new_docs: DataFrame,

@@ -181,6 +181,49 @@ FROM documents d
 # list literal)
 
 
+# ------------------------------------------------- segment (line) dedup
+def llm_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """B29 extension — CCNet-style corpus-wide segment dedup
+    (operators/dedup.segment_dedup): hash every segment, keep only
+    the globally-first occurrence, rebuild docs. The synthetic corpus
+    has no newlines, so the probe segments by fixed 16-token windows;
+    the delimiter (true line/paragraph) mode is pytest-covered. The
+    engine exchanges xxhash64 segment keys with a min-struct
+    aggregation (combiner-friendly — no per-key window task); the
+    oracle recomputes keep-first over RAW segment strings, so the
+    gate re-verifies the no-collision assumption every run."""
+    from ..operators.dedup import segment_dedup
+
+    return segment_dedup(load_table(spark, sf, "documents"), window=16)
+
+
+_SEG_W = 16
+
+LLM_SEGMENT_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_W} AS w FROM documents),
+segs AS (
+  SELECT doc_id, (u).i AS seg_idx, (u).seg AS seg FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, greatest(1, CAST(ceil(len(w) / {_SEG_W}.0) AS INT))),
+      i -> {{'i': i, 'seg': array_to_string(
+              list_slice(w, (i - 1) * {_SEG_W} + 1,
+                         least(i * {_SEG_W}, len(w))), ' ')}})) AS u
+    FROM base)),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_dropped,
+       coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                FILTER (WHERE rn = 1), '') AS kept_text
+FROM ranked GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------- incremental near-dup
 def llm_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """B29 production shape — the corpus (80% of docs by id-hash) has a
@@ -374,6 +417,7 @@ PROBES = [
     Probe("llm_exact_dedup", "B28", llm_exact_dedup, LLM_EXACT_DEDUP_SQL),
     Probe("llm_minhash_lsh", "B29", llm_minhash_lsh, LLM_MINHASH_SQL),
     Probe("llm_dedup_skew_guarded", "B29", llm_dedup_skew_guarded, LLM_DEDUP_SKEW_SQL),
+    Probe("llm_segment_dedup", "B29", llm_segment_dedup, LLM_SEGMENT_DEDUP_SQL),
     Probe("llm_incremental_dedup", "B29", llm_incremental_dedup, LLM_INCREMENTAL_SQL),
     Probe("llm_ngram_jaccard", "B29", llm_ngram_jaccard, LLM_NGRAM_SQL),
     Probe("llm_jaccard_prefix", "B29", llm_jaccard_prefix, LLM_JACCARD_PREFIX_SQL),

@@ -159,6 +159,8 @@ HEADLINE = [
     "llm_dedup_skew_guarded",
     # round-10: persisted IVF-PQ lake + frozen partition-pruned search
     "llm_ivfpq_persisted",
+    # round-10: CCNet-style corpus-wide segment (line) dedup
+    "llm_segment_dedup",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -1732,3 +1732,59 @@ def test_incremental_collapse_exact_preserves_drop_set(spark):
         corpus, batch, threshold=0.5, collapse_exact=False
     ).count()
     assert pairs_g < pairs_u  # clone-clone quadratic pairs gone
+
+
+def test_segment_dedup_matches_sequential_reference(spark):
+    """segment_dedup == a pure-Python keep-first replay over the same
+    window segmentation, on the real corpus (drops exist: planted
+    near-dup docs share aligned window prefixes)."""
+    from ark_invest_api_rust_data_spark.operators.dedup import segment_dedup
+
+    W = 16
+    docs = load_table(spark, SF, "documents")
+    got = {r["doc_id"]: r for r in segment_dedup(docs, window=W).collect()}
+
+    seen: set[str] = set()
+    want: dict[int, tuple[int, int, str]] = {}
+    for r in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        toks = r["text"].strip().split()
+        nseg = max(1, -(-len(toks) // W))
+        kept, dropped = [], 0
+        for i in range(nseg):
+            seg = " ".join(toks[i * W : (i + 1) * W])
+            if seg in seen:
+                dropped += 1
+            else:
+                seen.add(seg)
+                kept.append(seg)
+        want[r["doc_id"]] = (nseg, dropped, " ".join(kept))
+
+    assert set(got) == set(want)
+    for d, (nseg, dropped, text) in want.items():
+        assert got[d]["n_segments"] == nseg, d
+        assert got[d]["n_dropped"] == dropped, d
+        assert got[d]["kept_text"] == text, d
+    assert any(v[1] > 0 for v in want.values())  # drops actually occur
+
+
+def test_segment_dedup_delimiter_mode(spark):
+    """The true CCNet granularity: split on a literal separator, drop
+    later copies of a repeated line corpus-wide, keep document order,
+    skip empty segments."""
+    from ark_invest_api_rust_data_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\nBOILERPLATE LINE\nunique tail"),
+            (2, "BOILERPLATE LINE\nother content"),
+            (3, "\n\nBOILERPLATE LINE\n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in segment_dedup(df, delimiter="\n").collect()}
+    assert got[1]["kept_text"] == "keep me BOILERPLATE LINE unique tail"
+    assert got[1]["n_dropped"] == 0
+    assert got[2]["kept_text"] == "other content"
+    assert got[2]["n_dropped"] == 1
+    assert got[3]["kept_text"] == "" and got[3]["n_segments"] == 1
+    assert got[3]["n_dropped"] == 1  # empty segments skipped, line deduped
