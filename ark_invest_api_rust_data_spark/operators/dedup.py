@@ -471,7 +471,32 @@ def minhash_dedup_keep_first(
     base = _signature_frame(df, id_col, text_col, n, num_hashes).persist()
     try:
         bands = _band_explode(base, num_hashes, rows_per_band)
-        cand, fast_drops = _skew_guarded_candidates(base, bands, bucket_cap)
+        # one bounded driver crossing (a single long) decides the plan:
+        # when NO bucket exceeds the cap — the steady-state, non-viral
+        # case — the fast-path subtree (two group-bys, three joins) is
+        # provably empty, so skip straight to the plain band self-join
+        # (minhash_lsh_pairs' shape plus only the size aggregation).
+        max_bucket = (
+            bands.groupBy("_band", "_bkey")
+            .agg(F.count("*").alias("_bsz"))
+            .agg(F.max("_bsz"))
+            .first()[0]
+            or 0
+        )
+        if max_bucket <= bucket_cap:
+            cand = (
+                bands.select(F.col("_id").alias("doc_a"), "_band", "_bkey")
+                .join(
+                    bands.select(F.col("_id").alias("doc_b"), "_band", "_bkey"),
+                    ["_band", "_bkey"],
+                )
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+                .dropDuplicates(["doc_a", "doc_b"])
+            )
+            fast_drops = None
+        else:
+            cand, fast_drops = _skew_guarded_candidates(base, bands, bucket_cap)
         sh_a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
         sh_b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
         pair_drops = (
@@ -480,7 +505,9 @@ def minhash_dedup_keep_first(
             .filter(jaccard(F.col("_sha"), F.col("_shb")) >= threshold)
             .select(F.col("doc_b").alias("doc_id"))
         )
-        drops = pair_drops.union(fast_drops).distinct()
+        drops = pair_drops.distinct() if fast_drops is None else (
+            pair_drops.union(fast_drops).distinct()
+        )
         out = (
             df.join(
                 drops.withColumnRenamed("doc_id", id_col).withColumn(
