@@ -15,6 +15,7 @@ exact int64 arithmetic.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -44,6 +45,52 @@ def token_hash32(tok: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(HASH_MOD),
     )
+
+
+def token_hash32_vec():
+    """Vectorized (Arrow-batched pandas UDF) twin of ``token_hash32``
+    — BIT-IDENTICAL by construction, not by rounding luck: the fold
+    is pure integer (h·31 + codepoint, masked to 32 bits; the largest
+    intermediate is < 2³⁷, exact in uint64), and codepoints come from
+    a UTF-32-LE view (1:1 with Python ``ord`` and Spark ``ascii`` —
+    the importance.py precedent). The interpreted expression fold is
+    CodegenFallback and dominates every sketch-family probe's wall at
+    corpus scale; this tier replaces k·n interpreted lambda frames
+    with a masked NumPy loop over max-token-length steps per batch.
+    NULL in → NULL out (nullable Int64), matching the expression
+    tier's aggregate-over-null-array semantics. Returned as a factory
+    so UDF registration happens at call time, not import time."""
+
+    @F.pandas_udf("long")
+    def _fold(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        null_mask = s.isna().to_numpy()
+        vals = s.fillna("").to_numpy()
+        n = len(vals)
+        out = np.zeros(n, dtype=np.uint64)
+        if n:
+            lens = np.fromiter(
+                (len(x) for x in vals), dtype=np.int64, count=n
+            )
+            lmax = int(lens.max()) if n else 0
+            if lmax:
+                buf = np.frombuffer(
+                    "".join(vals).encode("utf-32-le"), dtype=np.uint32
+                )
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                for j in range(lmax):
+                    live = lens > j
+                    out[live] = (
+                        out[live] * np.uint64(31)
+                        + buf[(starts + j)[live]].astype(np.uint64)
+                    ) & np.uint64(0xFFFFFFFF)
+        res = pd.array(out.astype(np.int64), dtype="Int64")
+        res[null_mask] = pd.NA
+        return pd.Series(res)
+
+    return _fold
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -191,7 +191,7 @@ def llm_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
     Jaccard. The 'is this crawl already in the training set?' signal
     without a shingle join."""
     from ..operators.dedup import _spread, word_shingles
-    from ..operators.sketch import corpus_overlap
+    from ..operators.sketch import corpus_overlap_split
 
     # _spread BEFORE the explode: documents.parquet arrives in a
     # handful of row groups, and a 2-partition scan serializes the
@@ -200,10 +200,13 @@ def llm_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
     sh = docs.select(
         "lang", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
     )
-    return corpus_overlap(
-        sh.filter(F.col("lang") == "en").select("sh"),
-        sh.filter(F.col("lang") != "en").select("sh"),
+    # single-pass split form: one grouped sketch scan computes both
+    # corpora's registers (r10 — the two-frame corpus_overlap ran the
+    # interpreted char-fold pass twice plus two guard scans)
+    return corpus_overlap_split(
+        sh.select("sh", (F.col("lang") == "en").alias("_en")),
         "sh",
+        "_en",
         k=_OVERLAP_K,
     )
 
