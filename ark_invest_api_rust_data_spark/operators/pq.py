@@ -225,12 +225,22 @@ def pq_encode_batch(
     # would slice short subvectors, and under non-ANSI configs
     # element_at past the end yields NULL distances — arbitrary but
     # valid-looking codes instead of an error (r9 advisor finding).
-    # One bounded driver crossing (a single int) guards the contract.
-    probe = batch.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is not None and probe["d"] != m * sub:
+    # One bounded driver crossing (a 2-long row) guards the contract.
+    # min AND max over the whole batch, not .first(): a mixed-length
+    # batch whose first row happens to be well-sized would otherwise
+    # pass the check and the wrong-dim rows would still produce
+    # NULL-distance, valid-looking codes (r10 advisor).
+    probe = batch.agg(
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+    ).first()
+    if probe is not None and probe["dmin"] is not None and (
+        probe["dmin"] != m * sub or probe["dmax"] != m * sub
+    ):
         raise ValueError(
-            f"batch {vec_col!r} dimension {probe['d']} != model dim "
-            f"{m * sub} (m={m} subspaces × sub={sub} coords)"
+            f"batch {vec_col!r} dimensions [{probe['dmin']}, "
+            f"{probe['dmax']}] != model dim {m * sub} "
+            f"(m={m} subspaces × sub={sub} coords)"
         )
 
     def flat(j: int) -> list[float]:

@@ -585,8 +585,16 @@ def corpus_overlap_split(
     passes halves the wall). Same registers, same estimates, same SQL
     oracle — the split is a groupBy key, not different math. The
     emptiness guard reads the SAME 2-row result: a missing side
-    raises exactly like corpus_overlap's per-side check."""
-    flagged = keys.filter(F.col(key_col).isNotNull()).select(
+    raises exactly like corpus_overlap's per-side check.
+
+    Rows with a NULL ``split_col`` are dropped alongside NULL keys:
+    they belong to neither corpus, and letting them through would
+    create a third sketch group whose ``_side`` is None — and since
+    ``bool(None) == False``, the dict comprehension below would
+    silently overwrite the real False-side registers (r10 advisor)."""
+    flagged = keys.filter(
+        F.col(key_col).isNotNull() & F.col(split_col).isNotNull()
+    ).select(
         F.col(key_col), F.col(split_col).cast("boolean").alias("_side")
     )
     rows = kmins_sketch(flagged, key_col, ["_side"], k).collect()

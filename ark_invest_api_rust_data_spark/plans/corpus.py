@@ -1562,8 +1562,15 @@ def llm_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf)
     cached = _IVFPQ_LAKE_CACHE.get(key)
     if cached is None:
+        import atexit
+        import shutil
+
         emb = load_table(spark, sf, "embeddings")
         path = tempfile.mkdtemp(prefix="ivfpq_lake_")
+        # the lake is a per-session scratch artifact: without this the
+        # per-cluster parquet data leaks a temp dir on every bench/gate
+        # session (r10 advisor)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         idx = IvfPqIndex.build(
             emb, path, n_centroids=_IVFPQ_NC, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
         )

@@ -346,7 +346,20 @@ def read_band_store(spark: SparkSession, store_root: str) -> DataFrame:
     tombstones. The retired filter is a partition-pruning predicate —
     pruned partitions produce no scan tasks, so their files are never
     opened, which is what makes the deferred delete in the next
-    ``compact_band_store`` safe under a running ingest stream."""
+    ``compact_band_store`` safe under a running ingest stream.
+
+    CRASH-WINDOW CAVEAT (duplicate rows, never lost rows): a
+    fresh-checkpoint stream un-tombstones its own ``src=`` partition
+    BEFORE overwriting it (see ``near_dup_ingest_stream``). If the
+    driver dies between the unretire and the overwrite, a still-on-disk
+    tombstoned partition whose rows were already folded into a compact
+    generation is resurrected as live, so this view double-counts its
+    rows until either the stream's replay completes the overwrite or
+    the next ``compact_band_store`` fold drops the duplicates
+    (``dropDuplicates`` over the band columns). Band-store consumers
+    join on (band_key, doc) equality, so duplicate band rows can only
+    re-propose already-proposed candidate pairs — never change a
+    verdict."""
     return read_live_partitions(spark, f"{store_root}/bands")
 
 
@@ -385,6 +398,13 @@ def compact_band_store(
       partition before it was retired must finish before the NEXT
       compaction deletes it. Compaction cadence is hours, micro-batches
       are seconds-to-minutes.)
+    * the ingest stream's unretire-before-overwrite (batch-id reuse
+      safety) opens one small crash window: a driver death between
+      the unretire and the overwrite resurrects an already-folded
+      partition as live, duplicating its rows in ``read_band_store``
+      until the stream replay overwrites it or this fold's
+      ``dropDuplicates`` heals them — duplicates only ever re-propose
+      candidate pairs, they cannot change a dedup verdict.
 
     CRASH-SAFE by construction:
 

@@ -192,8 +192,14 @@ def test_pq_encode_batch_rejects_wrong_dim_batch(spark):
     bad = emb.select(
         "vec_id", F.slice("embedding", 1, 32).alias("embedding")
     )
-    with pytest.raises(ValueError, match="dimension 32 != model dim 64"):
+    with pytest.raises(ValueError, match=r"dimensions \[32, 32\] != model dim 64"):
         pq_encode_batch(model, bad)
+    # r10 advisor: a MIXED batch whose first row is well-sized must
+    # also raise — the guard aggregates min/max over the whole batch,
+    # not a .first() probe
+    mixed = emb.select("vec_id", "embedding").limit(3).unionByName(bad.limit(2))
+    with pytest.raises(ValueError, match=r"dimensions \[32, 64\] != model dim 64"):
+        pq_encode_batch(model, mixed)
     # an EMPTY batch has no row to probe: encodes to zero rows, no error
     empty = emb.filter(F.lit(False))
     assert pq_encode_batch(model, empty).count() == 0
