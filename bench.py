@@ -31,8 +31,44 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ark_invest_api_rust_data_spark.catalog import ALL_TABLES
 from ark_invest_api_rust_data_spark.plans import all_probes
 from ark_invest_api_rust_data_spark.session import get_spark
+
+
+def input_layout(sf_dir: str) -> dict[str, dict[str, int]]:
+    """Per-table parquet physical layout of the bench input (r10 judge
+    item 6). Row groups are atomic to byte-range splits, so a testdata
+    regen that changes row-group size silently moves the parallelism
+    floor of every scan-bound probe (finding 38: sf0.1 lineitem as ONE
+    600k-row group serializes Q1 to a single task, 1.02 s vs 0.73 s at
+    75k-row groups with zero code change). Stamping (files, row_groups,
+    rows) into BENCH_DETAIL.json lets cross-round delta triage detect
+    layout shifts mechanically instead of re-deriving them from task
+    RESTs."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, int]] = {}
+    for t in ALL_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        files = (
+            sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True))
+            if os.path.isdir(path)
+            else [path]
+        )
+        rgs = rows = 0
+        try:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                rgs += md.num_row_groups
+                rows += md.num_rows
+        except OSError:
+            continue
+        out[t] = {"files": len(files), "row_groups": rgs, "rows": rows}
+    return out
 
 # Headline set: the shuffling/joining/window-heavy relational core plus
 # the LLM ops that matter for training-data pipelines.
@@ -353,6 +389,7 @@ def main() -> None:
 
     total = round(sum(timings[n] for n in HEADLINE), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    layout = input_layout(sf_dir)
     # the headline SET has grown round over round (r01: 18 queries,
     # r02: 23, r03: 24, r04: 35) — cross-round totals are only
     # comparable on the shared-query subset, so emit the count
@@ -426,11 +463,31 @@ def main() -> None:
             )
             if raw.returncode != 0:
                 raise OSError(raw.stderr.decode(errors="replace")[:200])
-            prev_sh = json.loads(raw.stdout).get("shuffle_bytes") or {}
+            prev_detail = json.loads(raw.stdout)
         except Exception:
             baseline_src = "disk"
             with open(detail_path) as f:
-                prev_sh = json.load(f).get("shuffle_bytes") or {}
+                prev_detail = json.load(f)
+        prev_sh = prev_detail.get("shuffle_bytes") or {}
+        # layout drift vs the committed baseline: wall deltas on
+        # scan-bound probes are suspect whenever their input's physical
+        # layout moved underneath them (finding 38)
+        prev_layout = prev_detail.get("input_layout") or {}
+        layout_changed = sorted(
+            t
+            for t in layout
+            if t in prev_layout and prev_layout[t] != layout[t]
+        )
+        if layout_changed and delta_table:
+            for n, row in delta_table.items():
+                if row.get("ratio") and row["ratio"] > 1.3:
+                    row["input_layout_changed"] = layout_changed
+        if layout_changed:
+            print(
+                f"WARN input parquet layout changed vs committed "
+                f"baseline: {layout_changed}",
+                file=sys.stderr,
+            )
         regressions = {}
         for q, cur in shuffle.items():
             p = prev_sh.get(q)
@@ -466,6 +523,7 @@ def main() -> None:
         "queries": {n: timings[n] for n in HEADLINE},
         "side_experiments": {n: timings[n] for n in SIDE},
         "shuffle_bytes": shuffle,
+        "input_layout": layout,
         "deltas_vs": deltas_vs,
         "delta_table": delta_table,
         "shuffle_deltas": shuffle_deltas,

@@ -1111,3 +1111,83 @@ def test_two_level_coarse_probe_recovers_boundary_recall(spark):
     p1, p2 = pair_count(1), pair_count(2)
     assert p1 <= p2 <= 2 * p1, f"pair growth {p2 / p1:.2f}x exceeds 2x"
     print(f"recall p1={r1:.3f} p2={r2:.3f}; pairs {p1} -> {p2} ({p2 / p1:.2f}x)")
+
+
+def test_planted_geometry_two_level_probe_beats_one_level(spark, tmp_path):
+    """r10 judge item 3 — the finding-37 dials re-measured on REALISTIC
+    geometry: a mixture-of-Gaussians fixture with true cluster
+    structure (tools/make_planted_embeddings, d2/d1 p50 ~1.2 vs the
+    driver corpus's 1.03) and planted eps-dup pairs, a third of them
+    based at coarse-cell midpoints. Pins, all measured (SCALE.md
+    finding 40):
+    (a) UNGATED two-level coarse_probe=2 recall >= one-level recall —
+        the two-level recall gap is fully recoverable by multi-probe
+        on structured geometry (0.921 vs 0.863 at this fixture);
+    (b) the gated (coarse_ratio2=1.025) default still strictly beats
+        two-level p=1 while holding the pair premium <= 2x (measured
+        1.39x here vs 1.83x on the adversarial near-uniform corpus);
+    (c) precision 1.0 at every setting (no false drops, any geometry).
+    """
+    import numpy as np
+
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        semantic_dedup_scaled,
+        two_level_assign,
+    )
+    from tools.make_planted_embeddings import make_planted
+
+    path = str(tmp_path / "planted.parquet")
+    stats = make_planted(path, n=800, d=32, n_clusters=12, sigma=0.27, seed=11)
+    assert stats["d2_d1"]["p50"] > 1.1  # the fixture IS structured
+
+    emb = spark.read.parquet(path).select("vec_id", "embedding")
+    rows = sorted(
+        ((r["vec_id"], r["embedding"]) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    mat = np.floor(np.array([t[1] for t in rows], dtype=np.float64) * 1e6)
+    nrm = np.linalg.norm(mat, axis=1)
+    cos = (mat @ mat.T) / np.maximum(np.outer(nrm, nrm), 1e-12)
+    np.fill_diagonal(cos, -1.0)
+    gt = set(ids[np.tril(cos >= 0.45, k=-1).any(axis=1)].tolist())
+
+    def run(**kw):
+        out = semantic_dedup_scaled(
+            emb, target_cluster_size=32, iters=2, threshold=0.45, **kw
+        ).collect()
+        drops = {r["vec_id"] for r in out if not r["kept"]}
+        assert not (drops - gt), "false drop: precision must be 1.0"
+        return len(drops & gt) / max(1, len(gt))
+
+    rec_one = run()  # default bound: one-level at this k
+    rec_p1 = run(two_level_bound=1, coarse_probe=1)
+    rec_gated = run(two_level_bound=1, coarse_probe=2, coarse_ratio2=1.025)
+    rec_open = run(two_level_bound=1, coarse_probe=2, coarse_ratio2=None)
+
+    assert rec_open >= rec_one, (
+        f"ungated p=2 {rec_open:.3f} must recover one-level {rec_one:.3f}"
+    )
+    assert rec_gated > rec_p1, "gated multi-probe must improve on p=1"
+
+    # premium audit at the default gate, same rule as the uniform test
+    from collections import Counter
+
+    n = emb.count()
+    k = min(max(8, -(-n // 32)), 65536)
+
+    def pair_count(p):
+        prim, sec = Counter(), Counter()
+        for r in two_level_assign(
+            emb, k=k, iters=2, coarse_probe=p, coarse_ratio2=1.025
+        ).collect():
+            if p == 1 or r["probe_rank"] == 1:
+                prim[r["cluster"]] += 1
+            else:
+                sec[r["cluster"]] += 1
+        return sum(
+            c * (c - 1) // 2 + c * sec.get(cl, 0) for cl, c in prim.items()
+        )
+
+    p1, p2 = pair_count(1), pair_count(2)
+    assert p1 <= p2 <= 2 * p1, f"pair premium {p2 / p1:.2f}x exceeds 2x"

@@ -46,6 +46,100 @@ def canon(rows, colnames):
     return out
 
 
+class JcAmortizer:
+    """Share the exhaustive all-pairs 3-gram Jaccard stage across the
+    oracles that embed it (r10 judge item 2: at sf0.1 that stage is
+    ~19 min and appears verbatim in 8 oracles — the sweep recomputed it
+    8 times). With ``--amortize`` the stage is materialized ONCE as a
+    DuckDB temp table whose defining query is ``LLM_MINHASH_SQL``
+    byte-for-byte (the committed oracle of llm_minhash_lsh), and each
+    consuming oracle's inner all-pairs block is rewritten to read it.
+
+    Soundness: the table holds every pair with jc >= 0.5 plus the jc
+    value computed by the IDENTICAL expression, so any downstream
+    ``WHERE jc >= t`` with t >= 0.5 selects exactly the rows the
+    self-contained SQL would — the rewrite refuses to fire unless it
+    can see that guard (lookahead group) and the oracle's ``sh`` CTE
+    is the 3-gram shingle text (LLM_NGRAM_SQL's 2-gram twin shares the
+    inner block and must NOT be rewritten). The driver never sees any
+    of this: `oracle_sql()` stays self-contained; this is a local
+    sweep-cost optimization whose output is still hash-compared
+    against the Spark engine row-for-row."""
+
+    TABLE = "jc3_pairs"
+
+    def __init__(self, con):
+        import re
+
+        from ark_invest_api_rust_data_spark.plans import llm as _llm
+
+        self._con = con
+        self._setup_sql = _llm.LLM_MINHASH_SQL
+        self._sh3 = f"SELECT doc_id, {_llm._sql_shingles(3)} AS s"
+        self._sh2 = f"SELECT doc_id, {_llm._sql_shingles(2)} AS s"
+        self._built = False
+        self.rewritten: list[str] = []
+        # inner all-pairs block, with the jc threshold guard as a
+        # lookahead so sub-0.5 consumers (none today) are left alone
+        self._inner = re.compile(
+            r"SELECT a\.doc_id AS doc_a, b\.doc_id AS doc_b,\s*"
+            r"CAST\(len\(list_intersect\(a\.s, b\.s\)\) AS DOUBLE\)\s*"
+            r"/ CAST\(len\(list_distinct\(a\.s \|\| b\.s\)\) AS DOUBLE\) AS jc\s*"
+            r"FROM sh a JOIN sh b ON a\.doc_id < b\.doc_id"
+            r"(?=\)\s*WHERE jc >= (0\.\d+))"
+        )
+        # llm_pair_overlap's variant: needs the shingle sets back, so
+        # the rewrite joins jc3_pairs to sh on each side (O(pairs)
+        # lookups instead of O(n^2) intersects)
+        self._overlap = re.compile(
+            r"SELECT a\.doc_id AS doc_a, b\.doc_id AS doc_b,"
+            r" a\.s AS sa, b\.s AS sb\s*"
+            r"FROM sh a JOIN sh b ON a\.doc_id < b\.doc_id\s*"
+            r"WHERE CAST\(len\(list_intersect\(a\.s, b\.s\)\) AS DOUBLE\)\s*"
+            r"/ CAST\(len\(list_distinct\(a\.s \|\| b\.s\)\) AS DOUBLE\)"
+            r" >= (0\.\d+)"
+        )
+
+    def _ensure_table(self):
+        if not self._built:
+            t0 = time.time()
+            self._con.execute(
+                f"CREATE TEMP TABLE {self.TABLE} AS {self._setup_sql}"
+            )
+            n = self._con.execute(
+                f"SELECT count(*) FROM {self.TABLE}"
+            ).fetchone()[0]
+            print(f"amortize: built {self.TABLE} ({n} pairs) "
+                  f"[{time.time() - t0:.1f}s]")
+            self._built = True
+
+    def rewrite(self, name: str, sql: str) -> str:
+        if self._sh3 not in sql or self._sh2 in sql:
+            return sql
+
+        def _inner_repl(m):
+            if float(m.group(1)) < 0.5:
+                return m.group(0)
+            return f"SELECT doc_a, doc_b, jc FROM {self.TABLE}"
+
+        def _overlap_repl(m):
+            if float(m.group(1)) < 0.5:
+                return m.group(0)
+            return (
+                f"SELECT p.doc_a, p.doc_b, a.s AS sa, b.s AS sb\n"
+                f"  FROM {self.TABLE} p JOIN sh a ON a.doc_id = p.doc_a\n"
+                f"  JOIN sh b ON b.doc_id = p.doc_b\n"
+                f"  WHERE p.jc >= {m.group(1)}"
+            )
+
+        new = self._inner.sub(_inner_repl, sql)
+        new = self._overlap.sub(_overlap_repl, new)
+        if new != sql:
+            self._ensure_table()
+            self.rewritten.append(name)
+        return new
+
+
 def main() -> int:
     import json
 
@@ -55,12 +149,16 @@ def main() -> int:
         i = argv.index("--json")
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    amortize = "--amortize" in argv
+    if amortize:
+        argv.remove("--amortize")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark()
     con = duckdb.connect()
     for t in ALL_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    amortizer = JcAmortizer(con) if amortize else None
 
     probes = all_probes()
     failures, passed, skipped = [], 0, 0
@@ -84,7 +182,10 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(probe.oracle)
+            osql = probe.oracle
+            if amortizer is not None:
+                osql = amortizer.rewrite(name, osql)
+            res = con.execute(osql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
@@ -121,6 +222,8 @@ def main() -> int:
         print(f"ok    {name}: {len(cs)} rows [{time.time()-t0:.1f}s]")
 
     print(f"\n{passed} ok, {len(failures)} failed, {skipped} rows-only")
+    if amortizer is not None:
+        print(f"amortized: {sorted(amortizer.rewritten)}")
     if json_path:
         summary = {
             "sf_dir": sf_dir,
@@ -129,6 +232,8 @@ def main() -> int:
             "n_rows_only": skipped,
             "probes": results,
         }
+        if amortizer is not None:
+            summary["amortized"] = sorted(amortizer.rewritten)
         with open(json_path, "w") as fh:
             json.dump(summary, fh, indent=1, sort_keys=True)
         print(f"wrote {json_path}")
