@@ -1401,3 +1401,87 @@ def test_compaction_spares_retired_src_rewritten_after_tombstone(spark, tmp_path
         r["k"] for r in read_live_partitions(spark, base).select("k").collect()
     }
     assert live3 == set(range(10)) | set(range(100, 110))
+
+
+def test_band_store_crash_between_unretire_and_overwrite_heals(spark, tmp_path):
+    """ADVICE r10 — the unretire-before-overwrite CRASH WINDOW, now
+    replay-tested instead of just documented: a fresh-checkpoint
+    stream un-tombstones its own src=b0 and the driver dies BEFORE the
+    overwrite lands. The already-folded b0 partition is resurrected as
+    live, so its rows appear TWICE in the live view (once via the
+    compact generation, once via the tombstone-lifted partition) —
+    duplicates, never losses: the row SET is unchanged, every probe
+    decision is unchanged (band candidates collapse in the set), and
+    the next compaction's dropDuplicates heals the store back to
+    unique rows."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.operators.dedup import (
+        band_table,
+        incremental_near_dup_pairs,
+    )
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        _unretire,
+        compact_band_store,
+        read_band_store,
+        retired_band_srcs,
+        seed_band_store,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch0 = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    store_root = str(tmp_path / "store")
+    seed_band_store(corpus, store_root)
+    band_table(batch0).write.mode("overwrite").parquet(
+        f"{store_root}/bands/src=b0"
+    )
+
+    def live_rows():
+        return [
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in read_band_store(spark, store_root).collect()
+        ]
+
+    def probe_pairs():
+        probe_batch = docs.filter(F.col("doc_id") % 10 == 7)
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in incremental_near_dup_pairs(
+                docs, probe_batch,
+                band_store=read_band_store(spark, store_root),
+                threshold=0.5,
+            ).collect()
+        }
+
+    before = live_rows()
+    before_pairs = probe_pairs()
+    assert len(before) == len(set(before))  # unique pre-crash
+
+    info = compact_band_store(spark, store_root)
+    assert set(info["folded"]) == {"corpus", "b0"}
+    b0_rows = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in spark.read.parquet(f"{store_root}/bands/src=b0").collect()
+    }
+
+    # THE CRASH: the stream's first action on a reused batch id is
+    # _unretire (ingest.py process_batch) — and then the driver dies,
+    # so the overwrite of src=b0 never happens
+    _unretire(store_root, "b0")
+
+    assert retired_band_srcs(store_root) == ["corpus"]
+    after = live_rows()
+    assert set(after) == set(before), "no row may be lost or invented"
+    # the resurrected partition's rows are exactly the duplicates
+    assert len(after) == len(before) + len(b0_rows)
+    assert probe_pairs() == before_pairs  # decisions unaffected
+
+    # heal: the next fold dropDuplicates the store back to unique
+    info2 = compact_band_store(spark, store_root)
+    assert "b0" in info2["folded"]
+    healed = live_rows()
+    assert len(healed) == len(set(healed)) == len(before)
+    assert set(healed) == set(before)
+    assert probe_pairs() == before_pairs
