@@ -10,6 +10,7 @@ mismatch. Run:  python tools/verify_oracle.py [sf_dir] [probe ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -21,6 +22,11 @@ sys.path.insert(0, "/root/repo")
 from ark_invest_api_rust_data_spark.catalog import ALL_TABLES
 from ark_invest_api_rust_data_spark.plans import all_probes
 from ark_invest_api_rust_data_spark.session import get_spark
+
+# Per-oracle DuckDB wall cap (r11): con.interrupt() fires after this
+# and the probe records a FAIL instead of wedging the sweep. The
+# slowest legitimate oracle measured is the ~19-min all-pairs stage.
+ORACLE_TIMEOUT_S = int(os.environ.get("ORACLE_TIMEOUT_S", "1800"))
 
 
 def _canon_cell(v):
@@ -101,17 +107,36 @@ class JcAmortizer:
         )
 
     def _ensure_table(self):
-        if not self._built:
-            t0 = time.time()
+        if self._built:
+            return
+        t0 = time.time()
+        # optional explicit cache (JC3_CACHE=<parquet path>): the
+        # all-pairs stage is ~19 min at sf0.1, so sweep RESUMES after
+        # a crash shouldn't pay it twice. Explicitly env-keyed — the
+        # caller owns matching the cache file to the sf under test.
+        cache = os.environ.get("JC3_CACHE")
+        src = "built"
+        if cache and os.path.exists(cache):
+            self._con.execute(
+                f"CREATE TEMP TABLE {self.TABLE} AS "
+                f"SELECT * FROM '{cache}'"
+            )
+            src = f"loaded {cache}"
+        else:
             self._con.execute(
                 f"CREATE TEMP TABLE {self.TABLE} AS {self._setup_sql}"
             )
-            n = self._con.execute(
-                f"SELECT count(*) FROM {self.TABLE}"
-            ).fetchone()[0]
-            print(f"amortize: built {self.TABLE} ({n} pairs) "
-                  f"[{time.time() - t0:.1f}s]")
-            self._built = True
+            if cache:
+                self._con.execute(
+                    f"COPY {self.TABLE} TO '{cache}' (FORMAT PARQUET)"
+                )
+                src = f"built + cached {cache}"
+        n = self._con.execute(
+            f"SELECT count(*) FROM {self.TABLE}"
+        ).fetchone()[0]
+        print(f"amortize: {src} {self.TABLE} ({n} pairs) "
+              f"[{time.time() - t0:.1f}s]")
+        self._built = True
 
     def rewrite(self, name: str, sql: str) -> str:
         if self._sh3 not in sql or self._sh2 in sql:
@@ -181,11 +206,24 @@ def main() -> int:
             results[name] = {"status": "rows_only", "rows": len(srows)}
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
+        print(f"spark {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        t_spark = time.time() - t0
         try:
+            import threading
+
             osql = probe.oracle
             if amortizer is not None:
                 osql = amortizer.rewrite(name, osql)
-            res = con.execute(osql)
+            # watchdog (r11): a wedged single-threaded DuckDB section
+            # would otherwise stall the whole sweep silently — interrupt
+            # the query after the cap and record a FAIL instead
+            dog = threading.Timer(ORACLE_TIMEOUT_S, con.interrupt)
+            dog.daemon = True
+            dog.start()
+            try:
+                res = con.execute(osql)
+            finally:
+                dog.cancel()
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
