@@ -199,6 +199,9 @@ HEADLINE = [
     "llm_segment_dedup",
     # round-11: segment dedup's true delimiter (line) mode, hash-gated
     "llm_segment_dedup_lines",
+    # round-11: IVF-PQ ingest loop — frozen encode + append into the
+    # cluster-partitioned lake + union-serving pruned search
+    "llm_ivfpq_append",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier
