@@ -1737,6 +1737,91 @@ PROBES.append(
 )
 
 
+# --------------------------------- IVF-PQ lake: STREAMING ingest
+_IVFPQ_STREAM_CACHE: dict = {}
+
+
+def llm_ivfpq_stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """B30 + B24 composition — the STREAMING twin of llm_ivfpq_append
+    (streaming/ann_ingest.py): train coarse + PQ on the even-id half
+    and seed the code lake (src=corpus); stream the odd-id half in TWO
+    availableNow micro-batches through start_pq_ingest_stream — each
+    frozen-encoded + frozen-assigned and written as an idempotent
+    src=b<id> partition overwrite — then serve one frozen union search.
+    The lake layout is src=/cluster= two-level hive partitioning, so
+    exactly-once replay (per-src overwrite) and nprobe cluster pruning
+    coexist. The corpus the search sees is identical to the batch
+    append lifecycle's (union of trained + frozen-ingested rows), so
+    the probe SHARES llm_ivfpq_append's oracle verbatim — a lost
+    micro-batch, a double-applied replay, or a mislaid partition all
+    hash-mismatch. Crash/replay and pruning are pytest-asserted
+    (tests/test_streaming.py, tests/test_pq.py patterns)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.pq import IvfPqIndex
+    from ..streaming.ann_ingest import (
+        search_code_lake,
+        seed_code_lake,
+        start_pq_ingest_stream,
+    )
+
+    key = (spark.sparkContext.applicationId, sf)
+    cached = _IVFPQ_STREAM_CACHE.get(key)
+    if cached is None:
+        emb = load_table(spark, sf, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        work = tempfile.mkdtemp(prefix="ivfpq_stream_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        idx = IvfPqIndex.build(
+            corpus, f"{work}/train_codes", n_centroids=_IVFPQ_NC, m=_PQ_M,
+            k=_PQ_K, iters=_PQ_ITERS,
+        )
+        lake = f"{work}/lake"
+        seed_code_lake(idx, corpus, lake)
+        # two deterministic arrival files -> two micro-batches (odd
+        # ids split by mod 4 — no driver-side id collect)
+        for i, cond in enumerate(
+            (F.col("vec_id") % 4 == 1, F.col("vec_id") % 4 == 3)
+        ):
+            batch.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                f"{work}/arrivals/part{i}.parquet"
+            )
+        stream_in = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/arrivals/part*.parquet")
+        )
+        q = start_pq_ingest_stream(
+            spark, stream_in, idx, lake, checkpoint=f"{work}/ckpt",
+            query_name="llm_ivfpq_stream_ingest",
+        )
+        q.awaitTermination()
+        query = list(
+            corpus.orderBy("vec_id").limit(1).select("embedding").first()[0]
+        )
+        cached = (lake, idx, query)
+        _IVFPQ_STREAM_CACHE[key] = cached
+    lake, idx, query = cached
+    return search_code_lake(
+        spark, idx, lake, query, nprobe=_IVFPQ_NPROBE, topk=_PQ_TOPK
+    )
+
+
+PROBES.append(
+    Probe(
+        "llm_ivfpq_stream_ingest",
+        "B30",
+        llm_ivfpq_stream_ingest,
+        _ivfpq_append_sql(
+            _IVFPQ_NC, _IVFPQ_NPROBE, _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SUB, _PQ_TOPK
+        ),
+    )
+)
+
+
 # ------------------------------------------------------------- SQ8
 _SQ_DIM, _SQ_TOPK = 64, 10
 

@@ -200,8 +200,10 @@ HEADLINE = [
     # round-11: segment dedup's true delimiter (line) mode, hash-gated
     "llm_segment_dedup_lines",
     # round-11: IVF-PQ ingest loop — frozen encode + append into the
-    # cluster-partitioned lake + union-serving pruned search
+    # cluster-partitioned lake + union-serving pruned search, and its
+    # Structured Streaming twin (foreachBatch, src=/cluster= layout)
     "llm_ivfpq_append",
+    "llm_ivfpq_stream_ingest",
 ]
 
 # Timed and reported, but excluded from the headline total: losing tier

@@ -308,3 +308,102 @@ def test_ivfpq_append_serves_union_and_keeps_pruning(spark, tmp_path):
     )
     want = idx.search(spark, alt_path, query, nprobe=nprobe, topk=topk)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_pq_stream_ingest_lake_exactly_once_and_pruned(spark, tmp_path):
+    """streaming/ann_ingest.py — the streaming twin of the append
+    lifecycle: (a) after an availableNow run over two arrival files,
+    the union search equals a one-shot frozen encode of everything
+    (bit-equal rows); (b) a RESTART over the same source with a fresh
+    checkpoint reproduces the same src= partitions by overwrite — the
+    lake holds every vec_id exactly once, no duplicates (exactly-once
+    via idempotent per-src rewrite); (c) cluster pruning survives the
+    two-level src=/cluster= layout — a search opens files only under
+    the nprobe probed cluster= directories, across all srcs."""
+    import os
+
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        assign_to_centroids,
+    )
+    from ark_invest_api_rust_data_spark.operators.pq import (
+        IvfPqIndex,
+        pq_encode_batch,
+    )
+    from ark_invest_api_rust_data_spark.streaming.ann_ingest import (
+        search_code_lake,
+        seed_code_lake,
+        start_pq_ingest_stream,
+    )
+
+    emb = _emb(spark)
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    nc, nprobe, m, k, iters, topk = 8, 2, 4, 8, 2, 50
+    idx = IvfPqIndex.build(
+        corpus, str(tmp_path / "train_codes"), n_centroids=nc, m=m, k=k,
+        iters=iters,
+    )
+    lake = str(tmp_path / "lake")
+    seed_code_lake(idx, corpus, lake)
+
+    src_dir = tmp_path / "arrivals"
+    src_dir.mkdir()
+    for i, cond in enumerate((F.col("vec_id") % 4 == 1, F.col("vec_id") % 4 == 3)):
+        p = str(src_dir / f"part{i}.parquet")
+        arriving.filter(cond).coalesce(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_000_000 + i, 1_000_000 + i))
+
+    def run_stream(ckpt):
+        stream_in = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/part*.parquet")
+        )
+        q = start_pq_ingest_stream(
+            spark, stream_in, idx, lake, checkpoint=str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    run_stream("ckpt1")
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+    def lake_ids():
+        return [r["vec_id"] for r in spark.read.parquet(lake).collect()]
+
+    ids1 = lake_ids()
+    assert set(ids1) == all_ids and len(ids1) == len(all_ids)  # exactly once
+    query = list(corpus.orderBy("vec_id").limit(1).select("embedding").first()[0])
+    got = [tuple(r) for r in
+           search_code_lake(spark, idx, lake, query, nprobe=nprobe, topk=topk).collect()]
+
+    # (a) equals a one-shot frozen encode over the full corpus
+    flat = str(tmp_path / "oneshot")
+    (
+        pq_encode_batch(idx.pq, emb)
+        .join(assign_to_centroids(emb, idx.coarse).select("vec_id", "cluster"),
+              "vec_id")
+        .write.mode("overwrite").partitionBy("cluster").parquet(flat)
+    )
+    want = [tuple(r) for r in
+            idx.search(spark, flat, query, nprobe=nprobe, topk=topk).collect()]
+    assert got == want
+
+    # (b) fresh-checkpoint restart: same files, same batch ids, per-src
+    # overwrite -> identical lake, still exactly once
+    run_stream("ckpt2")
+    ids2 = lake_ids()
+    assert set(ids2) == all_ids and len(ids2) == len(all_ids)
+    assert [tuple(r) for r in
+            search_code_lake(spark, idx, lake, query, nprobe=nprobe, topk=topk)
+            .collect()] == want
+
+    # (c) pruning across the two-level layout: only probed cluster=
+    # dirs are opened (any src)
+    probe_ids = {cid for _, cid in idx.rank_clusters(query)[:nprobe]}
+    scan = spark.read.parquet(lake).filter(F.col("cluster").isin(list(probe_ids)))
+    files = {r[0] for r in scan.select(F.input_file_name()).distinct().collect()}
+    opened = {f.split("cluster=")[1].split("/")[0] for f in files}
+    assert opened == {str(c) for c in probe_ids} and len(opened) == nprobe
+    srcs_seen = {f.split("src=")[1].split("/")[0] for f in files}
+    assert {"corpus", "b0", "b1"} >= srcs_seen and "corpus" in srcs_seen
