@@ -428,8 +428,24 @@ class IvfPqIndex:
         scan opens only nprobe of n_centroids directories (runtime- and
         plan-asserted in tests/test_pq.py), and reads codes, never
         vectors."""
+        return self.search_frame(spark.read.parquet(path), query,
+                                 nprobe=nprobe, topk=topk)
+
+    def search_frame(
+        self,
+        codes: DataFrame,
+        query: list[float],
+        nprobe: int = 2,
+        topk: int = 10,
+    ) -> DataFrame:
+        """``search`` over an already-constructed codes frame — for
+        stores whose live view is more than one directory read (e.g.
+        the streaming lake's tombstone-pruned view,
+        streaming/ann_ingest.search_code_lake). The cluster predicate
+        is still a partition filter when ``codes`` is a partitioned
+        scan, so the pruning contract is unchanged."""
         probe_ids = [cid for _, cid in self.rank_clusters(query)[: max(1, nprobe)]]
-        scan = spark.read.parquet(path).filter(F.col("cluster").isin(probe_ids))
+        scan = codes.filter(F.col("cluster").isin(probe_ids))
         tables = adc_tables(self.pq, query)
         expr = None
         for j, tab in enumerate(tables):

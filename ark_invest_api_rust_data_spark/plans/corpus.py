@@ -1750,18 +1750,22 @@ def llm_ivfpq_stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
     src=b<id> partition overwrite — then serve one frozen union search.
     The lake layout is src=/cluster= two-level hive partitioning, so
     exactly-once replay (per-src overwrite) and nprobe cluster pruning
-    coexist. The corpus the search sees is identical to the batch
-    append lifecycle's (union of trained + frozen-ingested rows), so
-    the probe SHARES llm_ivfpq_append's oracle verbatim — a lost
-    micro-batch, a double-applied replay, or a mislaid partition all
-    hash-mismatch. Crash/replay and pruning are pytest-asserted
-    (tests/test_streaming.py, tests/test_pq.py patterns)."""
+    coexist; after the stream drains, compact_code_lake folds
+    corpus+b0+b1 into one cluster-partitioned generation and the
+    search serves THAT through the tombstone-pruned live view. The
+    corpus the search sees is identical to the batch append
+    lifecycle's (union of trained + frozen-ingested rows), so the
+    probe SHARES llm_ivfpq_append's oracle verbatim — a lost
+    micro-batch, a double-applied replay, a mislaid partition, or a
+    row lost/duplicated by the fold all hash-mismatch. Crash/replay
+    and pruning are pytest-asserted (tests/test_pq.py)."""
     import atexit
     import shutil
     import tempfile
 
     from ..operators.pq import IvfPqIndex
     from ..streaming.ann_ingest import (
+        compact_code_lake,
         search_code_lake,
         seed_code_lake,
         start_pq_ingest_stream,
@@ -1799,6 +1803,10 @@ def llm_ivfpq_stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
             query_name="llm_ivfpq_stream_ingest",
         )
         q.awaitTermination()
+        # fold corpus+b0+b1 into one compact generation — the search
+        # below serves the COMPACTED lake, so the fold (and its
+        # tombstone pruning in the live view) is inside the hash gate
+        compact_code_lake(spark, lake)
         query = list(
             corpus.orderBy("vec_id").limit(1).select("embedding").first()[0]
         )

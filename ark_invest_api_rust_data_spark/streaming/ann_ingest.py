@@ -115,7 +115,42 @@ def search_code_lake(
     nprobe: int = 2,
     topk: int = 10,
 ) -> DataFrame:
-    """Frozen union search over everything ingested so far — the
-    unchanged ``IvfPqIndex.search`` plan (partition-pruned ADC);
-    ``src`` is a partition column the projection never selects."""
-    return index.search(spark, lake_root, query, nprobe=nprobe, topk=topk)
+    """Frozen union search over the LIVE lake — the unchanged
+    ``IvfPqIndex`` ADC plan over the tombstone-pruned view (retired
+    ``src=`` generations produce no scan tasks; both ``src`` and
+    ``cluster`` predicates are partition filters). Before any
+    compaction the live view is simply every src."""
+    from .ingest import read_live_partitions
+
+    codes = read_live_partitions(spark, lake_root)
+    return index.search_frame(codes, query, nprobe=nprobe, topk=topk)
+
+
+def compact_code_lake(
+    spark: SparkSession,
+    lake_root: str,
+    retired_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    target_files: int | None = None,
+) -> dict:
+    """Fold the accumulated per-batch ``src=`` generations into ONE
+    ``compact_g<N>`` generation that KEEPS the ``cluster=`` hive
+    layout (so nprobe pruning is unchanged), with the band store's
+    full concurrency/crash discipline — committed-only fold, staged
+    tmp + atomic rename, tombstone-then-deferred-delete, and
+    dropDuplicates self-healing of any crash-window duplicate rows.
+    ``retired_ids`` deletes vectors from the index (the GDPR/unlearn
+    path: the next generation simply omits their codes). Serving cost
+    after the fold: a search opens nprobe directories of ONE
+    generation instead of nprobe × n_batches."""
+    from .ingest import compact_partition_dir
+
+    return compact_partition_dir(
+        spark,
+        lake_root,
+        id_col,
+        retired_ids=retired_ids,
+        id_col=id_col,
+        target_files=target_files,
+        partition_by="cluster",
+    )

@@ -268,6 +268,7 @@ def compact_partition_dir(
     id_col: str | None = None,
     target_files: int | None = None,
     dedup: bool = True,
+    partition_by: str | None = None,
 ) -> dict:
     """Generic fold of a ``src=``-partitioned append store into ONE
     ``sort_col``-range-partitioned, within-file-sorted generation,
@@ -275,8 +276,13 @@ def compact_partition_dir(
     documents (committed-only fold, staged tmp + atomic rename,
     tombstone-then-deferred-delete, duplicate-row self-healing).
     ``retired_ids`` (with ``id_col``) drops deleted entities from the
-    folded generation. Returns {"generation", "folded", "deleted",
-    "rows"}."""
+    folded generation. ``partition_by`` switches the generation's
+    layout from range-by-sort_col to HIVE partitioning on that column
+    (hash-clustered writers, within-file sort on sort_col) — for
+    stores whose readers prune on a partition predicate rather than
+    footer ranges (the ANN code lake's ``cluster=`` dirs,
+    streaming/ann_ingest.compact_code_lake). Returns {"generation",
+    "folded", "deleted", "rows"}."""
     import shutil
 
     all_srcs = partition_srcs(base)
@@ -319,7 +325,14 @@ def compact_partition_dir(
         default=0,
     )
     tmp = f"{base}/.compact_tmp"
-    df = spark.read.parquet(*[f"{base}/src={s}" for s in srcs]).drop("src")
+    # basePath pins partition discovery to ONE root so stores with
+    # nested hive partitions under each src= (the ANN code lake's
+    # cluster= dirs) resolve consistently across the selected roots
+    df = (
+        spark.read.option("basePath", base)
+        .parquet(*[f"{base}/src={s}" for s in srcs])
+        .drop("src")
+    )
     if dedup:
         df = df.dropDuplicates()
     if retired_ids is not None:
@@ -329,12 +342,22 @@ def compact_partition_dir(
     n_files = target_files or max(
         1, spark.sparkContext.defaultParallelism // 4
     )
-    (
-        df.repartitionByRange(n_files, sort_col)
-        .sortWithinPartitions(sort_col)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    if partition_by is None:
+        writer = (
+            df.repartitionByRange(n_files, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+        )
+    else:
+        # hash-cluster writers on the hive key so each partition dir
+        # gets few large files, not one per task
+        writer = (
+            df.repartition(n_files, partition_by)
+            .sortWithinPartitions(partition_by, sort_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_by)
+        )
+    writer.parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()
     os.rename(tmp, f"{base}/src=compact_g{gen}")
     _write_retired_at(base, srcs)

@@ -407,3 +407,52 @@ def test_pq_stream_ingest_lake_exactly_once_and_pruned(spark, tmp_path):
     assert opened == {str(c) for c in probe_ids} and len(opened) == nprobe
     srcs_seen = {f.split("src=")[1].split("/")[0] for f in files}
     assert {"corpus", "b0", "b1"} >= srcs_seen and "corpus" in srcs_seen
+
+    # (d) compaction: fold corpus+b0+b1 into compact_g1 keeping the
+    # cluster= layout — search identical, folded srcs tombstoned (on
+    # disk but pruned from the live view), pruning now opens nprobe
+    # dirs of ONE generation
+    from ark_invest_api_rust_data_spark.streaming.ann_ingest import (
+        compact_code_lake,
+    )
+    from ark_invest_api_rust_data_spark.streaming.ingest import (
+        read_live_partitions,
+        retired_srcs,
+    )
+
+    info = compact_code_lake(spark, lake)
+    assert sorted(info["folded"]) == ["b0", "b1", "corpus"]
+    assert info["rows"] == len(all_ids)
+    assert sorted(retired_srcs(lake)) == ["b0", "b1", "corpus"]
+    live = read_live_partitions(spark, lake)
+    assert {r["src"] for r in live.select("src").distinct().collect()} == {
+        "compact_g1"
+    }
+    assert [tuple(r) for r in
+            search_code_lake(spark, idx, lake, query, nprobe=nprobe, topk=topk)
+            .collect()] == want
+    lf = {r[0] for r in
+          live.filter(F.col("cluster").isin(list(probe_ids)))
+          .select(F.input_file_name()).distinct().collect()}
+    assert {f.split("cluster=")[1].split("/")[0] for f in lf} == {
+        str(c) for c in probe_ids
+    }
+    assert all("src=compact_g1/" in f for f in lf)
+
+    # (e) retire (unlearn) one vector: the next fold omits its codes
+    # and the search can never return it
+    victim = want[-1][0]
+    info2 = compact_code_lake(
+        spark, lake,
+        retired_ids=spark.createDataFrame([(victim,)], ["vec_id"]),
+    )
+    assert info2["generation"] == 2
+    assert info2["deleted"] == ["b0", "b1", "corpus"]  # deferred delete fires
+    assert info2["rows"] == len(all_ids) - 1
+    got3 = [tuple(r) for r in
+            search_code_lake(spark, idx, lake, query, nprobe=nprobe, topk=topk)
+            .collect()]
+    assert victim not in {t[0] for t in got3}
+    # victim was the LAST of the old top-k, so the surviving prefix is
+    # bit-identical and one new candidate fills the tail slot
+    assert got3[: topk - 1] == want[: topk - 1]
