@@ -62,12 +62,17 @@ def write_lake(
     a fresh lake) — compaction retires whole generations, it never
     mutates one (see compact_lake)."""
     path = _lake_dir(root)
+    # per-WRITE dynamic overwrite (DataFrameWriter option overrides the
+    # session conf) — the old session-wide conf.set leaked into every
+    # later partitioned overwrite in the session, whose dynamic-mode
+    # commit skips the _SUCCESS marker and broke the code-lake
+    # compaction's committed-partition check (r11)
     (
-        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        if hasattr(df, "sparkSession")
-        else None
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
     )
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     return path
 
 

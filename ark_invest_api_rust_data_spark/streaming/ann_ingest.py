@@ -68,6 +68,7 @@ def seed_code_lake(
     (
         encode_batch_for_lake(index, df, id_col=id_col, vec_col=vec_col)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("cluster")
         .parquet(f"{lake_root}/src={src}")
     )
@@ -93,6 +94,11 @@ def start_pq_ingest_stream(
         (
             encode_batch_for_lake(index, batch, id_col=id_col, vec_col=vec_col)
             .write.mode("overwrite")
+            # pin static per-write: a src= rewrite is ALWAYS the whole
+            # partition (idempotence contract), and static-mode commits
+            # write the _SUCCESS marker compaction's committed-only
+            # check requires — immune to session-level dynamic leaks
+            .option("partitionOverwriteMode", "static")
             .partitionBy("cluster")
             .parquet(f"{lake_root}/src=b{batch_id}")
         )

@@ -355,6 +355,10 @@ def compact_partition_dir(
             df.repartition(n_files, partition_by)
             .sortWithinPartitions(partition_by, sort_col)
             .write.mode("overwrite")
+            # static per-write: the staged generation must carry the
+            # _SUCCESS marker the committed-only fold checks, even if
+            # some earlier code set the session to dynamic overwrite
+            .option("partitionOverwriteMode", "static")
             .partitionBy(partition_by)
         )
     writer.parquet(tmp)
