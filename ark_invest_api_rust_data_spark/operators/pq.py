@@ -60,20 +60,27 @@ class PqModel:
         return len(self.codebooks)
 
 
-def _assign_expr(q: F.Column, flat: F.Column, k: int, dim: int) -> F.Column:
+def _assign_expr(
+    q: F.Column, flat: F.Column, k: int, dim: int, off: int = 0
+) -> F.Column:
     """Nearest-centroid id for quantized subvector ``q`` against
     flattened coords ``flat`` — the clustering._assign_expr_from math
     (left-to-right IEEE distance folds, first-occurrence argmin =
     lowest-cid tie-break), parameterized by the q column so one row can
-    carry all ``m`` subspace assignments in a single pass."""
+    carry all ``m`` subspace assignments in a single pass. ``off``
+    reads the subvector at elements off+1..off+dim of ``q``, so a
+    single full-vector quantized column serves every subspace (round
+    11: saves the per-subspace slice projections; element_at(q, off+i)
+    yields the same operand bits as element_at(slice(q, off+1, dim), i),
+    so distances are unchanged)."""
 
     def dist(c: F.Column) -> F.Column:
         return F.aggregate(
             F.sequence(F.lit(1), F.lit(dim)),
             F.lit(0.0),
             lambda acc, i: acc
-            + (F.element_at(q, i).cast("double") - F.element_at(flat, c * F.lit(dim) + i))
-            * (F.element_at(q, i).cast("double") - F.element_at(flat, c * F.lit(dim) + i)),
+            + (F.element_at(q, F.lit(off) + i).cast("double") - F.element_at(flat, c * F.lit(dim) + i))
+            * (F.element_at(q, F.lit(off) + i).cast("double") - F.element_at(flat, c * F.lit(dim) + i)),
         )
 
     dists = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist)
@@ -103,30 +110,34 @@ def pq_train(
     contiguous-split contract); dim is probed from one row."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        raise ValueError("pq_train: empty input")
-    dim = int(first["d"])
-    if m < 1 or dim % m != 0:
-        raise ValueError(f"m={m} must divide dim={dim}")
-    sub = dim // m
     from .dedup import _spread
     from .similarity import _quantize
 
     spark = df.sparkSession
+    # ONE full-vector quantized working set (round 11): the former
+    # (id, _q0.._q{m-1}) per-subspace projection needed dim up front —
+    # a dedicated .first() probe job — and carried m array columns.
+    # Keeping the single quantized vector and reading subspace j at
+    # offset j·sub (see _assign_expr ``off``) folds the dim probe into
+    # the seed collect (one scan job fewer per training run) and
+    # shrinks the cached working set to one array per row. Operand
+    # bits are unchanged, so codebooks/codes stay bit-identical.
     base = _spread(df).select(
-        F.col(id_col),
-        *[
-            _quantize(F.slice(F.col(vec_col), j * sub + 1, sub)).alias(f"_q{j}")
-            for j in range(m)
-        ],
+        F.col(id_col), _quantize(F.col(vec_col)).alias("_q")
     ).persist()
     try:
         seed_rows = base.orderBy(id_col).limit(k).collect()
         if not seed_rows:
             raise ValueError("pq_train: empty input")
+        dim = len(seed_rows[0]["_q"])
+        if m < 1 or dim % m != 0:
+            raise ValueError(f"m={m} must divide dim={dim}")
+        sub = dim // m
         codebooks = [
-            {cid: [float(v) for v in row[f"_q{j}"]] for cid, row in enumerate(seed_rows)}
+            {
+                cid: [float(v) for v in row["_q"][j * sub : (j + 1) * sub]]
+                for cid, row in enumerate(seed_rows)
+            }
             for j in range(m)
         ]
         k_eff = len(seed_rows)
@@ -142,10 +153,11 @@ def pq_train(
             )
             assigned = base.crossJoin(F.broadcast(cdf)).select(
                 F.col(id_col),
-                *[F.col(f"_q{j}") for j in range(m)],
+                F.col("_q"),
                 *[
                     _assign_expr(
-                        F.col(f"_q{j}"), F.col(f"_cflat{j}"), k_eff, sub
+                        F.col("_q"), F.col(f"_cflat{j}"), k_eff, sub,
+                        off=j * sub,
                     ).alias(f"code_{j}")
                     for j in range(m)
                 ],
@@ -171,7 +183,7 @@ def pq_train(
                             F.struct(
                                 F.lit(j).alias("_j"),
                                 F.col(f"code_{j}").alias("_c"),
-                                F.col(f"_q{j}").alias("_qs"),
+                                F.slice(F.col("_q"), j * sub + 1, sub).alias("_qs"),
                             )
                             for j in range(m)
                         ]
@@ -190,6 +202,176 @@ def pq_train(
                 codebooks[row["_j"]][row["_c"]] = [
                     row[f"s{i}"] / cnt for i in range(1, sub + 1)
                 ]
+        raise AssertionError("unreachable")
+    finally:
+        base.unpersist()
+
+
+def _ivfpq_train(
+    df: DataFrame,
+    n_centroids: int,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Fused coarse-k-means + PQ training (round 11, guide §1.2/§2.3):
+    ``ivfpq_topk`` and ``IvfPqIndex.build`` ran ``kmeans_fit`` then
+    ``pq_train`` over the SAME corpus — two cached working sets, two
+    seed collects, and per iteration two separate assignment scans and
+    two update-aggregation jobs, even though every pass reads the same
+    quantized vectors. This trainer shares ONE cached (id, _q) working
+    set; per iteration ONE narrow pass computes the coarse assignment
+    and all m subspace codes, and ONE exploded aggregation
+    (coarse = pseudo-subspace −1 over the full vector) collects every
+    centroid update together; the final pass materializes
+    (id, cluster, code_0..code_{m−1}) in a single localCheckpoint that
+    serves as both the IVF assignment and the codes table (so the lake
+    build's former codes⋈assignment join disappears too).
+
+    Bit-identity: coarse math is exactly kmeans_fit's expression tier
+    (same lowest-id seeds, same left-to-right IEEE folds via
+    ``_assign_expr`` at off=0 over the full vector, same exact int64
+    sums and one double division per coordinate, same carry-forward
+    for empty cells); subspace math is exactly ``pq_train``'s
+    (pytest-pinned equality in tests/test_pq.py). The update
+    aggregation guards ``element_at`` with a size() predicate so
+    subspace rows contribute NULL (ignored by SUM) beyond their sub
+    dims — ANSI-safe, values unchanged.
+
+    Scope: expression tier only — callers fall back to the separate
+    trainers above kmeans_fit's Arrow bound (corpus-scaled k), where
+    the passes vectorize independently. Returns
+    (coarse_centroids, assignments_df, PqModel)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    from .dedup import _spread
+    from .similarity import _quantize
+
+    spark = df.sparkSession
+    base = _spread(df).select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("_q")
+    ).persist()
+    try:
+        seed_rows = base.orderBy(id_col).limit(max(n_centroids, k)).collect()
+        if not seed_rows:
+            raise ValueError("ivfpq train: empty input")
+        dim = len(seed_rows[0]["_q"])
+        if m < 1 or dim % m != 0:
+            raise ValueError(f"m={m} must divide dim={dim}")
+        sub = dim // m
+        from .clustering import _ARROW_ASSIGN_BOUND, kmeans_fit
+
+        if n_centroids * dim > _ARROW_ASSIGN_BOUND:
+            # corpus-scaled coarse k: the coarse passes must vectorize
+            # (Arrow tier) — run the independent trainers; the one
+            # redundant seed-collect job is noise against corpus-sized
+            # vectorized passes at that scale.
+            base.unpersist()
+            cents_q, asg = kmeans_fit(
+                df, k=n_centroids, iters=iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+            model = pq_train(
+                df, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+            )
+            return cents_q, asg, model, None
+        coarse: dict[int, list[float]] = {
+            cid: [float(v) for v in row["_q"]]
+            for cid, row in enumerate(seed_rows[:n_centroids])
+        }
+        codebooks = [
+            {
+                cid: [float(v) for v in row["_q"][j * sub : (j + 1) * sub]]
+                for cid, row in enumerate(seed_rows[:k])
+            }
+            for j in range(m)
+        ]
+        kc_eff = len(coarse)
+        k_eff = len(codebooks[0])
+
+        def flat_coarse() -> list[float]:
+            return [float(v) for cid in range(kc_eff) for v in coarse[cid]]
+
+        def flat(j: int) -> list[float]:
+            cb = codebooks[j]
+            return [float(v) for cid in range(len(cb)) for v in cb[cid]]
+
+        for it in range(1, iters + 1):
+            cdf = spark.createDataFrame(
+                [tuple([flat_coarse()] + [flat(j) for j in range(m)])],
+                ", ".join(
+                    ["_cflatc: array<double>"]
+                    + [f"_cflat{j}: array<double>" for j in range(m)]
+                ),
+            )
+            assigned = base.crossJoin(F.broadcast(cdf)).select(
+                F.col(id_col),
+                F.col("_q"),
+                _assign_expr(
+                    F.col("_q"), F.col("_cflatc"), kc_eff, dim
+                ).alias("cluster"),
+                *[
+                    _assign_expr(
+                        F.col("_q"), F.col(f"_cflat{j}"), k_eff, sub,
+                        off=j * sub,
+                    ).alias(f"code_{j}")
+                    for j in range(m)
+                ],
+            )
+            if it == iters:
+                out = assigned.select(
+                    id_col, "cluster", *[f"code_{j}" for j in range(m)]
+                ).localCheckpoint(eager=True)
+                asg = out.select(id_col, "cluster")
+                codes = out.select(id_col, *[f"code_{j}" for j in range(m)])
+                return coarse, asg, PqModel(codebooks, codes, sub, id_col), out
+            memb = assigned.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(-1).alias("_j"),
+                                F.col("cluster").alias("_c"),
+                                F.col("_q").alias("_qs"),
+                            )
+                        ]
+                        + [
+                            F.struct(
+                                F.lit(j).alias("_j"),
+                                F.col(f"code_{j}").alias("_c"),
+                                F.slice(
+                                    F.col("_q"), j * sub + 1, sub
+                                ).alias("_qs"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("x")
+            ).select("x._j", "x._c", "x._qs")
+            sums = memb.groupBy("_j", "_c").agg(
+                F.count("*").alias("cnt"),
+                *[
+                    F.sum(
+                        F.when(
+                            F.size("_qs") >= F.lit(i),
+                            F.element_at("_qs", F.lit(i)),
+                        )
+                    ).alias(f"s{i}")
+                    for i in range(1, dim + 1)
+                ],
+            )
+            for row in sums.collect():
+                cnt = row["cnt"]
+                if row["_j"] < 0:
+                    coarse[row["_c"]] = [
+                        row[f"s{i}"] / cnt for i in range(1, dim + 1)
+                    ]
+                else:
+                    codebooks[row["_j"]][row["_c"]] = [
+                        row[f"s{i}"] / cnt for i in range(1, sub + 1)
+                    ]
         raise AssertionError("unreachable")
     finally:
         base.unpersist()
@@ -315,12 +497,9 @@ def ivfpq_topk(
     as ``adc_tables`` with (dist, cid) tie-break, so the whole
     composed pipeline is bit-reproducible against a SQL oracle
     (plans/corpus.py llm_ivfpq_topk)."""
-    from .clustering import kmeans_fit
-
-    cents_q, asg = kmeans_fit(
-        df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    cents_q, asg, model, combined = _train_pair(
+        df, n_centroids, m, k, iters, id_col, vec_col
     )
-    model = pq_train(df, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     qq = [float(math.floor(float(x) * MU)) for x in query]
     ranked = []
     for cid in range(len(cents_q)):
@@ -330,8 +509,16 @@ def ivfpq_topk(
             d = d + diff * diff
         ranked.append((d, cid))
     probe_ids = [cid for _, cid in sorted(ranked)[: max(1, nprobe)]]
-    cand = asg.filter(F.col("cluster").isin(probe_ids)).select(id_col, "cluster")
-    scan = model.codes.join(cand, id_col)
+    if combined is not None:
+        # fused trainer: assignment and codes are views of ONE
+        # materialized frame — the candidate restriction is a plain
+        # partition-prunable filter, no codes⋈assignment join at all
+        scan = combined.filter(F.col("cluster").isin(probe_ids))
+    else:
+        cand = asg.filter(F.col("cluster").isin(probe_ids)).select(
+            id_col, "cluster"
+        )
+        scan = model.codes.join(cand, id_col)
     tables = adc_tables(model, query)
     expr = None
     for j, tab in enumerate(tables):
@@ -387,14 +574,19 @@ class IvfPqIndex:
         """Train coarse + PQ on ``df`` and write the codes lake at
         ``path`` partitioned by coarse cluster: one directory per
         centroid, each holding (id, code_0..code_{m-1}) rows."""
-        from .clustering import kmeans_fit
-
-        cents_q, asg = kmeans_fit(
-            df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+        cents_q, asg, model, combined = _train_pair(
+            df, n_centroids, m, k, iters, id_col, vec_col
         )
-        model = pq_train(df, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        # fused trainer: codes and cluster live in ONE materialized
+        # frame — write it directly (the former codes⋈assignment join
+        # is gone); split tier keeps the join. Written rows identical.
+        codes_clustered = (
+            combined
+            if combined is not None
+            else model.codes.join(asg.select(id_col, "cluster"), id_col)
+        )
         (
-            model.codes.join(asg.select(id_col, "cluster"), id_col)
+            codes_clustered
             .write.mode("overwrite")
             .partitionBy("cluster")
             .parquet(path)
@@ -462,6 +654,24 @@ class IvfPqIndex:
             .orderBy("adc_dist", self.pq.id_col)
             .limit(topk)
         )
+
+
+def _train_pair(
+    df: DataFrame,
+    n_centroids: int,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Coarse + PQ training for the IVF-PQ compositions: the fused
+    single-working-set trainer (``_ivfpq_train``), which itself falls
+    back to the two independent trainers above kmeans_fit's Arrow
+    bound (where the corpus passes vectorize separately). The
+    fused/split outputs are bit-identical (pytest-pinned); the split
+    is purely an execution-tier choice."""
+    return _ivfpq_train(df, n_centroids, m, k, iters, id_col, vec_col)
 
 
 def pq_adc_topk(

@@ -144,6 +144,74 @@ def test_ivfpq_prunes_to_probe_clusters_and_matches_restricted_adc(spark):
     assert [(r["adc_dist"], r["vec_id"]) for r in got] == ref
 
 
+def test_fused_ivfpq_trainer_equals_split_trainers(spark):
+    """The round-11 fused coarse+PQ trainer (_ivfpq_train: one cached
+    working set, one combined update aggregation per iteration) is a
+    perf shape, not a semantic change: coarse centroids, assignments,
+    codebooks and codes must all be bit-identical to the independent
+    kmeans_fit + pq_train pair it replaces."""
+    from ark_invest_api_rust_data_spark.operators.clustering import kmeans_fit
+    from ark_invest_api_rust_data_spark.operators.pq import _ivfpq_train
+
+    emb = _emb(spark)
+    nc, m, k, iters = 8, 4, 8, 2
+    cents_f, asg_f, model_f, combined = _ivfpq_train(
+        emb, nc, m, k, iters, "vec_id", "embedding"
+    )
+    assert combined is not None  # tiny k·dim: fused tier must engage
+
+    cents_s, asg_s = kmeans_fit(emb, k=nc, iters=iters)
+    model_s = pq_train(emb, m=m, k=k, iters=iters)
+
+    assert cents_f == cents_s, "coarse centroids diverge"
+    assert model_f.codebooks == model_s.codebooks, "codebooks diverge"
+    got_asg = {r["vec_id"]: r["cluster"] for r in asg_f.collect()}
+    want_asg = {r["vec_id"]: r["cluster"] for r in asg_s.collect()}
+    assert got_asg == want_asg, "coarse assignments diverge"
+    got_codes = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(m))
+        for r in model_f.codes.collect()
+    }
+    want_codes = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(m))
+        for r in model_s.codes.collect()
+    }
+    assert got_codes == want_codes, "PQ codes diverge"
+    # the combined frame is the join of the two views by construction
+    comb = {
+        r["vec_id"]: (r["cluster"], tuple(r[f"code_{j}"] for j in range(m)))
+        for r in combined.collect()
+    }
+    assert comb == {
+        vid: (want_asg[vid], want_codes[vid]) for vid in want_asg
+    }
+
+
+def test_fused_trainer_falls_back_above_arrow_bound(spark):
+    """Above kmeans_fit's Arrow bound the fused expression tier would
+    interpret a corpus-sized fold — the trainer must delegate to the
+    split trainers (combined is None) and still return their outputs."""
+    from ark_invest_api_rust_data_spark.operators import pq as pq_mod
+    from ark_invest_api_rust_data_spark.operators.pq import _ivfpq_train
+
+    emb = _emb(spark)
+    import ark_invest_api_rust_data_spark.operators.clustering as cl
+
+    old = cl._ARROW_ASSIGN_BOUND
+    cl._ARROW_ASSIGN_BOUND = 1  # force the fallback branch
+    try:
+        cents, asg, model, combined = _ivfpq_train(
+            emb, 4, 4, 4, 1, "vec_id", "embedding"
+        )
+    finally:
+        cl._ARROW_ASSIGN_BOUND = old
+    assert combined is None
+    cents_s, _ = cl.kmeans_fit(emb, k=4, iters=1)
+    assert cents == cents_s
+    model_s = pq_mod.pq_train(emb, m=4, k=4, iters=1)
+    assert model.codebooks == model_s.codebooks
+
+
 def test_pq_validates(spark):
     emb = _emb(spark)
     with pytest.raises(ValueError):
