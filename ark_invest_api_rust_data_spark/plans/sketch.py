@@ -190,23 +190,20 @@ def llm_corpus_overlap(spark: SparkSession, sf: str) -> DataFrame:
     inclusion–exclusion gives the intersection and an integer-ppm
     Jaccard. The 'is this crawl already in the training set?' signal
     without a shingle join."""
-    from ..operators.dedup import _spread, word_shingles
-    from ..operators.sketch import corpus_overlap_split
+    from ..operators.sketch import corpus_overlap_docs
 
-    # _spread BEFORE the explode: documents.parquet arrives in a
-    # handful of row groups, and a 2-partition scan serializes the
-    # whole char-fold/register pipeline (measured 2 tasks at sf1)
-    docs = _spread(load_table(spark, sf, "documents"))
-    sh = docs.select(
-        "lang", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
-    )
-    # single-pass split form: one grouped sketch scan computes both
-    # corpora's registers (r10 — the two-frame corpus_overlap ran the
-    # interpreted char-fold pass twice plus two guard scans)
-    return corpus_overlap_split(
-        sh.select("sh", (F.col("lang") == "en").alias("_en")),
-        "sh",
+    # fused Arrow form (round 11): raw documents cross the Python
+    # boundary once and each batch min-reduces to two partial register
+    # rows — no shingle explode, no interpreted per-char fold, and no
+    # 130-expression aggregate for the driver to re-compile every pass
+    # (registers pinned bit-identical to the r10 split form, which ran
+    # one grouped sketch scan over the exploded shingles)
+    docs = load_table(spark, sf, "documents")
+    return corpus_overlap_docs(
+        docs.select((F.col("lang") == "en").alias("_en"), "text"),
+        "text",
         "_en",
+        n=3,
         k=_OVERLAP_K,
     )
 

@@ -329,6 +329,77 @@ def test_token_hash32_vec_bit_identical_to_expression(spark):
         assert r["_e"] == r["_v"], repr(r["k"])
 
 
+def test_corpus_overlap_docs_equals_split_pipeline(spark):
+    """The fused Arrow path (corpus_overlap_docs: tokenize + shingle +
+    fold + register-min per batch in NumPy) must return the SAME row
+    as the r10 expression pipeline (word_shingles explode →
+    corpus_overlap_split) — on real corpus docs AND on crafted edges
+    that stress every tokenization contract the fused twin replicates:
+    tabs/newlines/\\x0b runs (Java \\s == re.ASCII \\s), leading and
+    trailing whitespace (trim strips 0x20 only, split keeps the empty
+    boundary tokens), repeated grams (distinctness can't change a
+    min), BMP unicode, and a side with exactly one document."""
+    import pyspark.sql.functions as F
+
+    from ark_invest_api_rust_data_spark.catalog import load_table
+    from ark_invest_api_rust_data_spark.operators.dedup import word_shingles
+    from ark_invest_api_rust_data_spark.operators.sketch import (
+        corpus_overlap_docs,
+        corpus_overlap_split,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        (F.col("lang") == "en").alias("_en"), "text"
+    )
+    crafted = spark.createDataFrame(
+        [
+            (True, "tab\tsep\ttokens and\nnewlines\x0bmixed"),
+            (True, "  leading spaces trimmed  "),
+            (False, "trailing tab kept\tafter split\t"),
+            (False, "dup dup dup dup dup dup"),
+            (True, "héllo wörld ünïcode tökens here"),
+            (False, "a b c"),
+            (None, "null side dropped entirely"),
+            (True, None),
+        ],
+        "_en boolean, text string",
+    )
+    for frame in (docs, docs.union(crafted), crafted.filter("_en is not null")):
+        sh = frame.select(
+            "_en", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+        )
+        old = corpus_overlap_split(sh, "sh", "_en", k=16).collect()
+        new = corpus_overlap_docs(frame, "text", "_en", n=3, k=16).collect()
+        assert [tuple(r) for r in old] == [tuple(r) for r in new]
+
+
+def test_corpus_overlap_docs_short_doc_raises(spark):
+    """Sub-n-token documents violate the shingle precondition; the
+    fused path must fail loudly (the expression path's ANSI
+    element_at raises there)."""
+    import pytest
+
+    df = spark.createDataFrame([(True, "only two")], "_en boolean, text string")
+    from ark_invest_api_rust_data_spark.operators.sketch import corpus_overlap_docs
+
+    with pytest.raises(Exception, match="3 tokens|< 3"):
+        corpus_overlap_docs(df, "text", "_en", n=3, k=8)
+
+
+def test_corpus_overlap_docs_empty_side_raises(spark):
+    """A side with no documents must raise exactly like the split
+    form (NULL registers would read as near-total overlap)."""
+    import pytest
+
+    from ark_invest_api_rust_data_spark.operators.sketch import corpus_overlap_docs
+
+    df = spark.createDataFrame(
+        [(True, "one two three four")], "_en boolean, text string"
+    )
+    with pytest.raises(ValueError, match="keys_b has no keys"):
+        corpus_overlap_docs(df, "text", "_en", n=3, k=8)
+
+
 def test_kmins_sketch_arrow_tier_equals_expression(spark):
     """kmins_sketch(arrow=True) registers == the expression tier's, on
     the grouped shingle sketch the overlap probe runs."""
