@@ -98,12 +98,23 @@ def _flat_coords(centroids: dict[int, list[float]]) -> list[float]:
 # above this many flattened coordinates (k·dim), Lloyd's passes run on
 # the vectorized (Arrow) tier instead of the expression fold. The expr
 # fold is O(n·k·dim) INTERPRETED element steps (HOFs are CodegenFallback)
-# — fine at small k, but scaled SemDeDup grows k with the corpus, so an
-# assignment pass is O(n²·dim/target): the interpreted constant is what
-# turns the second decade super-linear. The Arrow tier does the same
-# arithmetic in NumPy at C speed; see _assign_dists_chunks for the
-# bit-equality argument (same left-to-right accumulation order).
-_ARROW_ASSIGN_BOUND = 16384
+# — scaled SemDeDup grows k with the corpus, so an assignment pass is
+# O(n²·dim/target): the interpreted constant is what turns the second
+# decade super-linear. The Arrow tier does the same arithmetic in NumPy
+# at C speed; see _assign_dists_chunks for the bit-equality argument
+# (same left-to-right accumulation order).
+#
+# 0 since round 11: a same-session interleaved A/B at sf0.1 (the noise
+# floor of cross-session runs on that host was ±20%, so the instrument
+# alternates tiers pass-by-pass in one session — tools/ab_tier_bound.py)
+# measured the Arrow tier faster on 9/10 clustering-family probes even
+# at the SMALLEST k·dim in the registry (k=8·dim=64: llm_kmeans 0.66x;
+# k=16: llm_ivf_incremental 0.76x; k=63: scaled family 0.79-0.88x;
+# family total 0.83x) — the interpreted fold never wins at any measured
+# size, and its relative cost only grows with n·k·dim (guide §4.1/§4.2).
+# The expression tier remains the plan-transparent bit-equality
+# reference (tests force both sides; the SQL oracles pin either).
+_ARROW_ASSIGN_BOUND = 0
 
 
 def _centroid_matrix(centroids: dict[int, list[float]]):
@@ -1234,6 +1245,17 @@ def semantic_dedup_incremental(
         asg_batch = assign_to_centroids(
             batch, cents, id_col=id_col, vec_col=vec_col
         )
+    # materialize the (id, cluster) batch assignment ONCE: it is
+    # referenced by `touched`, the union `assignments` (which
+    # semantic_dedup reads from both pair sides AND the primary join),
+    # and the final batch-row filter — ~5 downstream references, each
+    # of which would otherwise re-run the whole assignment pass
+    # (measured r11: the Arrow tier's re-evaluated mapInPandas turned
+    # the 64-task verify stages into 26-34 s of executor time; the
+    # expression tier silently paid the same re-evaluation in
+    # interpreted folds). Two longs per batch row — the same bounded
+    # localCheckpoint pattern as kmeans_fit's returned frame.
+    asg_batch = asg_batch.localCheckpoint()
     touched = asg_batch.select("cluster").distinct()
     pruned = asg_corpus.join(F.broadcast(touched), "cluster").select(
         id_col, "cluster"

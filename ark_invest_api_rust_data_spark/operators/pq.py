@@ -40,6 +40,16 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# above this many flattened coarse coordinates (n_centroids·dim) the
+# fused expression-tier IVF-PQ trainer hands off to the independent
+# Arrow-tier trainers (the coarse passes must vectorize there). This is
+# pq's own regime switch — it intentionally does NOT track clustering's
+# ``_ARROW_ASSIGN_BOUND`` (round 11 lowered that one to route plain
+# k-means assignments to NumPy much earlier; the fused trainer's
+# measured win at small coarse k [-41% llm_ivfpq_topk] lives below
+# THIS bound and would be thrown away by the lower one).
+_FUSED_TRAIN_BOUND = 16384
+
 MU = 1_000_000  # quantization grid, matches clustering._quantize
 
 
@@ -261,9 +271,9 @@ def _ivfpq_train(
         if m < 1 or dim % m != 0:
             raise ValueError(f"m={m} must divide dim={dim}")
         sub = dim // m
-        from .clustering import _ARROW_ASSIGN_BOUND, kmeans_fit
+        from .clustering import kmeans_fit
 
-        if n_centroids * dim > _ARROW_ASSIGN_BOUND:
+        if n_centroids * dim > _FUSED_TRAIN_BOUND:
             # corpus-scaled coarse k: the coarse passes must vectorize
             # (Arrow tier) — run the independent trainers; the one
             # redundant seed-collect job is noise against corpus-sized

@@ -555,6 +555,11 @@ def test_kmeans_arrow_tier_equals_expr(spark, monkeypatch):
         )
         return sorted(tuple(r) for r in out.collect())
 
+    # pin the EXPRESSION tier explicitly for the reference snapshot:
+    # the default bound is 0 since round 11 (Arrow tier everywhere —
+    # measured 0.83x end-to-end), so the default no longer exercises
+    # the expr fold
+    monkeypatch.setattr(C, "_ARROW_ASSIGN_BOUND", 1 << 30)
     want = {("h", 1): snap(1), ("h", 2): snap(2),
             ("d", 1): dedup_snap(1), ("d", 2): dedup_snap(2)}
     monkeypatch.setattr(C, "_ARROW_ASSIGN_BOUND", 0)
@@ -637,6 +642,9 @@ def test_assign_to_centroids_frozen_reproduces_final_pass(spark, monkeypatch):
     cents, asg = C.kmeans_fit(emb, k=8, iters=2)
     want = sorted(tuple(r) for r in asg.collect())
 
+    # pin the EXPRESSION tier explicitly (default bound is 0 since
+    # round 11 — Arrow everywhere), so both tiers stay covered
+    monkeypatch.setattr(C, "_ARROW_ASSIGN_BOUND", 1 << 30)
     got_expr = sorted(
         tuple(r) for r in C.assign_to_centroids(emb, cents).collect()
     )

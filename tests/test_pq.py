@@ -197,14 +197,14 @@ def test_fused_trainer_falls_back_above_arrow_bound(spark):
     emb = _emb(spark)
     import ark_invest_api_rust_data_spark.operators.clustering as cl
 
-    old = cl._ARROW_ASSIGN_BOUND
-    cl._ARROW_ASSIGN_BOUND = 1  # force the fallback branch
+    old = pq_mod._FUSED_TRAIN_BOUND
+    pq_mod._FUSED_TRAIN_BOUND = 1  # force the fallback branch
     try:
         cents, asg, model, combined = _ivfpq_train(
             emb, 4, 4, 4, 1, "vec_id", "embedding"
         )
     finally:
-        cl._ARROW_ASSIGN_BOUND = old
+        pq_mod._FUSED_TRAIN_BOUND = old
     assert combined is None
     cents_s, _ = cl.kmeans_fit(emb, k=4, iters=1)
     assert cents == cents_s
