@@ -793,29 +793,52 @@ def jl_project(
     (JL: distortion ~ 1/√out_dim), and the projection itself is a
     zero-shuffle narrow map.
 
-    Plan shape: the sign matrix is baked in as literals at plan-build
-    time (out_dim unrolled sums of ±element_at — whole-stage codegen,
-    no HOF fold, no hash evaluation per row); rows with a wrong-width
-    vector raise via ANSI element_at rather than silently projecting
-    a prefix."""
+    Plan shape (round 11): quantization stays a JVM expression (the
+    determinism-bearing step — floor(x·1e6) exactly as every other
+    grid consumer), then ONE Arrow pass multiplies the int64 grid
+    rows against the broadcast (out_dim × in_dim) sign matrix in
+    NumPy. The previous unrolled ±element_at tree (out_dim columns ×
+    ~in_dim·⅔ terms each) was a driver bomb, not an executor cost:
+    measured at sf0.1, 0.3 s of job time under 2.2-4 s of per-pass
+    plan-analysis + whole-stage-codegen gap (the generated Project
+    for 16×64 is ~1000 add sites). Integer matmul is order-free, so
+    the projected int64s are bit-identical to the unrolled adds; NULL
+    vectors produce out_dim NULL slots exactly like null-propagated
+    adds, and wrong-width rows raise (np.stack rejects ragged input —
+    the same strictness ANSI element_at gave the unrolled tier)."""
     if not (in_dim >= 1 and out_dim >= 1):
         raise ValueError(f"dims must be >= 1, got in={in_dim} out={out_dim}")
+    import numpy as np
+
     mat = jl_sign_matrix(in_dim, out_dim, seed)
-    q = _quantize(F.col(vec_col))
-    outs = []
-    for j in range(out_dim):
-        term = None
-        for i, s in enumerate(mat[j]):
-            if s == 0:
+    S = np.array(mat, dtype=np.int64)  # (out_dim, in_dim)
+    bc = df.sparkSession.sparkContext.broadcast(S)
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import pandas as pd
+
+        St = bc.value.T  # (in_dim, out_dim)
+        for pdf in batches:
+            if not len(pdf):
                 continue
-            e = F.element_at(q, i + 1)
-            t = e if s == 1 else -e
-            term = t if term is None else term + t
-        outs.append(
-            (term if term is not None else F.lit(0).cast("long")).alias(
-                f"_p{j}"
-            )
-        )
-    return df.select(F.col(id_col), *outs).select(
-        id_col, F.array(*[f"_p{j}" for j in range(out_dim)]).alias("proj")
-    )
+            qs = pdf["_q"]
+            mask = qs.notna().to_numpy()
+            out = np.empty(len(pdf), dtype=object)
+            if mask.any():
+                Q = np.stack(qs[mask].to_numpy()).astype(np.int64)
+                if Q.shape[1] != St.shape[0]:
+                    raise ValueError(
+                        f"jl_project: vector width {Q.shape[1]} != "
+                        f"in_dim {St.shape[0]}"
+                    )
+                P = Q @ St
+                for j, i in enumerate(np.flatnonzero(mask)):
+                    out[i] = P[j]
+            for i in np.flatnonzero(~mask):
+                out[i] = [None] * St.shape[1]
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": out})
+
+    return df.select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("_q")
+    ).mapInPandas(gen, f"{id_col} {id_t}, proj array<bigint>")
