@@ -210,9 +210,30 @@ def bloom_contains(key: Column, bitmap: Column, m_bits: int, k: int = 4) -> Colu
     """True iff every one of the key's k bits is set in ``bitmap``
     (an ``array<long>`` column, normally from a broadcast one-row
     cross join of ``bloom_build``'s output). Unrolled plain-expression
-    ANDs — see ``_position_cols`` for why not an aggregate fold."""
+    ANDs — see ``_position_cols`` for why not an aggregate fold.
+
+    The per-character base fold is inlined into every position term
+    (k positions × 2 reads each), so prefer ``bloom_contains_from_hash``
+    over a ``token_hash32`` column PROJECTED BELOW the bitmap join when
+    the probe side is large — see ``bloom_decontaminate``."""
+    return bloom_contains_from_hash(token_hash32(key), bitmap, m_bits, k)
+
+
+def bloom_contains_from_hash(
+    h: Column, bitmap: Column, m_bits: int, k: int = 4
+) -> Column:
+    """``bloom_contains`` over an already-computed ``token_hash32``
+    base hash — the kmins_positions_from_hash discipline (round 11):
+    the char fold is a CodegenFallback HOF evaluated interpreted, and
+    inlining it into the k×2 position reads re-ran it up to 8× per
+    probed key (measured at sf0.1: the decontaminate probe stage was
+    28.5 s of executor time, ~4× the fold's one-pass cost). Callers
+    project ``h`` in a SELECT below the bitmap's broadcast cross join:
+    predicate pushdown cannot cross that join boundary (the condition
+    references the bitmap), so the projected hash stays materialized
+    and the fold runs exactly once per key."""
     cond = F.lit(True)
-    for p in _position_cols(token_hash32(key), k, m_bits):
+    for p in _position_cols(h, k, m_bits):
         cond = cond & _bit_test(bitmap, p)
     return cond
 
@@ -263,11 +284,19 @@ def bloom_decontaminate(
         k=k,
     )
     # _shingles explodes array_distinct — already one row per distinct
-    # (doc, shingle), so the count below needs no extra dedup shuffle
-    corp = _shingles(corpus, id_col, text_col, n, id_col)
+    # (doc, shingle), so the count below needs no extra dedup shuffle.
+    # The base char fold is projected BELOW the bitmap cross join so it
+    # runs once per shingle (bloom_contains_from_hash; the filter can't
+    # be pushed through the join, so the hash column stays
+    # materialized instead of being re-inlined into the k×2 bit reads).
+    corp = _shingles(corpus, id_col, text_col, n, id_col).select(
+        id_col, token_hash32(F.col("shingle")).alias("_h")
+    )
     return (
         corp.crossJoin(F.broadcast(bloom))
-        .filter(bloom_contains(F.col("shingle"), F.col("bitmap"), m_bits, k))
+        .filter(
+            bloom_contains_from_hash(F.col("_h"), F.col("bitmap"), m_bits, k)
+        )
         .groupBy(id_col)
         .agg(F.count("*").alias("n_bloom_hits"))
     )
