@@ -50,6 +50,19 @@ from pyspark.sql import DataFrame
 # THIS bound and would be thrown away by the lower one).
 _FUSED_TRAIN_BOUND = 16384
 
+# above this many TOTAL flattened codebook coordinates (coarse k·dim +
+# m·k·sub) the PQ assignment/update passes run the vectorized NumPy
+# tier instead of the interpreted ``_assign_expr`` folds (HOFs are
+# CodegenFallback — the folds were the largest remaining interpreted
+# surface after round 11 vectorized clustering; see clustering.
+# _ARROW_ASSIGN_BOUND for the measured always-wins evidence that
+# justifies 0). The expression tier below stays the plan-transparent
+# bit-equality reference — tests force both tiers and pin equality;
+# the NumPy math reuses clustering._assign_dists_chunks, whose
+# coordinate-ascending IEEE accumulation and first-min argmin are
+# bit-identical to the folds (and to the SQL oracle's replay).
+_PQ_ARROW_BOUND = 0
+
 MU = 1_000_000  # quantization grid, matches clustering._quantize
 
 
@@ -95,6 +108,141 @@ def _assign_expr(
 
     dists = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), dist)
     return (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
+
+
+def _pq_matrices(coarse, codebooks, sub: int):
+    """(coarse (kc, dim) float64 matrix or None, [per-subspace (k, sub)
+    float64 matrices]) — the broadcast payload of the NumPy tier."""
+    import numpy as np
+
+    cc = None
+    if coarse is not None:
+        cc = np.array(
+            [coarse[cid] for cid in range(len(coarse))], dtype=np.float64
+        )
+    cs = [
+        np.array([cb[cid] for cid in range(len(cb))], dtype=np.float64)
+        for cb in codebooks
+    ]
+    return cc, cs
+
+
+def _argmin_rows(Q, C):
+    """First-min argmin of every row of ``Q`` against centroid matrix
+    ``C`` — clustering._assign_dists_chunks does the distance math
+    (coordinate-ascending IEEE accumulation = the expression fold's
+    left-to-right aggregate), np.argmin's first-minimum = the fold's
+    array_position tie-break (lowest code id)."""
+    import numpy as np
+
+    from .clustering import _assign_dists_chunks
+
+    out = np.empty(len(Q), dtype=np.int32)
+    for rows, dists in _assign_dists_chunks(Q, C):
+        out[rows] = dists.argmin(axis=1).astype(np.int32)
+    return out
+
+
+def _codes_arrow(base, coarse, codebooks, sub: int, id_col: str):
+    """Vectorized assignment pass over the quantized working set:
+    (id, code_0..code_{m-1}) for ``coarse=None`` (pq_train / frozen
+    encode), else (id, cluster, code_0..code_{m-1}) (fused IVF-PQ).
+    One narrow mapInPandas over broadcast matrices — zero shuffle,
+    same shape as the expression tier's broadcast-row cross join."""
+    m = len(codebooks)
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(_pq_matrices(coarse, codebooks, sub))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cc, Cs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["_q"].to_numpy()).astype(np.float64)
+            cols = {id_col: pdf[id_col].to_numpy()}
+            if Cc is not None:
+                cols["cluster"] = _argmin_rows(Q, Cc)
+            for j in range(m):
+                cols[f"code_{j}"] = _argmin_rows(
+                    Q[:, j * sub : (j + 1) * sub], Cs[j]
+                )
+            yield pd.DataFrame(cols)
+
+    id_t = base.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_t}"
+        + (", cluster int" if coarse is not None else "")
+        + "".join(f", code_{j} int" for j in range(m))
+    )
+    return base.select(id_col, "_q").mapInPandas(gen, schema=schema)
+
+
+def _update_sums_arrow(base, coarse, codebooks, sub: int, id_col: str):
+    """Fused assignment + partial centroid update, vectorized: one
+    Arrow pass emits per-batch (_j, _c, cnt, per-dim int64 sums)
+    partials — subspace rows carry ``sub`` sums, the coarse pseudo-
+    subspace (_j = −1) the full ``dim`` — and one tiny aggregation
+    finishes the exact integer sums (order-free ⇒ bit-identical to the
+    expression tier's exploded sum(element_at(_qs, i)) with its size()
+    guard). Returns the aggregated frame with columns
+    (_j, _c, cnt, s1..s{maxdim}); rows past a subspace's ``sub`` are
+    NULL exactly like the guarded expr aggregation."""
+    m = len(codebooks)
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(_pq_matrices(coarse, codebooks, sub))
+    maxdim = sub if coarse is None else len(next(iter(coarse.values())))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cc, Cs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qi = np.stack(pdf["_q"].to_numpy())  # int64 grid values
+            Qf = Qi.astype(np.float64)
+            js, cs_, cnts, sums_out = [], [], [], []
+
+            def emit(j, cid, Qpart, k):
+                cnt = np.bincount(cid, minlength=k).astype(np.int64)
+                live = np.flatnonzero(cnt)
+                sums = np.zeros((k, Qpart.shape[1]), dtype=np.int64)
+                np.add.at(sums, cid, Qpart)
+                js.append(np.full(len(live), j, dtype=np.int32))
+                cs_.append(live.astype(np.int32))
+                cnts.append(cnt[live])
+                sums_out.extend(list(sums[live]))
+
+            if Cc is not None:
+                emit(-1, _argmin_rows(Qf, Cc), Qi, len(Cc))
+            for j in range(m):
+                sl = slice(j * sub, (j + 1) * sub)
+                emit(j, _argmin_rows(Qf[:, sl], Cs[j]), Qi[:, sl], len(Cs[j]))
+            yield pd.DataFrame(
+                {
+                    "_j": np.concatenate(js),
+                    "_c": np.concatenate(cs_),
+                    "cnt": np.concatenate(cnts),
+                    "s": sums_out,
+                }
+            )
+
+    partials = base.select(id_col, "_q").mapInPandas(
+        gen, schema="_j int, _c int, cnt long, s array<long>"
+    )
+    return partials.groupBy("_j", "_c").agg(
+        F.sum("cnt").alias("cnt"),
+        *[
+            F.sum(
+                F.when(F.size("s") >= F.lit(i), F.element_at("s", F.lit(i)))
+            ).alias(f"s{i}")
+            for i in range(1, maxdim + 1)
+        ],
+    )
 
 
 def pq_train(
@@ -156,57 +304,66 @@ def pq_train(
             cb = codebooks[j]
             return [float(v) for cid in range(len(cb)) for v in cb[cid]]
 
+        use_arrow = k_eff * sub * m > _PQ_ARROW_BOUND
         for it in range(1, iters + 1):
-            cdf = spark.createDataFrame(
-                [tuple(flat(j) for j in range(m))],
-                ", ".join(f"_cflat{j}: array<double>" for j in range(m)),
-            )
-            assigned = base.crossJoin(F.broadcast(cdf)).select(
-                F.col(id_col),
-                F.col("_q"),
-                *[
-                    _assign_expr(
-                        F.col("_q"), F.col(f"_cflat{j}"), k_eff, sub,
-                        off=j * sub,
-                    ).alias(f"code_{j}")
-                    for j in range(m)
-                ],
-            )
-            if it == iters:
-                codes = assigned.select(
-                    id_col, *[f"code_{j}" for j in range(m)]
-                ).localCheckpoint(eager=True)
-                return PqModel(codebooks, codes, sub, id_col)
-            # ONE job updates all m codebooks: explode each row into
-            # its m (subspace, code, subvector) memberships and run a
-            # single groupBy(subspace, code) — m·k partial cells, one
-            # collect — versus the previous m separate groupBy+collect
-            # jobs per iteration, each of which rescanned base and
-            # recomputed all m assignment expressions (the PQ-family
-            # bench cost was that job scheduling, not shuffle). Math
-            # unchanged: exact int64 sums, one double division per
-            # coordinate, empty codes carry forward (absent groups).
-            memb = assigned.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(j).alias("_j"),
-                                F.col(f"code_{j}").alias("_c"),
-                                F.slice(F.col("_q"), j * sub + 1, sub).alias("_qs"),
-                            )
-                            for j in range(m)
-                        ]
-                    )
-                ).alias("x")
-            ).select("x._j", "x._c", "x._qs")
-            sums = memb.groupBy("_j", "_c").agg(
-                F.count("*").alias("cnt"),
-                *[
-                    F.sum(F.element_at("_qs", i)).alias(f"s{i}")
-                    for i in range(1, sub + 1)
-                ],
-            )
+            if use_arrow:
+                if it == iters:
+                    codes = _codes_arrow(
+                        base, None, codebooks, sub, id_col
+                    ).localCheckpoint(eager=True)
+                    return PqModel(codebooks, codes, sub, id_col)
+                sums = _update_sums_arrow(base, None, codebooks, sub, id_col)
+            else:
+                cdf = spark.createDataFrame(
+                    [tuple(flat(j) for j in range(m))],
+                    ", ".join(f"_cflat{j}: array<double>" for j in range(m)),
+                )
+                assigned = base.crossJoin(F.broadcast(cdf)).select(
+                    F.col(id_col),
+                    F.col("_q"),
+                    *[
+                        _assign_expr(
+                            F.col("_q"), F.col(f"_cflat{j}"), k_eff, sub,
+                            off=j * sub,
+                        ).alias(f"code_{j}")
+                        for j in range(m)
+                    ],
+                )
+                if it == iters:
+                    codes = assigned.select(
+                        id_col, *[f"code_{j}" for j in range(m)]
+                    ).localCheckpoint(eager=True)
+                    return PqModel(codebooks, codes, sub, id_col)
+                # ONE job updates all m codebooks: explode each row into
+                # its m (subspace, code, subvector) memberships and run a
+                # single groupBy(subspace, code) — m·k partial cells, one
+                # collect — versus the previous m separate groupBy+collect
+                # jobs per iteration, each of which rescanned base and
+                # recomputed all m assignment expressions (the PQ-family
+                # bench cost was that job scheduling, not shuffle). Math
+                # unchanged: exact int64 sums, one double division per
+                # coordinate, empty codes carry forward (absent groups).
+                memb = assigned.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(j).alias("_j"),
+                                    F.col(f"code_{j}").alias("_c"),
+                                    F.slice(F.col("_q"), j * sub + 1, sub).alias("_qs"),
+                                )
+                                for j in range(m)
+                            ]
+                        )
+                    ).alias("x")
+                ).select("x._j", "x._c", "x._qs")
+                sums = memb.groupBy("_j", "_c").agg(
+                    F.count("*").alias("cnt"),
+                    *[
+                        F.sum(F.element_at("_qs", i)).alias(f"s{i}")
+                        for i in range(1, sub + 1)
+                    ],
+                )
             for row in sums.collect():
                 cnt = row["cnt"]
                 codebooks[row["_j"]][row["_c"]] = [
@@ -308,70 +465,86 @@ def _ivfpq_train(
             cb = codebooks[j]
             return [float(v) for cid in range(len(cb)) for v in cb[cid]]
 
+        use_arrow = kc_eff * dim + k_eff * sub * m > _PQ_ARROW_BOUND
         for it in range(1, iters + 1):
-            cdf = spark.createDataFrame(
-                [tuple([flat_coarse()] + [flat(j) for j in range(m)])],
-                ", ".join(
-                    ["_cflatc: array<double>"]
-                    + [f"_cflat{j}: array<double>" for j in range(m)]
-                ),
-            )
-            assigned = base.crossJoin(F.broadcast(cdf)).select(
-                F.col(id_col),
-                F.col("_q"),
-                _assign_expr(
-                    F.col("_q"), F.col("_cflatc"), kc_eff, dim
-                ).alias("cluster"),
-                *[
-                    _assign_expr(
-                        F.col("_q"), F.col(f"_cflat{j}"), k_eff, sub,
-                        off=j * sub,
-                    ).alias(f"code_{j}")
-                    for j in range(m)
-                ],
-            )
-            if it == iters:
-                out = assigned.select(
-                    id_col, "cluster", *[f"code_{j}" for j in range(m)]
-                ).localCheckpoint(eager=True)
-                asg = out.select(id_col, "cluster")
-                codes = out.select(id_col, *[f"code_{j}" for j in range(m)])
-                return coarse, asg, PqModel(codebooks, codes, sub, id_col), out
-            memb = assigned.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(-1).alias("_j"),
-                                F.col("cluster").alias("_c"),
-                                F.col("_q").alias("_qs"),
-                            )
-                        ]
-                        + [
-                            F.struct(
-                                F.lit(j).alias("_j"),
-                                F.col(f"code_{j}").alias("_c"),
-                                F.slice(
-                                    F.col("_q"), j * sub + 1, sub
-                                ).alias("_qs"),
-                            )
-                            for j in range(m)
-                        ]
+            if use_arrow:
+                if it == iters:
+                    out = _codes_arrow(
+                        base, coarse, codebooks, sub, id_col
+                    ).localCheckpoint(eager=True)
+                    asg = out.select(id_col, "cluster")
+                    codes = out.select(
+                        id_col, *[f"code_{j}" for j in range(m)]
                     )
-                ).alias("x")
-            ).select("x._j", "x._c", "x._qs")
-            sums = memb.groupBy("_j", "_c").agg(
-                F.count("*").alias("cnt"),
-                *[
-                    F.sum(
-                        F.when(
-                            F.size("_qs") >= F.lit(i),
-                            F.element_at("_qs", F.lit(i)),
+                    return (
+                        coarse, asg, PqModel(codebooks, codes, sub, id_col),
+                        out,
+                    )
+                sums = _update_sums_arrow(base, coarse, codebooks, sub, id_col)
+            else:
+                cdf = spark.createDataFrame(
+                    [tuple([flat_coarse()] + [flat(j) for j in range(m)])],
+                    ", ".join(
+                        ["_cflatc: array<double>"]
+                        + [f"_cflat{j}: array<double>" for j in range(m)]
+                    ),
+                )
+                assigned = base.crossJoin(F.broadcast(cdf)).select(
+                    F.col(id_col),
+                    F.col("_q"),
+                    _assign_expr(
+                        F.col("_q"), F.col("_cflatc"), kc_eff, dim
+                    ).alias("cluster"),
+                    *[
+                        _assign_expr(
+                            F.col("_q"), F.col(f"_cflat{j}"), k_eff, sub,
+                            off=j * sub,
+                        ).alias(f"code_{j}")
+                        for j in range(m)
+                    ],
+                )
+                if it == iters:
+                    out = assigned.select(
+                        id_col, "cluster", *[f"code_{j}" for j in range(m)]
+                    ).localCheckpoint(eager=True)
+                    asg = out.select(id_col, "cluster")
+                    codes = out.select(id_col, *[f"code_{j}" for j in range(m)])
+                    return coarse, asg, PqModel(codebooks, codes, sub, id_col), out
+                memb = assigned.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(-1).alias("_j"),
+                                    F.col("cluster").alias("_c"),
+                                    F.col("_q").alias("_qs"),
+                                )
+                            ]
+                            + [
+                                F.struct(
+                                    F.lit(j).alias("_j"),
+                                    F.col(f"code_{j}").alias("_c"),
+                                    F.slice(
+                                        F.col("_q"), j * sub + 1, sub
+                                    ).alias("_qs"),
+                                )
+                                for j in range(m)
+                            ]
                         )
-                    ).alias(f"s{i}")
-                    for i in range(1, dim + 1)
-                ],
-            )
+                    ).alias("x")
+                ).select("x._j", "x._c", "x._qs")
+                sums = memb.groupBy("_j", "_c").agg(
+                    F.count("*").alias("cnt"),
+                    *[
+                        F.sum(
+                            F.when(
+                                F.size("_qs") >= F.lit(i),
+                                F.element_at("_qs", F.lit(i)),
+                            )
+                        ).alias(f"s{i}")
+                        for i in range(1, dim + 1)
+                    ],
+                )
             for row in sums.collect():
                 cnt = row["cnt"]
                 if row["_j"] < 0:
@@ -434,6 +607,16 @@ def pq_encode_batch(
             f"{probe['dmax']}] != model dim {m * sub} "
             f"(m={m} subspaces × sub={sub} coords)"
         )
+
+    if k_eff * sub * m > _PQ_ARROW_BOUND:
+        # vectorized tier: quantize the FULL vector once (floor is
+        # elementwise, so quantize∘slice ≡ slice∘quantize — operand
+        # bits identical to the per-subspace projections below) and
+        # argmin every subspace in one NumPy pass.
+        base = _spread(batch).select(
+            F.col(id_col), _quantize(F.col(vec_col)).alias("_q")
+        )
+        return _codes_arrow(base, None, model.codebooks, sub, id_col)
 
     def flat(j: int) -> list[float]:
         cb = model.codebooks[j]

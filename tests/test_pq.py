@@ -524,3 +524,49 @@ def test_pq_stream_ingest_lake_exactly_once_and_pruned(spark, tmp_path):
     # victim was the LAST of the old top-k, so the surviving prefix is
     # bit-identical and one new candidate fills the tail slot
     assert got3[: topk - 1] == want[: topk - 1]
+
+
+def test_pq_arrow_tier_equals_expression_tier(spark):
+    """The NumPy assignment/update tier (_PQ_ARROW_BOUND = 0 default)
+    is a perf shape, not a semantic change: codebooks, codes, coarse
+    centroids/assignments and frozen batch encodes must all be
+    bit-identical to the interpreted _assign_expr fold tier it
+    replaces (same coordinate-ascending IEEE accumulation, same
+    first-min argmin, same exact int64 update sums)."""
+    from ark_invest_api_rust_data_spark.operators import pq as pq_mod
+    from ark_invest_api_rust_data_spark.operators.pq import (
+        _ivfpq_train,
+        pq_encode_batch,
+    )
+
+    emb = _emb(spark)
+    nc, m, k, iters = 8, 4, 8, 2
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def run():
+        model = pq_train(emb, m=m, k=k, iters=iters)
+        cents, asg, fmodel, combined = _ivfpq_train(
+            emb, nc, m, k, iters, "vec_id", "embedding"
+        )
+        enc = pq_encode_batch(model, batch)
+        return (
+            model.codebooks,
+            {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(m))
+             for r in model.codes.collect()},
+            cents,
+            {r["vec_id"]: r["cluster"] for r in asg.collect()},
+            fmodel.codebooks,
+            {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(m))
+             for r in combined.collect()},
+            {r["vec_id"]: tuple(r[f"code_{j}"] for j in range(m))
+             for r in enc.collect()},
+        )
+
+    assert pq_mod._PQ_ARROW_BOUND == 0  # the shipped default is Arrow
+    got_arrow = run()
+    pq_mod._PQ_ARROW_BOUND = 1 << 60  # force the expression fold tier
+    try:
+        got_expr = run()
+    finally:
+        pq_mod._PQ_ARROW_BOUND = 0
+    assert got_arrow == got_expr
