@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 
+import pandas as pd  # noqa: F401 — resolves the pandas_udf type hints
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -189,6 +190,69 @@ def minhash_signature(base_hash_arr: Column, num_hashes: int = 16) -> Column:
     )
 
 
+# above this many affine hash functions the signature runs the
+# vectorized NumPy tier (one ArrowEvalPython over the hashed-shingle
+# array) instead of num_hashes interpreted array_min(transform(...))
+# folds — transform/aggregate HOFs are CodegenFallback, so the
+# expression tier re-walks every shingle array 17× per row (pmod + 16
+# affine mins) through the interpreted evaluator. 0 = always NumPy
+# (same always-wins evidence as clustering._ARROW_ASSIGN_BOUND; the
+# measured A/B is in OPTIMIZATION_r11.md). The expression tier above
+# stays the plan-transparent bit-equality reference — pure int64
+# affine math on a 2³¹ grid is representation-exact in both tiers, and
+# tests force both and pin equality.
+_SIG_ARROW_BOUND = 0
+
+
+def _minhash_sig_udf(num_hashes: int):
+    """Vectorized MinHash signature: flatten the batch's shingle-hash
+    arrays once, compute all ``num_hashes`` affine rows over the flat
+    int64 buffer, and segment-min back per document
+    (np.minimum.reduceat). Bit-identity with the expression tier is
+    arithmetic, not accumulation-order: every value is exact int64
+    ((a·h + b) mod 2³¹ < 2⁶² never overflows; NumPy % matches F.pmod
+    for a positive modulus) and min is order-free. NULL and empty
+    shingle arrays yield [NULL]×num_hashes exactly like
+    array_min(transform(...)) over NULL/empty input."""
+    consts = minhash_constants(num_hashes)
+
+    @F.pandas_udf("array<long>")
+    def sig(sh: pd.Series) -> pd.Series:
+        import numpy as np
+
+        arrs = sh.to_numpy()
+        n = len(arrs)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs),
+            dtype=np.int64,
+            count=n,
+        )
+        nonempty = lens > 0
+        none_row = [None] * num_hashes
+        if not nonempty.any():
+            return pd.Series([none_row] * n)
+        values = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs[nonempty]]
+        )
+        base = values % MINHASH_MOD
+        # empty rows contribute 0 to the cumsum, so offsets index the
+        # nonempty-only concatenation directly
+        offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        starts = offsets[nonempty]
+        mins = np.empty((int(nonempty.sum()), num_hashes), dtype=np.int64)
+        for i, (a, b) in enumerate(consts):
+            mins[:, i] = np.minimum.reduceat(
+                (a * base + b) % MINHASH_MOD, starts
+            )
+        out = [none_row] * n
+        for pos, row_idx in enumerate(np.flatnonzero(nonempty)):
+            out[row_idx] = mins[pos]
+        return pd.Series(out)
+
+    return sig
+
+
 def _signature_frame(
     df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
 ) -> DataFrame:
@@ -200,7 +264,7 @@ def _signature_frame(
     any PERSISTED band store are bit-identical to the former
     string-shingle build; only the verify join-backs now ship 8-byte
     ints instead of gram strings."""
-    return (
+    shingled = (
         _spread(df)
         .select(
             F.col(id_col).alias("_id"),
@@ -212,6 +276,15 @@ def _signature_frame(
         .select(
             "_id", hashed_shingles_from_tokens(F.col("_toks"), n).alias("_sh")
         )
+    )
+    if num_hashes > _SIG_ARROW_BOUND:
+        # vectorized tier: one ArrowEvalPython over _sh computes all
+        # num_hashes minima (values bit-identical — see _minhash_sig_udf)
+        return shingled.withColumn(
+            "_sig", _minhash_sig_udf(num_hashes)(F.col("_sh"))
+        )
+    return (
+        shingled
         # separate projection: _base is referenced 16× by the signature,
         # and multi-referenced non-trivial columns are NOT inlined by
         # CollapseProject — so the hash array materializes once.

@@ -1837,3 +1837,65 @@ def test_segment_dedup_delimiter_mode(spark):
     assert got[2]["n_dropped"] == 1
     assert got[3]["kept_text"] == "" and got[3]["n_segments"] == 1
     assert got[3]["n_dropped"] == 1  # empty segments skipped, line deduped
+
+
+def test_minhash_signature_arrow_tier_equals_expression_tier(spark):
+    """The vectorized signature tier (_SIG_ARROW_BOUND = 0 default,
+    one ArrowEvalPython over the hashed-shingle array) is a perf
+    shape, not a semantic change: (_id, _sh, _sig) must be
+    bit-identical to the interpreted pmod + 16×array_min(transform)
+    fold it replaces — including NULL text and sub-n-token documents
+    whose empty shingle sets must yield [NULL]×num_hashes (exercised
+    at the UDF level below — the frame builder can't produce them:
+    NULL text collapses to the single empty-string gram via
+    concat_ws's null-skipping, identically in both tiers).
+
+    Edge rows respect word_shingles' documented precondition (≥ n
+    tokens or NULL — ANSI element_at raises on shorter docs in BOTH
+    tiers, by design): NULL text exercises the null-token path, the
+    padded row exercises whitespace splitting."""
+    from ark_invest_api_rust_data_spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    edge = spark.createDataFrame(
+        [
+            (900001, None),
+            (900004, "  padded   whitespace\ttokens here  "),
+        ],
+        docs.select("doc_id", "text").schema,
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+
+    def run():
+        rows = D._signature_frame(both, "doc_id", "text", 3, 16).collect()
+        return {
+            r["_id"]: (tuple(r["_sh"] or []), tuple(r["_sig"]))
+            for r in rows
+        }
+
+    assert D._SIG_ARROW_BOUND == 0  # the shipped default is Arrow
+    got_arrow = run()
+    D._SIG_ARROW_BOUND = 1 << 30  # force the expression fold tier
+    try:
+        got_expr = run()
+    finally:
+        D._SIG_ARROW_BOUND = 0
+    assert got_arrow == got_expr
+    assert 900001 in got_arrow and 900004 in got_arrow
+
+    # NULL/empty shingle arrays (illegal via the frame builder, legal
+    # for direct callers): the UDF must yield [NULL]×num_hashes like
+    # array_min(transform(...)) over NULL/empty input
+    direct = spark.createDataFrame(
+        [(1, None), (2, []), (3, [12345, 67890])],
+        "id long, _sh array<long>",
+    ).withColumn("_sig", D._minhash_sig_udf(16)(F.col("_sh")))
+    got = {r["id"]: tuple(r["_sig"]) for r in direct.collect()}
+    assert got[1] == (None,) * 16 and got[2] == (None,) * 16
+    consts = D.minhash_constants(16)
+    want3 = tuple(
+        min((a * (h % D.MINHASH_MOD) + b) % D.MINHASH_MOD
+            for h in (12345, 67890))
+        for a, b in consts
+    )
+    assert got[3] == want3
