@@ -327,6 +327,13 @@ def dsir_select_threshold(
     if not 0 < keep_frac <= 1:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
     p = 1.0 - keep_frac
+    # the input frame is referenced twice below (histogram + final
+    # filter join) and Spark does not share the subtree — for the
+    # fused-Arrow weights pipeline that re-ran the entire scoring pass
+    # (and its model-building passes) a second time (measured r11).
+    # One localCheckpoint of the small (id, n_tokens, score) frame
+    # evaluates it once; values unchanged.
+    weights = weights.localCheckpoint()
     hist = weights.groupBy(score_col).agg(F.count("*").alias("_c"))
     w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
     # the histogram window holds one row per DISTINCT score — bounded
