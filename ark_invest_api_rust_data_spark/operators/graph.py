@@ -80,20 +80,32 @@ def pagerank(
     tele = (15 * r0) // 100
 
     deg = edges.groupBy(src_col).agg(F.count("*").alias("deg"))
-    # One-time co-location: edge+degree side hash-partitioned on src;
-    # every iteration's rank join reuses this partitioning.
+    # One-time co-location AND pre-sort: edge+degree side
+    # hash-partitioned and sorted on src; InMemoryRelation preserves
+    # both, so every iteration's rank join reuses the layout with ZERO
+    # exchange and ZERO sort on the edge side.
     ed = (
         edges.join(deg, src_col)
         .select(src.alias("src"), dst.alias("dst"), "deg")
         .repartition("src")
+        .sortWithinPartitions("src")
         .persist()
     )
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("rank"))
     prev: DataFrame | None = None
     try:
         for _ in range(iters):
+            # merge hint: the checkpointed rank frame carries no size
+            # stats (LogicalRDD defaults to "huge"), so the static
+            # planner otherwise broadcasts the EDGE side — collecting
+            # and re-shipping the whole edge list every iteration
+            # (measured r11: the accidental BuildLeft BHJ made each
+            # iteration's stage the probe's dominant cost; the hinted
+            # SMJ over the pre-sorted persisted edges runs 0.65× —
+            # and at scale broadcasting O(E) is not an option at all:
+            # the iteration exchange must be the O(V) rank table).
             contrib = (
-                ed.join(ranks, ed["src"] == ranks["node"])
+                ed.join(ranks.hint("merge"), ed["src"] == ranks["node"])
                 .select(
                     F.col("dst").alias("node"),
                     F.expr("rank div deg").alias("c"),
@@ -509,13 +521,13 @@ def kcore(
     # The doubled edge list, co-located on _u once, persisted for the
     # whole peel — it is read (never rewritten) by every round's
     # removed-incidence join, whose OTHER side is the shrinking
-    # removed set (broadcast from round 2 on). persist(), NOT a
-    # checkpoint cut: localCheckpoint erases outputPartitioning
-    # (Scan ExistingRDD), so a non-broadcast round would re-exchange
-    # the whole edge list under SortMergeJoin — measured as the
-    # residual 7.5 GB at sf10. A persisted plan keeps the hash
-    # partitioning AND recomputes from source on executor loss (one
-    # repartition of lineage — no checkpoint tier needed for it).
+    # removed set (shuffled-hash build side, see the hint below).
+    # persist(), NOT a checkpoint cut: localCheckpoint erases
+    # outputPartitioning (Scan ExistingRDD), so every round would
+    # re-exchange the whole edge list — measured as the residual
+    # 7.5 GB at sf10. A persisted plan keeps the hash partitioning
+    # AND recomputes from source on executor loss (one repartition of
+    # lineage — no checkpoint tier needed for it).
     eu = nbr.repartition("_u").persist()
     # Mutable state: induced degree per live node. Equals the naive
     # surviving-edge-list groupBy at every round (see contract): a
@@ -528,9 +540,21 @@ def kcore(
         .repartition("node")
     )
     for _ in range(rounds):
-        removed = mat.cut(deg.filter(F.col("deg") < k).select("node"))
+        # LAZY removed set (r11): it is a trivial filter over the
+        # checkpointed degree table, so the former per-round
+        # localCheckpoint bought nothing but a third driver action
+        # per round (the kcore wall was ~60% driver gap across ~3
+        # jobs/round at sf0.1). What the cut DID buy — a runtime-sized
+        # exchange that let AQE flip the decrement join to broadcast —
+        # is replaced by the explicit SHUFFLE_HASH hint below, which
+        # is also the safer 100 TB shape: the removed side (O(V) in
+        # round 1) is never collected to the driver, eu keeps its
+        # hash partitioning with no per-round sort, and the build side
+        # is one removed-set partition, not the whole set. Measured
+        # 0.79× (interleaved min of 7, wins every rep, output
+        # bit-identical).
+        removed = deg.filter(F.col("deg") < k).select("node")
         if removed.limit(1).count() == 0:
-            mat.release(removed)
             break  # every degree >= k: fixpoint
         # decrements: ONLY the removed nodes' incident edges are
         # touched — each undirected edge appears under both endpoints
@@ -539,7 +563,10 @@ def kcore(
         # removed at most once while the other is still live).
         dec = (
             eu.join(
-                removed.select(F.col("node").alias("_u")), "_u"
+                removed.select(F.col("node").alias("_u")).hint(
+                    "shuffle_hash"
+                ),
+                "_u",
             )
             .groupBy("_v")
             .agg(F.count("*").alias("_c"))
@@ -556,7 +583,6 @@ def kcore(
             )
             .filter(F.col("deg") > 0)  # stranded: drops the same round
         )
-        mat.release(removed)
         mat.release(deg)
         deg = nxt
     out = mat.cut(deg.select("node", F.col("deg").cast("long").alias("deg")))
