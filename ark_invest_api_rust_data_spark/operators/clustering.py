@@ -147,6 +147,71 @@ def _assign_dists_chunks(Q, C):
         yield slice(s, s + len(q)), acc
 
 
+def _argmin_exact_chunks(Q, C):
+    """Yield (row_slice, argmin) chunks where argmin is the FIRST
+    minimum of the exact coordinate-ascending fold distances — the
+    same assignment `_assign_dists_chunks(...).argmin(axis=1)` yields,
+    computed ~2 orders of magnitude faster (r11, guide §1.2 step 2):
+
+    1. one BLAS matmul gives approximate distances
+       M = ||q||² − 2 q·c + ||c||²;
+    2. a CERTIFIED error margin bounds |fold − M| for every pair:
+       both the fold F and M approximate the real value T with
+       |F−T| ≤ γ·T ≤ 2γ(‖q‖²+‖c‖²) and |M−T| ≤ γ(‖q‖²+2|q·c|+‖c‖²)
+       ≤ 2γ(‖q‖²+‖c‖²) where γ = (3·dim+2)·2⁻⁵³ (standard summation
+       error analysis; all terms positive so no cancellation in the
+       bounds), hence |F−M| ≤ 8(dim+2)·2⁻⁵³·(‖q‖²+max‖c‖²) = margin;
+    3. every centroid within margin of the row's M-minimum is a
+       candidate (any non-candidate provably has larger F); rows with
+       one candidate are done, rows with several (exact ties —
+       duplicate centroids are common under lowest-id seeding on
+       near-dup corpora — or sub-margin near-ties) get the exact
+       fold recomputed over JUST the candidate columns, first-min =
+       lowest cid, identical to argmin-first over the full fold row.
+
+    The result is therefore BIT-IDENTICAL to the fold tier's argmin
+    by construction, not by accident of data — pinned by pytest
+    against the fold on planted duplicate/near-tie geometries."""
+    import numpy as np
+
+    n, dim = Q.shape
+    k = len(C)
+    cn = np.einsum("ij,ij->i", C, C)
+    cn_max = cn.max() if k else 0.0
+    c_eps = 8.0 * (dim + 2) * 2.0 ** -53
+    Ct = np.ascontiguousarray(C.T)
+    chunk = max(1, (1 << 22) // max(k, 1))
+    for s in range(0, n, chunk):
+        q = Q[s : s + chunk]
+        qn = np.einsum("ij,ij->i", q, q)
+        M = qn[:, None] - 2.0 * (q @ Ct) + cn[None, :]
+        margin = c_eps * (qn + cn_max)
+        cand_mask = M <= (M.min(axis=1) + margin)[:, None]
+        out = np.argmax(cand_mask, axis=1).astype(np.int32)
+        multi = np.flatnonzero(cand_mask.sum(axis=1) > 1)
+        if len(multi):
+            rows, cols = np.nonzero(cand_mask[multi])
+            qm = q[multi[rows]]
+            cm = C[cols]
+            F = np.zeros(len(rows), dtype=np.float64)
+            for i in range(dim):  # exact fold, ascending coords
+                d = qm[:, i] - cm[:, i]
+                F += d * d
+            # first-min per row segment (pairs are row-major with cid
+            # ascending within a row, so assigning in reverse leaves
+            # the lowest minimal cid in place)
+            starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+            seg = np.repeat(
+                np.arange(len(starts)), np.diff(np.r_[starts, len(rows)])
+            )
+            fmin = np.minimum.reduceat(F, starts)
+            first = np.zeros(len(starts), dtype=np.int64)
+            for j in np.flatnonzero(F == fmin[seg])[::-1]:
+                first[seg[j]] = j
+            out[multi] = cols[first].astype(np.int32)
+        yield slice(s, s + len(q)), out
+
+
 def _assign_arrow(
     base: DataFrame,
     centroids: dict[int, list[float]],
@@ -177,15 +242,15 @@ def _assign_arrow(
                 continue
             ids = pdf[id_col].to_numpy()
             Q = np.stack(pdf["_q"].to_numpy()).astype(np.float64)
-            for rows, dists in _assign_dists_chunks(Q, C):
-                if m_eff == 1:
+            if m_eff == 1:
+                # hard assignment: the certified-matmul argmin
+                # (bit-identical to the fold, ~100× less arithmetic)
+                for rows, cid in _argmin_exact_chunks(Q, C):
                     yield pd.DataFrame(
-                        {
-                            id_col: ids[rows],
-                            "cluster": dists.argmin(axis=1).astype(np.int32),
-                        }
+                        {id_col: ids[rows], "cluster": cid}
                     )
-                    continue
+                continue
+            for rows, dists in _assign_dists_chunks(Q, C):
                 out_id, out_c, out_r = [], [], []
                 arange = np.arange(len(dists))
                 d1 = None
@@ -243,10 +308,9 @@ def _cluster_sums_arrow(
             if not len(pdf):
                 continue
             Q = np.stack(pdf["_q"].to_numpy())  # int64
-            for rows, dists in _assign_dists_chunks(
+            for rows, cid in _argmin_exact_chunks(
                 Q.astype(np.float64), bc.value
             ):
-                cid = dists.argmin(axis=1)
                 cnt = np.bincount(cid, minlength=k).astype(np.int64)
                 live = np.flatnonzero(cnt)
                 sums = np.zeros((k, Q.shape[1]), dtype=np.int64)
@@ -994,13 +1058,14 @@ def two_level_assign(
             if it == iters:
                 frames = []
                 m_eff = min(m_declared, kk)
-                for rows, dists in _assign_dists_chunks(Q, C):
-                    if not soft:
+                if not soft:
+                    # hard assignment: certified-matmul argmin
+                    for rows, cid in _argmin_exact_chunks(Q, C):
                         out = pd.DataFrame(
                             {
                                 id_col: ids[rows],
                                 "cluster": base_cid
-                                + dists.argmin(axis=1).astype(np.int64),
+                                + cid.astype(np.int64),
                             }
                         )
                         if soft_coarse:
@@ -1011,7 +1076,9 @@ def two_level_assign(
                             out["coords"] = None
                             out["_cent"] = False
                         frames.append(out)
-                        continue
+                for rows, dists in (
+                    () if not soft else _assign_dists_chunks(Q, C)
+                ):
                     out_id, out_c, out_r = [], [], []
                     arange = np.arange(len(dists))
                     d1 = None
@@ -1067,8 +1134,7 @@ def two_level_assign(
             # (kmeans_fit's rule)
             cnt = np.zeros(kk, dtype=np.int64)
             sums = np.zeros((kk, Q.shape[1]), dtype=np.int64)
-            for rows, dists in _assign_dists_chunks(Qp, C):
-                cid = dists.argmin(axis=1)
+            for rows, cid in _argmin_exact_chunks(Qp, C):
                 cnt += np.bincount(cid, minlength=kk)
                 np.add.at(sums, cid, Qpi[rows])
             live = cnt > 0
@@ -1191,9 +1257,9 @@ def assign_to_two_level(
                     continue
                 C, gcids = entry
                 Q = np.stack(grp["_q"].to_numpy()).astype(np.float64)
-                for rows, dists in _assign_dists_chunks(Q, C):
+                for rows, cid in _argmin_exact_chunks(Q, C):
                     out_id.append(grp[id_col].to_numpy()[rows])
-                    out_c.append(gcids[dists.argmin(axis=1)])
+                    out_c.append(gcids[cid])
             yield pd.DataFrame(
                 {
                     id_col: np.concatenate(out_id),

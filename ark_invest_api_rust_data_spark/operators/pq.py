@@ -129,17 +129,17 @@ def _pq_matrices(coarse, codebooks, sub: int):
 
 def _argmin_rows(Q, C):
     """First-min argmin of every row of ``Q`` against centroid matrix
-    ``C`` — clustering._assign_dists_chunks does the distance math
-    (coordinate-ascending IEEE accumulation = the expression fold's
-    left-to-right aggregate), np.argmin's first-minimum = the fold's
-    array_position tie-break (lowest code id)."""
+    ``C`` — clustering._argmin_exact_chunks: the certified-matmul
+    argmin whose result is bit-identical to the expression fold's
+    left-to-right aggregate + array_position tie-break (lowest code
+    id); see its docstring for the margin proof."""
     import numpy as np
 
-    from .clustering import _assign_dists_chunks
+    from .clustering import _argmin_exact_chunks
 
     out = np.empty(len(Q), dtype=np.int32)
-    for rows, dists in _assign_dists_chunks(Q, C):
-        out[rows] = dists.argmin(axis=1).astype(np.int32)
+    for rows, cid in _argmin_exact_chunks(Q, C):
+        out[rows] = cid
     return out
 
 

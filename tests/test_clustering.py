@@ -1199,3 +1199,52 @@ def test_planted_geometry_two_level_probe_beats_one_level(spark, tmp_path):
 
     p1, p2 = pair_count(1), pair_count(2)
     assert p1 <= p2 <= 2 * p1, f"pair premium {p2 / p1:.2f}x exceeds 2x"
+
+
+def test_argmin_exact_chunks_equals_fold_argmin():
+    """The certified-matmul argmin (r11: one BLAS matmul + error
+    margin + exact-fold verification of margin candidates) must be
+    BIT-IDENTICAL to argmin-first over the coordinate-ascending fold
+    on adversarial geometries: duplicate centroids (exact ties —
+    lowest cid must win), sub-margin near-ties, duplicate rows,
+    fractional centroids (Lloyd's-update style), k=1, and the
+    chunking boundary."""
+    import numpy as np
+
+    from ark_invest_api_rust_data_spark.operators.clustering import (
+        _argmin_exact_chunks,
+        _assign_dists_chunks,
+    )
+
+    rng = np.random.default_rng(7)
+    MU = 10**6
+
+    def ref(Q, C):
+        out = np.empty(len(Q), dtype=np.int64)
+        for rows, dists in _assign_dists_chunks(Q, C):
+            out[rows] = dists.argmin(axis=1)
+        return out
+
+    def got(Q, C):
+        out = np.empty(len(Q), dtype=np.int64)
+        for rows, cid in _argmin_exact_chunks(Q, C):
+            out[rows] = cid
+        return out
+
+    for trial in range(20):
+        n, k, dim = 1500, 48, 16
+        Q = np.floor(rng.random((n, dim)) * MU)
+        C = Q[rng.integers(0, n, k)] + rng.random((k, dim)) * 1e-3
+        C[5] = C[3]            # exact duplicate centroids
+        C[7] = C[3] + 1e-9     # sub-margin near-tie
+        C[9] = Q[100]          # integer centroid = exact-zero distance
+        Q[100] = Q[101]        # duplicate rows
+        assert (ref(Q, C) == got(Q, C)).all(), f"trial {trial}"
+
+    # k=1 and a Q big enough to cross the chunk boundary for large k
+    Q = np.floor(rng.random((64, 8)) * MU)
+    assert (got(Q, Q[:1]) == 0).all()
+    kbig = 4096  # chunk = 2^22 // 4096 = 1024 rows < n
+    Qb = np.floor(rng.random((3000, 4)) * MU)
+    Cb = Qb[rng.integers(0, 3000, kbig)] + rng.random((kbig, 4)) * 1e-3
+    assert (ref(Qb, Cb) == got(Qb, Cb)).all()
