@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for headline bench queries into
-plans/r11/<query>_<tag>.txt (round-11 optimization evidence: the judge
+plans/<round>/<query>_<tag>.txt (optimization evidence: the judge
 checks plan-shape claims against these files).
 
 Usage:
@@ -24,7 +24,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(
