@@ -36,6 +36,7 @@ Spark-first shape:
 from __future__ import annotations
 
 import math
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -61,7 +62,7 @@ _FUSED_TRAIN_BOUND = 16384
 # the NumPy math reuses clustering._assign_dists_chunks, whose
 # coordinate-ascending IEEE accumulation and first-min argmin are
 # bit-identical to the folds (and to the SQL oracle's replay).
-_PQ_ARROW_BOUND = 0
+_PQ_ARROW_BOUND = int(os.environ.get("SPARK_GRAFT_PQ_ARROW_BOUND", "0"))
 
 MU = 1_000_000  # quantization grid, matches clustering._quantize
 
@@ -143,15 +144,26 @@ def _argmin_rows(Q, C):
     return out
 
 
-def _codes_arrow(base, coarse, codebooks, sub: int, id_col: str):
+def _codes_arrow(base, coarse, codebooks, sub: int, id_col: str, bc=None):
     """Vectorized assignment pass over the quantized working set:
     (id, code_0..code_{m-1}) for ``coarse=None`` (pq_train / frozen
     encode), else (id, cluster, code_0..code_{m-1}) (fused IVF-PQ).
     One narrow mapInPandas over broadcast matrices — zero shuffle,
-    same shape as the expression tier's broadcast-row cross join."""
+    same shape as the expression tier's broadcast-row cross join.
+
+    ``bc``: caller-managed broadcast of ``_pq_matrices(coarse,
+    codebooks, sub)``. The training loops pass one per iteration and
+    unpersist it after the iteration's action (r11 advisor: an
+    unmanaged broadcast per iteration accumulated blocks across long
+    trainings until Python GC happened to reclaim the closures). When
+    None (single-shot callers returning a lazy frame, e.g.
+    pq_encode_batch) a private broadcast rides with the frame."""
     m = len(codebooks)
     spark = base.sparkSession
-    bc = spark.sparkContext.broadcast(_pq_matrices(coarse, codebooks, sub))
+    if bc is None:
+        bc = spark.sparkContext.broadcast(
+            _pq_matrices(coarse, codebooks, sub)
+        )
 
     def gen(batches):
         import numpy as np
@@ -180,7 +192,7 @@ def _codes_arrow(base, coarse, codebooks, sub: int, id_col: str):
     return base.select(id_col, "_q").mapInPandas(gen, schema=schema)
 
 
-def _update_sums_arrow(base, coarse, codebooks, sub: int, id_col: str):
+def _update_sums_arrow(base, coarse, codebooks, sub: int, id_col: str, bc=None):
     """Fused assignment + partial centroid update, vectorized: one
     Arrow pass emits per-batch (_j, _c, cnt, per-dim int64 sums)
     partials — subspace rows carry ``sub`` sums, the coarse pseudo-
@@ -189,10 +201,16 @@ def _update_sums_arrow(base, coarse, codebooks, sub: int, id_col: str):
     expression tier's exploded sum(element_at(_qs, i)) with its size()
     guard). Returns the aggregated frame with columns
     (_j, _c, cnt, s1..s{maxdim}); rows past a subspace's ``sub`` are
-    NULL exactly like the guarded expr aggregation."""
+    NULL exactly like the guarded expr aggregation.
+
+    ``bc`` as in ``_codes_arrow`` (caller-managed broadcast
+    lifecycle)."""
     m = len(codebooks)
     spark = base.sparkSession
-    bc = spark.sparkContext.broadcast(_pq_matrices(coarse, codebooks, sub))
+    if bc is None:
+        bc = spark.sparkContext.broadcast(
+            _pq_matrices(coarse, codebooks, sub)
+        )
     maxdim = sub if coarse is None else len(next(iter(coarse.values())))
 
     def gen(batches):
@@ -306,13 +324,24 @@ def pq_train(
 
         use_arrow = k_eff * sub * m > _PQ_ARROW_BOUND
         for it in range(1, iters + 1):
+            it_bc = None
             if use_arrow:
+                # one broadcast per iteration, released after the
+                # iteration's action (the codebooks change every round,
+                # so the content cannot be reused — but the blocks must
+                # not accumulate across long trainings)
+                it_bc = spark.sparkContext.broadcast(
+                    _pq_matrices(None, codebooks, sub)
+                )
                 if it == iters:
                     codes = _codes_arrow(
-                        base, None, codebooks, sub, id_col
+                        base, None, codebooks, sub, id_col, bc=it_bc
                     ).localCheckpoint(eager=True)
+                    it_bc.unpersist()
                     return PqModel(codebooks, codes, sub, id_col)
-                sums = _update_sums_arrow(base, None, codebooks, sub, id_col)
+                sums = _update_sums_arrow(
+                    base, None, codebooks, sub, id_col, bc=it_bc
+                )
             else:
                 cdf = spark.createDataFrame(
                     [tuple(flat(j) for j in range(m))],
@@ -364,7 +393,10 @@ def pq_train(
                         for i in range(1, sub + 1)
                     ],
                 )
-            for row in sums.collect():
+            rows = sums.collect()
+            if it_bc is not None:
+                it_bc.unpersist()
+            for row in rows:
                 cnt = row["cnt"]
                 codebooks[row["_j"]][row["_c"]] = [
                     row[f"s{i}"] / cnt for i in range(1, sub + 1)
@@ -467,11 +499,18 @@ def _ivfpq_train(
 
         use_arrow = kc_eff * dim + k_eff * sub * m > _PQ_ARROW_BOUND
         for it in range(1, iters + 1):
+            it_bc = None
             if use_arrow:
+                # per-iteration broadcast, released after the action
+                # (see pq_train: blocks must not accumulate)
+                it_bc = spark.sparkContext.broadcast(
+                    _pq_matrices(coarse, codebooks, sub)
+                )
                 if it == iters:
                     out = _codes_arrow(
-                        base, coarse, codebooks, sub, id_col
+                        base, coarse, codebooks, sub, id_col, bc=it_bc
                     ).localCheckpoint(eager=True)
+                    it_bc.unpersist()
                     asg = out.select(id_col, "cluster")
                     codes = out.select(
                         id_col, *[f"code_{j}" for j in range(m)]
@@ -480,7 +519,9 @@ def _ivfpq_train(
                         coarse, asg, PqModel(codebooks, codes, sub, id_col),
                         out,
                     )
-                sums = _update_sums_arrow(base, coarse, codebooks, sub, id_col)
+                sums = _update_sums_arrow(
+                    base, coarse, codebooks, sub, id_col, bc=it_bc
+                )
             else:
                 cdf = spark.createDataFrame(
                     [tuple([flat_coarse()] + [flat(j) for j in range(m)])],
@@ -545,7 +586,10 @@ def _ivfpq_train(
                         for i in range(1, dim + 1)
                     ],
                 )
-            for row in sums.collect():
+            rows = sums.collect()
+            if it_bc is not None:
+                it_bc.unpersist()
+            for row in rows:
                 cnt = row["cnt"]
                 if row["_j"] < 0:
                     coarse[row["_c"]] = [
