@@ -37,6 +37,7 @@ hash-match a DuckDB oracle that unrolls the same iterations in CTEs.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import pyspark.sql.functions as F
@@ -114,7 +115,9 @@ def _flat_coords(centroids: dict[int, list[float]]) -> list[float]:
 # size, and its relative cost only grows with n·k·dim (guide §4.1/§4.2).
 # The expression tier remains the plan-transparent bit-equality
 # reference (tests force both sides; the SQL oracles pin either).
-_ARROW_ASSIGN_BOUND = 0
+_ARROW_ASSIGN_BOUND = int(
+    os.environ.get("SPARK_GRAFT_ASSIGN_ARROW_BOUND", "0")
+)
 
 
 def _centroid_matrix(centroids: dict[int, list[float]]):
@@ -155,12 +158,30 @@ def _argmin_exact_chunks(Q, C):
 
     1. one BLAS matmul gives approximate distances
        M = ||q||² − 2 q·c + ||c||²;
-    2. a CERTIFIED error margin bounds |fold − M| for every pair:
-       both the fold F and M approximate the real value T with
-       |F−T| ≤ γ·T ≤ 2γ(‖q‖²+‖c‖²) and |M−T| ≤ γ(‖q‖²+2|q·c|+‖c‖²)
-       ≤ 2γ(‖q‖²+‖c‖²) where γ = (3·dim+2)·2⁻⁵³ (standard summation
-       error analysis; all terms positive so no cancellation in the
-       bounds), hence |F−M| ≤ 8(dim+2)·2⁻⁵³·(‖q‖²+max‖c‖²) = margin;
+    2. a CERTIFIED error margin (r12: rederived end-to-end, constant
+       widened to the provable bound × 4 slack — r11's 8(dim+2)u was
+       below its own derivation, VERDICT r11 item 6 / advisor item 1):
+       let T = Σ(qᵢ−cᵢ)² be the real distance and u = 2⁻⁵³.
+       (a) fold error: F sums dim squared differences left-to-right;
+           standard summation analysis gives |F−T| ≤ γ·T with
+           γ = (3·dim+2)·u, and T ≤ 2(‖q‖²+‖c‖²), so
+           |F−T| ≤ 2γ(‖q‖²+‖c‖²).
+       (b) matmul error: M = qn − 2(q·c) + cn where each of qn, q·c,
+           cn carries ≤ γ relative error on a sum of ≤ dim products;
+           |M−T| ≤ γ(‖q‖² + 2|q·c| + ‖c‖²) ≤ 3γ(‖q‖²+‖c‖²) by
+           Cauchy–Schwarz (2|q·c| ≤ ‖q‖²+‖c‖²).
+       (c) triangle: |F−M| ≤ 5γ(‖q‖²+‖c‖²) =: B per pair.
+       (d) CANDIDACY needs 2B, not B: the fold-argmin c* satisfies
+           F(c*) ≤ F(c) ∀c, hence M(c*) ≤ F(c*)+B ≤ F(c_Mmin)+B ≤
+           M_min+2B — so every centroid with M ≤ M_min + 2B is a
+           candidate and any centroid beyond it provably has larger F.
+       (e) second-order slack ×4: qn/cn/M_min themselves are computed
+           floats (each ≤ γ relative error, and the M_min+margin
+           comparison rounds once) — rather than thread ~(1+γ)³
+           factors through (a)-(d), the margin is widened 4×, orders
+           beyond the first-order terms it must cover. Extra
+           candidates only trigger the cheap exact-fold recompute.
+       margin = 4·2·5γ·(‖q‖²+max‖c‖²) = 40(3·dim+2)·u·(qn+cn_max);
     3. every centroid within margin of the row's M-minimum is a
        candidate (any non-candidate provably has larger F); rows with
        one candidate are done, rows with several (exact ties —
@@ -178,7 +199,10 @@ def _argmin_exact_chunks(Q, C):
     k = len(C)
     cn = np.einsum("ij,ij->i", C, C)
     cn_max = cn.max() if k else 0.0
-    c_eps = 8.0 * (dim + 2) * 2.0 ** -53
+    # 40(3·dim+2)·u: the provable first-order bound (2× candidacy ×
+    # 5γ per-pair) with a 4× slack for second-order terms — see the
+    # derivation in the docstring (steps a-e)
+    c_eps = 40.0 * (3.0 * dim + 2.0) * 2.0 ** -53
     Ct = np.ascontiguousarray(C.T)
     chunk = max(1, (1 << 22) // max(k, 1))
     for s in range(0, n, chunk):
