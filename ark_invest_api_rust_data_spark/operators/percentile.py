@@ -41,46 +41,41 @@ def exact_percentile_hist(
     semantics via the histogram plan above. Null values are excluded,
     matching the built-in aggregate — including its all-null edge: a
     group whose values are ALL null still appears in the output, with
-    null percentile columns (ADVICE r4: the histogram drops such
-    groups, so the result is left-joined back onto the distinct group
-    keys; the extra aggregation's shuffle is O(groups) after map-side
-    combine, and the join's build side is the O(groups) result)."""
+    null percentile columns (ADVICE r4; since r12 such groups survive
+    as the histogram's NULL-value row instead of a separate
+    distinct-groups scan + left join — see the inline comment)."""
     if not percentiles:
         raise ValueError("percentiles must be non-empty")
     for name, p in percentiles.items():
         if not (0.0 <= p <= 1.0):
             raise ValueError(f"percentile {name}={p} outside [0, 1]")
-    hist = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*group_cols, value_col)
-        .agg(F.count("*").alias("_c"))
-    )
+    # r12 (guide §2.4 "remove shuffles outright"): one exchange on the
+    # group key serves the cumulative window, the per-group total (a
+    # whole-partition window — no separate tot aggregation, no
+    # cum⋈tot join), AND the final fold (groupBy on the window's own
+    # partitioning adds no exchange). NULL values stay IN the
+    # histogram as a per-group NULL row contributing 0 to both sums —
+    # that keeps all-null groups in the output with NULL percentiles
+    # (the former behavior) without the extra df.distinct() scan,
+    # exchange and left join back. Selection math is unchanged: _cum
+    # and _n are the same int64 values, the ratio the same single
+    # double division as percentile_disc's cume_dist rule (an all-null
+    # group divides 0/0, which Spark defines as NULL → NULL output,
+    # exactly like the former left join's miss).
+    hist = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("_c"))
+    nn = F.col(value_col).isNotNull()
+    live = F.when(nn, F.col("_c")).otherwise(F.lit(0))
     w = Window.partitionBy(*group_cols).orderBy(value_col)
-    cum = hist.withColumn("_cum", F.sum("_c").over(w))
-    tot = hist.groupBy(*group_cols).agg(F.sum("_c").alias("_n"))
-    # NULL group keys are regular groups for percentile_disc (windows
-    # and groupBy treat null as a value), so both joins must match null
-    # keys: equality keys would emit null percentiles for them
-    # (ADVICE r5). eqNullSafe on every group col keeps the bit-
-    # equivalence claim for null-keyed groups too.
-    def _nullsafe(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
-        cond = None
-        for c in group_cols:
-            e = left[c].eqNullSafe(right[c])
-            cond = e if cond is None else cond & e
-        out = left.join(right, cond, how)
-        return out.select(
-            *[left[c] for c in group_cols],
-            *[c for c in right.columns if c not in group_cols],
-            *[c for c in left.columns if c not in group_cols],
-        )
-
-    j = _nullsafe(cum, tot, "inner")  # tot is O(groups): AQE broadcasts
+    wall = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("_cum", F.sum(live).over(w)).withColumn(
+        "_n", F.sum(live).over(wall)
+    )
     ratio = F.col("_cum").cast("double") / F.col("_n").cast("double")
-    res = j.groupBy(*group_cols).agg(
+    return cum.groupBy(*group_cols).agg(
         *[
-            F.min(F.when(ratio >= F.lit(p), F.col(value_col))).alias(name)
+            F.min(
+                F.when(nn & (ratio >= F.lit(p)), F.col(value_col))
+            ).alias(name)
             for name, p in percentiles.items()
         ]
     )
-    return _nullsafe(df.select(*group_cols).distinct(), res, "left")
