@@ -22,8 +22,8 @@ division.
 from __future__ import annotations
 
 import logging
+import os
 
-import pandas as pd  # noqa: F401 — resolves the pandas_udf type hints
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -195,13 +195,23 @@ def minhash_signature(base_hash_arr: Column, num_hashes: int = 16) -> Column:
 # array) instead of num_hashes interpreted array_min(transform(...))
 # folds — transform/aggregate HOFs are CodegenFallback, so the
 # expression tier re-walks every shingle array 17× per row (pmod + 16
-# affine mins) through the interpreted evaluator. 0 = always NumPy
-# (same always-wins evidence as clustering._ARROW_ASSIGN_BOUND; the
-# measured A/B is in OPTIMIZATION_r11.md). The expression tier above
-# stays the plan-transparent bit-equality reference — pure int64
-# affine math on a 2³¹ grid is representation-exact in both tiers, and
-# tests force both and pin equality.
-_SIG_ARROW_BOUND = 0
+# affine mins) through the interpreted evaluator.
+#
+# Default 16, NOT 0 (r12): round 11 set 0 on a warm same-session
+# interleaved A/B, and the two probes that lean hardest on the
+# signature stage regressed in BOTH independent cold full-bench runs
+# (driver r11: llm_pair_overlap 4.2×, llm_cluster_reps 3.4× vs r10 —
+# VERDICT item 1). Re-measured cold at 32c in r12: the 12-probe
+# consumer family totals 23.7 s under the expression tier vs
+# 29.5-31.6 s under always-Arrow (per-run tables in
+# OPTIMIZATION_r12.md) — at 16 hash functions the interpreted fold
+# beats the extra ArrowEvalPython round-trip per signature stage;
+# wider affine families (more folds per row, same crossing cost) tip
+# to NumPy. The Arrow tier stays for >16 and is env-selectable; the
+# expression tier remains the plan-transparent bit-equality reference
+# (pure int64 affine math on a 2³¹ grid is representation-exact in
+# both tiers, and tests force both and pin equality).
+_SIG_ARROW_BOUND = int(os.environ.get("SPARK_GRAFT_SIG_ARROW_BOUND", "16"))
 
 
 def _minhash_sig_udf(num_hashes: int):
@@ -214,6 +224,14 @@ def _minhash_sig_udf(num_hashes: int):
     for a positive modulus) and min is order-free. NULL and empty
     shingle arrays yield [NULL]×num_hashes exactly like
     array_min(transform(...)) over NULL/empty input."""
+    # pandas is only required when this Arrow tier is actually built
+    # (r11 advisor: a module-level import made pandas a hard dependency
+    # of expression-tier-only callers). The deferred annotations below
+    # (PEP 563 is active module-wide) resolve through module globals at
+    # pandas_udf decoration time, so publish the lazy import there.
+    import pandas as pd
+
+    globals().setdefault("pd", pd)
     consts = minhash_constants(num_hashes)
 
     @F.pandas_udf("array<long>")

@@ -43,6 +43,7 @@ surface); this extends SURVEY.md §2 B31.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pyspark.sql.functions as F
@@ -327,13 +328,22 @@ def dsir_select_threshold(
     if not 0 < keep_frac <= 1:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
     p = 1.0 - keep_frac
-    # the input frame is referenced twice below (histogram + final
+    # The input frame is referenced twice below (histogram + final
     # filter join) and Spark does not share the subtree — for the
-    # fused-Arrow weights pipeline that re-ran the entire scoring pass
-    # (and its model-building passes) a second time (measured r11).
-    # One localCheckpoint of the small (id, n_tokens, score) frame
-    # evaluates it once; values unchanged.
-    weights = weights.localCheckpoint()
+    # fused-Arrow weights pipeline the scoring pass (and its
+    # model-building passes) evaluates twice. Round 11 inserted an
+    # unconditional localCheckpoint here on a warm interleaved A/B
+    # (0.59×) — and the probe regressed 3.3× in the driver's COLD run
+    # (VERDICT r11 items 1/2); the r12 cold 32c re-measure confirmed
+    # the checkpoint loses cold (2.19-2.44 s vs 1.77 s without, table
+    # in OPTIMIZATION_r12.md), and the advisor flagged its O(docs)
+    # block retention besides (blocks are never released; sweeping
+    # keep_frac accumulates them). Default is therefore the lazy r10
+    # double-evaluation plan; long-lived deployments scoring huge
+    # corpora once per threshold can opt in via SPARK_GRAFT_DSIR_CKPT=1
+    # and own the retention.
+    if os.environ.get("SPARK_GRAFT_DSIR_CKPT", "0") == "1":
+        weights = weights.localCheckpoint()
     hist = weights.groupBy(score_col).agg(F.count("*").alias("_c"))
     w = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
     # the histogram window holds one row per DISTINCT score — bounded

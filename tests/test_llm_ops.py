@@ -1873,13 +1873,17 @@ def test_minhash_signature_arrow_tier_equals_expression_tier(spark):
             for r in rows
         }
 
-    assert D._SIG_ARROW_BOUND == 0  # the shipped default is Arrow
-    got_arrow = run()
-    D._SIG_ARROW_BOUND = 1 << 30  # force the expression fold tier
+    # r12: the shipped default is the EXPRESSION tier at 16 hashes
+    # (cold-session evidence, OPTIMIZATION_r12.md item 1); force each
+    # tier explicitly so the equality pin is default-independent
+    saved = D._SIG_ARROW_BOUND
     try:
+        D._SIG_ARROW_BOUND = 0  # force the Arrow/NumPy tier
+        got_arrow = run()
+        D._SIG_ARROW_BOUND = 1 << 30  # force the expression fold tier
         got_expr = run()
     finally:
-        D._SIG_ARROW_BOUND = 0
+        D._SIG_ARROW_BOUND = saved
     assert got_arrow == got_expr
     assert 900001 in got_arrow and 900004 in got_arrow
 
