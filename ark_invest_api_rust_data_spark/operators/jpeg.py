@@ -224,6 +224,20 @@ def _dht_payload(tc_th: int, bits_len: int, symbols: list[int]) -> bytes:
     return bytes([tc_th] + counts + symbols)
 
 
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+# The marker segments our encoder emits that do not depend on the
+# image are constant BYTES — build them once instead of re-serializing
+# the 162-symbol AC table per encode call (r12, guide §4.2 "heavyweight
+# init once"). Emission ORDER in _encode_baseline is unchanged.
+_SOI_DQT = b"\xff\xd8" + _seg(0xDB, bytes([0]) + bytes(QUANT))
+_DHT_SEGS = _seg(0xC4, _dht_payload(0x00, 4, _DC_SYMS)) + _seg(
+    0xC4, _dht_payload(0x10, 8, _AC_SYMS)
+)
+
+
 def _encode_baseline(
     width: int, height: int, planes: list[list[int]], restart_interval: int
 ) -> bytes:
@@ -246,11 +260,14 @@ def _encode_baseline(
                 rst = (rst + 1) % 8
                 preds = [0] * n_comp
             for c in range(n_comp):  # 1×1 sampling: one block each
-                block = [
-                    planes[c][(by + yy) * bw + bx + xx]
-                    for yy in range(8)
-                    for xx in range(8)
-                ]
+                if bw == 8 and bh == 8:  # single-block image: no copy
+                    block = planes[c]
+                else:
+                    block = [
+                        planes[c][(by + yy) * bw + bx + xx]
+                        for yy in range(8)
+                        for xx in range(8)
+                    ]
                 preds[c] = _encode_block(w, _fdct_quant(block), preds[c])
             n_mcu += 1
     w.flush()
@@ -274,11 +291,9 @@ def _encode_baseline(
         seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
     )
     return (
-        b"\xff\xd8"  # SOI
-        + seg(0xDB, bytes([0]) + bytes(QUANT))  # DQT table 0, 8-bit
+        _SOI_DQT  # SOI + DQT table 0 (constant bytes, built once)
         + seg(0xC0, sof)  # SOF0 baseline
-        + seg(0xC4, _dht_payload(0x00, 4, _DC_SYMS))  # DC table 0
-        + seg(0xC4, _dht_payload(0x10, 8, _AC_SYMS))  # AC table 0
+        + _DHT_SEGS  # DC table 0 + AC table 0 (constant bytes)
         + dri
         + seg(0xDA, sos)  # SOS
         + bytes(w.out)
@@ -295,28 +310,47 @@ def _pad_plane(width: int, height: int, get) -> list[int]:
     ]
 
 
+def _pad_edge_np(plane, width: int, height: int):
+    """Edge-replication padding to the 8×8 block grid, vectorized —
+    same values `_pad_plane`'s min-clamped indexing produces."""
+    import numpy as np
+
+    bw, bh = (width + 7) // 8 * 8, (height + 7) // 8 * 8
+    xs = np.minimum(np.arange(bw), width - 1)
+    ys = np.minimum(np.arange(bh), height - 1)
+    return plane[np.ix_(ys, xs)]
+
+
 def encode_jpeg(
     width: int, height: int, rgb: bytes, restart_interval: int = 0
 ) -> bytes:
     """Baseline JPEG from a row-major top-down RGB stream (w·h·3
     bytes): YCbCr 4:4:4, edges padded by replication to the block
-    grid. See ``_encode_baseline`` for the table layout."""
+    grid. See ``_encode_baseline`` for the table layout.
+
+    r12 (guide §4.2): the color transform + padding run vectorized
+    over the whole image — the exact integer floor-division formulas
+    of ``rgb_to_ycbcr`` applied per-array (NumPy int64 ``//`` floors
+    exactly like Python's), so the planes are value-identical to the
+    former per-pixel loop (pinned by the codec roundtrip/fuzz tests)."""
     if width < 1 or height < 1:
         raise ValueError(f"bad dims {width}x{height}")
     if len(rgb) != width * height * 3:
         raise ValueError(f"need {width * height * 3} rgb bytes, got {len(rgb)}")
-    ycc_cache: dict[int, tuple[int, int, int]] = {}
+    import numpy as np
 
-    def ycc(x: int, y: int) -> tuple[int, int, int]:
-        i = (y * width + x) * 3
-        got = ycc_cache.get(i)
-        if got is None:
-            got = ycc_cache[i] = rgb_to_ycbcr(rgb[i], rgb[i + 1], rgb[i + 2])
-        return got
-
-    planes = [
-        _pad_plane(width, height, lambda x, y, c=c: ycc(x, y)[c]) for c in range(3)
-    ]
+    px = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+    r, g, b = px[0::3], px[1::3], px[2::3]
+    y = (299 * r + 587 * g + 114 * b + 500) // 1000
+    cb = 128 + (-168736 * r - 331264 * g + 500000 * b + 500000) // 1000000
+    cr = 128 + (500000 * r - 418688 * g - 81312 * b + 500000) // 1000000
+    aligned = width % 8 == 0 and height % 8 == 0
+    planes = []
+    for p in (y, cb, cr):
+        p = np.clip(p, 0, 255)
+        if not aligned:  # padding is the identity on the block grid
+            p = _pad_edge_np(p.reshape(height, width), width, height).ravel()
+        planes.append(p.tolist())
     return _encode_baseline(width, height, planes, restart_interval)
 
 
@@ -330,7 +364,14 @@ def encode_jpeg_gray(
         raise ValueError(f"bad dims {width}x{height}")
     if len(gray) != width * height:
         raise ValueError(f"need {width * height} gray bytes, got {len(gray)}")
-    plane = _pad_plane(width, height, lambda x, y: gray[y * width + x])
+    if width % 8 == 0 and height % 8 == 0:
+        return _encode_baseline(width, height, [list(gray)], restart_interval)
+    import numpy as np
+
+    p = np.frombuffer(gray, dtype=np.uint8).astype(np.int64).reshape(
+        height, width
+    )
+    plane = _pad_edge_np(p, width, height).ravel().tolist()
     return _encode_baseline(width, height, [plane], restart_interval)
 
 
@@ -412,10 +453,49 @@ def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None
     return None
 
 
+def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[list, int]:
+    """(lut, maxlen) for one Huffman table: lut[prefix] = (sym, length)
+    for every maxlen-bit prefix, None for invalid prefixes. One peek +
+    one consume replaces up to 16 single-bit reads per symbol — the
+    consumed bits are identical to ``_huff_decode``'s walk (a Huffman
+    code is prefix-free, so the first match IS the match)."""
+    maxlen = max(length for length, _ in table)
+    lut: list = [None] * (1 << maxlen)
+    for (length, code), sym in table.items():
+        base = code << (maxlen - length)
+        for i in range(1 << (maxlen - length)):
+            lut[base + i] = (sym, length)
+    return lut, maxlen
+
+
+def _huff_decode_lut(r: _BitReader, lut: list, maxlen: int, table) -> int | None:
+    """LUT-accelerated Huffman decode; falls back to the bitwise walk
+    when fewer than ``maxlen`` bits remain in the stream (codes shorter
+    than maxlen can still complete there)."""
+    if r.n < maxlen and not r._fill():
+        return _huff_decode(r, table)
+    if r.n < maxlen:
+        return _huff_decode(r, table)
+    hit = lut[(r.acc >> (r.n - maxlen)) & ((1 << maxlen) - 1)]
+    if hit is None:
+        return None  # invalid prefix: the walk would also dead-end
+    sym, length = hit
+    r.n -= length
+    r.acc &= (1 << r.n) - 1
+    return sym
+
+
 def _extend(v: int, size: int) -> int:
     if size and v < (1 << (size - 1)):
         v -= (1 << size) - 1
     return v
+
+
+# raw DHT segment bytes -> parsed {(tc,th): (tbl, lut, maxlen)}, or
+# _DHT_BAD for malformed segments; bounded at 256 entries (foreign /
+# fuzzed tables just stop being cached)
+_DHT_CACHE: dict[bytes, object] = {}
+_DHT_BAD = object()
 
 
 def decode_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
@@ -475,6 +555,18 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive / arithmetic / lossless
         elif marker == 0xC4:  # DHT
+            # parsed-table cache keyed by the raw segment bytes: our
+            # own encoder emits the same two fixed tables on every
+            # frame, so a video decode re-parsed (and re-LUT'd) them
+            # per frame (r12, guide §4.5). Bounded; foreign tables
+            # just miss.
+            cached = _DHT_CACHE.get(seg)
+            if cached is not None:
+                if cached is _DHT_BAD:
+                    return None
+                huff.update(cached)
+                continue
+            parsed: dict[tuple[int, int], tuple] = {}
             i = 0
             while i + 17 <= len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0xF
@@ -485,12 +577,17 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes] | None:
                 for length in range(1, 17):
                     for _ in range(counts[length - 1]):
                         if i >= len(seg):
+                            if len(_DHT_CACHE) < 256:
+                                _DHT_CACHE[seg] = _DHT_BAD
                             return None
                         tbl[(length, code)] = seg[i]
                         code += 1
                         i += 1
                     code <<= 1
-                huff[(tc, th)] = tbl
+                parsed[(tc, th)] = (tbl, *(_huff_lut(tbl) if tbl else (None, 0)))
+            if len(_DHT_CACHE) < 256:
+                _DHT_CACHE[seg] = parsed
+            huff.update(parsed)
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -541,10 +638,16 @@ def _decode_scan(data, pos, w, h, comps, quant, huff, dri):
                 for c in comps:
                     c["pred"] = 0
             for c in comps:
+                dc_tbl, dc_lut, dc_len = huff[(0, c["td"])]
+                ac_tbl, ac_lut, ac_len = huff[(1, c["ta"])]
                 for vy in range(c["vs"]):
                     for vx in range(c["hs"]):
                         zz = [0] * 64
-                        sym = _huff_decode(r, huff[(0, c["td"])])
+                        sym = (
+                            _huff_decode_lut(r, dc_lut, dc_len, dc_tbl)
+                            if dc_lut is not None
+                            else _huff_decode(r, dc_tbl)
+                        )
                         if sym is None or sym > 11:
                             return None
                         bits = r.bits(sym)
@@ -554,7 +657,11 @@ def _decode_scan(data, pos, w, h, comps, quant, huff, dri):
                         zz[0] = c["pred"]
                         i = 1
                         while i < 64:
-                            sym = _huff_decode(r, huff[(1, c["ta"])])
+                            sym = (
+                                _huff_decode_lut(r, ac_lut, ac_len, ac_tbl)
+                                if ac_lut is not None
+                                else _huff_decode(r, ac_tbl)
+                            )
                             if sym is None:
                                 return None
                             if sym == 0x00:  # EOB
@@ -584,28 +691,38 @@ def _decode_scan(data, pos, w, h, comps, quant, huff, dri):
                                 px[yy * 8 : yy * 8 + 8]
                             )
             n_mcu += 1
-    out = bytearray(w * h * 3)
+    # Final pixel assembly, vectorized (r12, guide §4.2): same integer
+    # floor-division formulas as ycbcr_to_rgb applied per-array (NumPy
+    # int64 // floors exactly like Python //, including negatives), so
+    # the RGB stream is byte-identical to the former per-pixel loop
+    # (pinned by the codec roundtrip/fuzz tests).
+    import numpy as np
+
     if len(comps) == 1:
         c = comps[0]
-        pw, plane = c["pw"], c["plane"]
-        for y in range(h):
-            for x in range(w):
-                g = plane[y * pw + x]
-                i = (y * w + x) * 3
-                out[i] = out[i + 1] = out[i + 2] = g
-        return (w, h, bytes(out))
-    cy, cb, cr = comps[0], comps[1], comps[2]
-    for y in range(h):
-        for x in range(w):
-            vals = []
-            for c in (cy, cb, cr):
-                sx = x * c["hs"] // max_h
-                sy = y * c["vs"] // max_v
-                vals.append(c["plane"][sy * c["pw"] + sx])
-            rr, gg, bb = ycbcr_to_rgb(*vals)
-            i = (y * w + x) * 3
-            out[i], out[i + 1], out[i + 2] = rr, gg, bb
-    return (w, h, bytes(out))
+        plane = np.frombuffer(bytes(c["plane"]), dtype=np.uint8).reshape(
+            c["ph"], c["pw"]
+        )[:h, :w]
+        return (w, h, np.repeat(plane.ravel(), 3).tobytes())
+    vals = []
+    for c in comps:
+        plane = np.frombuffer(bytes(c["plane"]), dtype=np.uint8).reshape(
+            c["ph"], c["pw"]
+        )
+        if c["hs"] == max_h and c["vs"] == max_v:  # full-res component
+            vals.append(plane[:h, :w].astype(np.int64))
+        else:  # chroma upsample by replication
+            sx = np.arange(w) * c["hs"] // max_h
+            sy = np.arange(h) * c["vs"] // max_v
+            vals.append(plane[np.ix_(sy, sx)].astype(np.int64))
+    y_, cb_, cr_ = vals
+    rr = (1000 * y_ + 1402 * (cr_ - 128) + 500) // 1000
+    gg = (100000 * y_ - 34414 * (cb_ - 128) - 71414 * (cr_ - 128) + 50000) // 100000
+    bb = (1000 * y_ + 1772 * (cb_ - 128) + 500) // 1000
+    rgb = np.stack(
+        [np.clip(p, 0, 255) for p in (rr, gg, bb)], axis=-1
+    ).astype(np.uint8)
+    return (w, h, rgb.tobytes())
 
 
 def jpeg_constant_roundtrip(v: int) -> int:
