@@ -162,21 +162,28 @@ class Materializer:
 
     def cut_counted(self, df: DataFrame) -> tuple[DataFrame, int]:
         """``cut`` + row count in ONE driver action on the local tier:
-        an eager localCheckpoint already runs a full count() job
+        an eager localCheckpoint already runs a full RDD count job
         internally and throws the number away, so iteration loops that
-        ALSO need a convergence scalar paid a second job per round
-        (r11 verdict: the graph family wall at small SF is driver gap
-        across ~3 jobs/round). A LAZY localCheckpoint is materialized
-        by the count job itself — same blocks, same lineage cut
-        (the returned frame's plan is already the LogicalRDD), one
-        job. Reliable tier keeps eager-then-count: a lazy reliable
-        checkpoint would recompute its parent a second time to write
-        the files, which costs more than the extra driver action."""
+        ALSO need a convergence scalar paid extra jobs per round —
+        and a DataFrame ``count()`` is itself 2 AQE jobs (partial +
+        final agg stages; measured), so eager-cut-then-count was 3.
+        Here the LAZY localCheckpoint's marked RDD (the LogicalRDD the
+        returned frame already wraps) is counted DIRECTLY on the JVM
+        side — exactly the job eager mode runs, value kept: one job,
+        same blocks, same lineage cut. Reliable tier keeps
+        eager-then-count: a lazy reliable checkpoint would recompute
+        its parent a second time to write the files, which costs more
+        than the extra driver actions."""
         if self._dir is not None:
             out = self.cut(df)
             return out, out.count()
         out = df.localCheckpoint(eager=False)
-        return out, out.count()
+        try:
+            # the same internal-RDD count eager localCheckpoint runs
+            n = int(out._jdf.logicalPlan().rdd().count())
+        except Exception:
+            n = out.count()  # fallback: 2 AQE jobs, still correct
+        return out, n
 
     def release(self, df: DataFrame) -> None:
         """Free the storage behind a ``cut`` frame we no longer need.
