@@ -54,15 +54,26 @@ _FUSED_TRAIN_BOUND = 16384
 # above this many TOTAL flattened codebook coordinates (coarse k·dim +
 # m·k·sub) the PQ assignment/update passes run the vectorized NumPy
 # tier instead of the interpreted ``_assign_expr`` folds (HOFs are
-# CodegenFallback — the folds were the largest remaining interpreted
-# surface after round 11 vectorized clustering; see clustering.
-# _ARROW_ASSIGN_BOUND for the measured always-wins evidence that
-# justifies 0). The expression tier below stays the plan-transparent
-# bit-equality reference — tests force both tiers and pin equality;
-# the NumPy math reuses clustering._assign_dists_chunks, whose
-# coordinate-ascending IEEE accumulation and first-min argmin are
-# bit-identical to the folds (and to the SQL oracle's replay).
-_PQ_ARROW_BOUND = int(os.environ.get("SPARK_GRAFT_PQ_ARROW_BOUND", "0"))
+# CodegenFallback, so the fold cost is O(n·k·dim) INTERPRETED — at
+# large codebooks the NumPy tier is the only shape that scales).
+#
+# Default 16384 (= _FUSED_TRAIN_BOUND), NOT the round-11 0: the r11
+# always-Arrow default was chosen on a warm interleaved A/B, and the
+# r12 cold-session bisect isolated a reproducible session cost — each
+# Arrow training storm (new generated classes + ~33 Python worker
+# spawns) leaves HotSpot re-JIT-ing, and the next CPU-bound probe runs
+# deoptimized (llm_bloom_decontaminate: 3.7 s alone, 12.3 s right
+# after the Arrow trainers, 4.9 s after the expression trainers; full
+# cold bench 159.1 s always-Arrow vs 137.7 s with bench-shape
+# codebooks [1-2k coords] on the expression tier, ~20 probes
+# recovering 0.4-7.2 s each against +1.9 s across the PQ family —
+# tables in OPTIMIZATION_r12.md). The expression tier stays the
+# plan-transparent bit-equality reference — tests force both tiers
+# and pin equality; the NumPy math reuses
+# clustering._assign_dists_chunks, whose coordinate-ascending IEEE
+# accumulation and first-min argmin are bit-identical to the folds
+# (and to the SQL oracle's replay). Env-overridable for deployments.
+_PQ_ARROW_BOUND = int(os.environ.get("SPARK_GRAFT_PQ_ARROW_BOUND", "16384"))
 
 MU = 1_000_000  # quantization grid, matches clustering._quantize
 

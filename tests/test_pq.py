@@ -562,11 +562,15 @@ def test_pq_arrow_tier_equals_expression_tier(spark):
              for r in enc.collect()},
         )
 
-    assert pq_mod._PQ_ARROW_BOUND == 0  # the shipped default is Arrow
-    got_arrow = run()
-    pq_mod._PQ_ARROW_BOUND = 1 << 60  # force the expression fold tier
+    # r12: the shipped default keeps bench-shape codebooks on the
+    # expression tier (cold-session evidence, OPTIMIZATION_r12.md);
+    # force each tier explicitly so the pin is default-independent
+    saved = pq_mod._PQ_ARROW_BOUND
     try:
+        pq_mod._PQ_ARROW_BOUND = 0  # force the NumPy tier
+        got_arrow = run()
+        pq_mod._PQ_ARROW_BOUND = 1 << 60  # force the expression tier
         got_expr = run()
     finally:
-        pq_mod._PQ_ARROW_BOUND = 0
+        pq_mod._PQ_ARROW_BOUND = saved
     assert got_arrow == got_expr
